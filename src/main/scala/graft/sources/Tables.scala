@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table loaders for the driver-generated testdata
+  * (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * Design notes (100 TB posture):
+  *  - Plain `spark.read.parquet` keeps the scan declarative so Catalyst
+  *    performs column pruning + predicate pushdown into the Parquet
+  *    vectorized reader; at cluster scale the same plan splits by
+  *    `spark.sql.files.maxPartitionBytes` with no code change.
+  *  - NO caching here: each query re-reads only the columns it needs.
+  *    Caching tiny local files would hide pushdown bugs we must catch.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS) which
+    * Spark 4.x rejects outright ([PARQUET_TYPE_ILLEGAL]). Workaround
+    * (SURVEY.md §1.3, verified): read nanos as plain LongType via the
+    * legacy conf, then truncate to microseconds with exact integer
+    * division (`div`, not `/` — double division loses precision at
+    * 1e18 nanos). DuckDB's reader truncates ns→µs identically, so the
+    * oracle sees byte-identical timestamps.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Money math: cast to DECIMAL(18,2) so aggregation is associative and
+    * exact — Spark's partial aggregation order then cannot diverge from
+    * DuckDB's (SURVEY.md §5.4).
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+
+  /** Unavoidable float outputs (cosine, tf-idf, averages of doubles) are
+    * rounded to 6 digits on BOTH engine and oracle sides.
+    */
+  def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 6)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM, forked by sbt). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = TestSpark.sf
+
+  /** Run a registered query on sf0.001. */
+  def run(name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+}
+
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every queries key has runnable result") {
+    SparkEntry.queries.keys.foreach { k =>
+      assert(run(k).count() >= 0, s"query $k failed")
+    }
+  }
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle keys without query impl: $extra")
+  }
+}
+
+class AggregationSpec extends SparkSpec {
+  test("agg_pricing_summary groups by flag+status with positive sums") {
+    val rows = run("agg_pricing_summary").collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue() > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+}

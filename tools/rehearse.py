@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local rehearsal of the driver's t2 correctness gate.
+
+Usage: python3 tools/rehearse.py [sfDir] [outDir] [--skip-verify] [keys...]
+
+1. runs `sbt "runMain graft.Verify <sfDir> <outDir>"` (unless --skip-verify)
+2. loads <outDir>/oracle_sql.json
+3. for each key: registers the sfDir parquet tables as DuckDB views,
+   runs the oracle SQL, reads the Spark result parquet, and compares
+   (columns sorted by name, rows compared as values).
+
+Exit code 0 iff every key matches.
+"""
+import json, subprocess, sys, glob, os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        # decimals arrive as objects (Decimal) — compare as strings of
+        # normalized value; floats as floats
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df.reset_index(drop=True)
+
+
+def compare(name, spark_df, oracle_df):
+    ok = True
+    if list(spark_df.columns) != list(oracle_df.columns):
+        print(f"  [{name}] COLUMN MISMATCH spark={list(spark_df.columns)} oracle={list(oracle_df.columns)}")
+        return False
+    if len(spark_df) != len(oracle_df):
+        print(f"  [{name}] ROWCOUNT MISMATCH spark={len(spark_df)} oracle={len(oracle_df)}")
+        return False
+    for c in spark_df.columns:
+        a, b = spark_df[c], oracle_df[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            af = a.astype(float).to_numpy()
+            bf = b.astype(float).to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            eq = (af == bf) | both_nan
+        else:
+            eq = (a.to_numpy() == b.to_numpy()) | (a.isna().to_numpy() & b.isna().to_numpy())
+        if not eq.all():
+            bad = np.where(~eq)[0][:5]
+            ok = False
+            print(f"  [{name}] VALUE MISMATCH col={c} rows={bad.tolist()}")
+            for i in bad:
+                print(f"     row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r}")
+    return ok
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_verify = "--skip-verify" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2:])
+
+    if not skip_verify:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
+        if r.returncode != 0:
+            print("VERIFY FAILED:\n" + tail)
+            sys.exit(2)
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"[{name}] NO SPARK OUTPUT")
+            n_bad += 1
+            continue
+        try:
+            spark_df = norm(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            oracle_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"[{name}] ERROR: {e}")
+            n_bad += 1
+            continue
+        if compare(name, spark_df, oracle_df):
+            n_ok += 1
+            print(f"[{name}] OK ({len(spark_df)} rows)")
+        else:
+            n_bad += 1
+    # keys in queries but not oracle get only a rows>0 check from driver
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(0 if n_bad == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
