@@ -17,10 +17,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Aggregations.queries
+    operators.Scans.queries ++
+      operators.Filters.queries ++
+      operators.Joins.queries ++
+      operators.Aggregations.queries ++
+      operators.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Aggregations.oracle
+    operators.Scans.oracle ++
+      operators.Filters.oracle ++
+      operators.Joins.oracle ++
+      operators.Aggregations.oracle ++
+      operators.SetOps.oracle
 }

@@ -25,8 +25,8 @@ object Aggregations {
       .agg(
         sum(dec(col("l_quantity"))).as("raw_sum_qty"),
         sum(dec(col("l_extendedprice"))).as("raw_sum_base"),
-        sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)"))).as("raw_sum_disc"),
-        sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)")) * (lit(1).cast("decimal(8,6)") + col("l_tax").cast("decimal(8,6)"))).as("raw_sum_charge"),
+        sum(discPrice).as("raw_sum_disc"),
+        sum(discPrice * (lit(1).cast("decimal(8,6)") + col("l_tax").cast("decimal(8,6)"))).as("raw_sum_charge"),
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
@@ -41,24 +41,218 @@ object Aggregations {
   }
 
   val aggPricingSummaryOracle: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       |  ROUND(SUM($revenueSqlFrag), 2) AS sum_disc_price,
+       |  ROUND(SUM(CAST($revenueSqlFrag AS DECIMAL(24,8)) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS sum_charge,
+       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Ungrouped global aggregate. */
+  def aggGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        min(dec(col("l_extendedprice"))).as("min_price"),
+        max(dec(col("l_extendedprice"))).as("max_price"))
+      .withColumn("avg_qty", r6(col("sum_qty").cast("double") / col("n_rows")))
+
+  val aggGlobalOracle: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 2) AS sum_disc_price,
-      |  ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(24,8)) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS sum_charge,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-      |  COUNT(*) AS count_order
+      |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+      |  MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+      |FROM lineitem""".stripMargin
+
+  /** GROUP BY + HAVING on the aggregate. */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_spent") > 2500000)
+      .orderBy("o_custkey")
+
+  val aggHavingOracle: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 2500000
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Exact COUNT(DISTINCT) per group (Expand + two-phase agg). */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val aggCountDistinctOracle: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HyperLogLog approximate distinct — sketch output is engine-specific,
+    * so this key is deliberately oracle-exempt (rows-only check). */
+  def aggApproxHll(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** ROLLUP(region, nation) revenue. Spark sorts nulls first by default;
+    * the oracle says NULLS FIRST explicitly. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lineitem(spark, sfDir)
+      .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), discPrice.as("dp"))
+    // rollup().orderBy() on join lineage trips Spark's ambiguous-self-join
+    // check (the grouping attrs shadow the join output); localCheckpoint-free
+    // fix: route through a temp view + SQL, which resolves by name.
+    base.createOrReplaceTempView("graft_rollup_base")
+    base.sparkSession.sql(
+      """SELECT r_name, n_name, CAST(SUM(dp) AS DECIMAL(18,2)) AS revenue
+        |FROM graft_rollup_base
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggRollupOracle: String =
+    s"""SELECT r_name, n_name, ROUND(SUM($revenueSqlFrag), 2) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** CUBE(returnflag, linestatus) counts + exact sums. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggCubeOracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS with per-column GROUPING() flags (avoids
+    * engine-specific grouping_id bit orders). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  val aggGroupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
       |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Deterministic list aggregation: per-nation sorted supplier names,
+    * joined to a single string (collect_list is order-unstable on its
+    * own; sort_array + concat_ws pins it). */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir)
+      .join(broadcast(nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+
+  val aggCollectSortedOracle: String =
+    """SELECT n_name, COALESCE(STRING_AGG(s_name, ',' ORDER BY s_name), '') AS suppliers,
+      |  COUNT(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Custom UDAF surface: quantity-weighted average price per returnflag
+    * via a typed Aggregator with an exact-decimal buffer (associative ⇒
+    * deterministic under partial aggregation). */
+  def udafWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(WeightedAvgAgg)
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("raw"))
+      .select(col("l_returnflag"), r6(col("raw")).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val udafWeightedAvgOracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |        / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_pricing_summary" -> (aggPricingSummary _)
-  )
+    "agg_pricing_summary" -> (aggPricingSummary _),
+    "agg_global" -> (aggGlobal _),
+    "agg_having" -> (aggHaving _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_approx_hll" -> (aggApproxHll _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_collect_sorted" -> (aggCollectSorted _),
+    "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
-    "agg_pricing_summary" -> aggPricingSummaryOracle
-  )
+    "agg_pricing_summary" -> aggPricingSummaryOracle,
+    "agg_global" -> aggGlobalOracle,
+    "agg_having" -> aggHavingOracle,
+    "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_rollup" -> aggRollupOracle,
+    "agg_cube" -> aggCubeOracle,
+    "agg_grouping_sets" -> aggGroupingSetsOracle,
+    "agg_collect_sorted" -> aggCollectSortedOracle,
+    "udaf_weighted_avg" -> udafWeightedAvgOracle)
+}
+
+/** Qty-weighted average price: buffer keeps exact decimal partial sums
+  * (Σ price·qty, Σ qty) so merge order cannot change the result; the
+  * division to double happens once at finish (SURVEY.md §2.B
+  * udaf_weighted_avg).
+  */
+object WeightedAvgAgg
+    extends org.apache.spark.sql.expressions.Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  private def d2(x: Double): BigDecimal =
+    BigDecimal(java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP))
+
+  def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+  def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)): (BigDecimal, BigDecimal) =
+    (b._1 + d2(in._1) * d2(in._2), b._2 + d2(in._2))
+  def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (BigDecimal, BigDecimal)): Double =
+    if (b._2.signum == 0) 0.0 else (b._1.toDouble / b._2.toDouble)
+  def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] = Encoders.product[(BigDecimal, BigDecimal)]
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

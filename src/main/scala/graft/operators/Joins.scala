@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Join operators (SURVEY.md §2.B "Joins").
+  *
+  * Scale posture per join type:
+  *  - dims (region/nation/supplier) are `broadcast()` → BroadcastHashJoin,
+  *    zero shuffle of the fact side at any scale;
+  *  - fact⋈fact (orders⋈lineitem, events self-joins) shuffle on the join
+  *    key → SortMergeJoin; AQE handles skew-split at runtime;
+  *  - theta/cross joins are restricted to dimension tables so the
+  *    BroadcastNestedLoopJoin stays bounded;
+  *  - as-of is expressed as a single window pass (no join at all) — at
+  *    100 TB this is one shuffle by user_id instead of a range self-join.
+  */
+object Joins {
+
+  /** Tiny dims: broadcast hash join, no shuffle. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    nation(spark, sfDir)
+      .join(broadcast(region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  val joinBroadcastOracle: String =
+    """SELECT n_nationkey, n_name, r_name FROM nation
+      |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin
+
+  /** Fact⋈fact shuffle join: orders ⋈ lineitem on orderkey, revenue per
+    * order priority. */
+  def joinShuffleLarge(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .join(lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+
+  val joinShuffleLargeOracle: String =
+    s"""SELECT o_orderpriority, ROUND(SUM($revenueSqlFrag), 2) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** 5-way star join: fact table joined through to region, revenue per
+    * region. Dims broadcast; only customer⋈orders⋈lineitem shuffle. */
+  def joinStar5way(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+
+  val joinStar5wayOracle: String =
+    s"""SELECT r_name, ROUND(SUM($revenueSqlFrag), 2) AS revenue, COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** LEFT OUTER: every customer, order count including zero. */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  val joinLeftOuterOracle: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** FULL OUTER over two overlapping order slices. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("ka"), col("o_totalprice").as("price_open"))
+    val b = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("kb"), col("o_totalprice").as("price_big"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("okey"),
+        col("price_open"), col("price_big"))
+      .orderBy("okey")
+  }
+
+  val joinFullOuterOracle: String =
+    """SELECT COALESCE(ka, kb) AS okey, price_open, price_big FROM
+      |  (SELECT o_orderkey AS ka, o_totalprice AS price_open FROM orders WHERE o_orderstatus = 'O') a
+      |FULL OUTER JOIN
+      |  (SELECT o_orderkey AS kb, o_totalprice AS price_big FROM orders WHERE o_totalprice > 400000) b
+      |ON ka = kb ORDER BY okey""".stripMargin
+
+  /** LEFT SEMI (= EXISTS): customers with at least one finalized order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** LEFT ANTI (= NOT EXISTS): customers with no order above 400k. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinAntiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cartesian product of the two smallest dims. */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    region(spark, sfDir).select("r_name")
+      .crossJoin(nation(spark, sfDir).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val joinCrossOracle: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** Non-equi theta join on a range predicate (dims only → bounded BNLJ;
+    * supplier side broadcast). */
+  def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir)
+      .join(broadcast(supplier(spark, sfDir)),
+        col("p_size") >= col("s_suppkey") * 2 && col("p_size") <= col("s_suppkey") * 7)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"))
+      .orderBy("s_suppkey")
+
+  val joinThetaRangeOracle: String =
+    """SELECT s_suppkey, COUNT(*) AS n_parts, SUM(p_size) AS sum_size
+      |FROM part JOIN supplier ON p_size BETWEEN s_suppkey * 2 AND s_suppkey * 7
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  /** AS-OF join, window formulation: for each error event, the most
+    * recent strictly-prior click by the same user. One shuffle by
+    * user_id; no range self-join (SURVEY.md §2.B join_asof). */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, sfDir)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("prior_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "prior_click_ts")
+      .orderBy("event_id")
+  }
+
+  val joinAsofOracle: String =
+    """SELECT event_id, user_id, ts, prior_click_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_ts
+      |  FROM events)
+      |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+
+  /** Interval join: per purchase, count same-user clicks in the
+    * preceding hour. Equi key (user_id) drives the shuffle; the range
+    * predicate is applied post-match. */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"), "left")
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_ts")).as("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
+  val joinIntervalOracle: String =
+    """SELECT p.event_id, COUNT(c.ts) AS n_clicks_1h
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> (joinBroadcast _),
+    "join_shuffle_large" -> (joinShuffleLarge _),
+    "join_star_5way" -> (joinStar5way _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_full_outer" -> (joinFullOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_cross" -> (joinCross _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_asof" -> (joinAsof _),
+    "join_interval" -> (joinInterval _))
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" -> joinBroadcastOracle,
+    "join_shuffle_large" -> joinShuffleLargeOracle,
+    "join_star_5way" -> joinStar5wayOracle,
+    "join_left_outer" -> joinLeftOuterOracle,
+    "join_full_outer" -> joinFullOuterOracle,
+    "join_semi" -> joinSemiOracle,
+    "join_anti" -> joinAntiOracle,
+    "join_cross" -> joinCrossOracle,
+    "join_theta_range" -> joinThetaRangeOracle,
+    "join_asof" -> joinAsofOracle,
+    "join_interval" -> joinIntervalOracle)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Scan / source / sink operators (SURVEY.md §2.B "Scans / sources / sinks").
+  *
+  * Scale posture: every query is a declarative parquet scan, so Catalyst
+  * pushes predicates into row-group skipping and prunes columns down to
+  * the ReadSchema. At 100 TB these same plans split by file/row-group with
+  * no code change; `export_manifest` models the reference's snapshot
+  * export (ExportSnapshot-style bulk copy → partitioned parquet write +
+  * read-back verification, SURVEY.md §2.A R2/R6).
+  */
+object Scans {
+
+  /** Projection + rename + computed column; exercises column pruning. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line"),
+        col("l_quantity").as("qty"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)")))
+          .cast("decimal(18,4)").as("disc_price"))
+      .orderBy("okey", "line")
+
+  val scanProjectOracle: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(18,4)) AS disc_price
+      |FROM lineitem ORDER BY okey, line""".stripMargin
+
+  /** TPC-H Q6-shaped filter; predicates reach the parquet reader
+    * (`PushedFilters` in explain) → row-group skip at scale. */
+  def scanFilterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanFilterPushdownOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** events read through the ns-loader (SURVEY.md §1.3): Spark 4 rejects
+    * TIMESTAMP(NANOS) parquet, so we read nanos as long and truncate to
+    * µs exactly as DuckDB's reader does. */
+  def scanEventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select("event_id", "ts", "event_type")
+      .orderBy("event_id")
+
+  val scanEventsNsOracle: String =
+    "SELECT event_id, ts, event_type FROM events ORDER BY event_id"
+
+  /** HBase-cell emulation (SURVEY.md §2.A R2): unpivot supplier to
+    * (rowkey, qualifier, value) long format via the stack() generator. */
+  def scanKvModel(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir)
+      .selectExpr(
+        "s_suppkey AS rowkey",
+        """stack(3,
+          |  'acctbal', cast(cast(s_acctbal as decimal(18,2)) as string),
+          |  'name', s_name,
+          |  'nationkey', cast(s_nationkey as string)) AS (qualifier, value)""".stripMargin)
+      .orderBy("rowkey", "qualifier")
+
+  val scanKvModelOracle: String =
+    """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value FROM supplier
+      |UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier
+      |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+      |ORDER BY rowkey, qualifier""".stripMargin
+
+  /** Snapshot-export emulation (SURVEY.md §2.A R2+R6): partitioned write
+    * to a scratch dir, read back, return the per-partition manifest. The
+    * read-back count doubles as copy verification. */
+  def exportManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/lineitem"
+    lineitem(spark, sfDir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dest)
+    spark.read.parquet(dest)
+      .groupBy(col("l_returnflag").cast("string").as("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val exportManifestOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project" -> (scanProject _),
+    "scan_filter_pushdown" -> (scanFilterPushdown _),
+    "scan_events_ns" -> (scanEventsNs _),
+    "scan_kv_model" -> (scanKvModel _),
+    "export_manifest" -> (exportManifest _))
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" -> scanProjectOracle,
+    "scan_filter_pushdown" -> scanFilterPushdownOracle,
+    "scan_events_ns" -> scanEventsNsOracle,
+    "scan_kv_model" -> scanKvModelOracle,
+    "export_manifest" -> exportManifestOracle)
+}

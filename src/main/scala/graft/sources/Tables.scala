@@ -55,4 +55,15 @@ object Tables {
     */
   def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c, 6)
+
+  /** TPC-H discounted price `extprice * (1 - discount)` as exact decimal —
+    * the canonical revenue expression; `revenueSqlFrag` is its DuckDB
+    * mirror. Summed then cast/ROUND(2) on both sides (SURVEY.md §5.4).
+    */
+  def discPrice: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)"))
+
+  val revenueSqlFrag: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
 }
