@@ -21,7 +21,9 @@ object SparkEntry {
       operators.Filters.queries ++
       operators.Joins.queries ++
       operators.Aggregations.queries ++
-      operators.SetOps.queries
+      operators.SetOps.queries ++
+      operators.Windows.queries ++
+      operators.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,7 @@ object SparkEntry {
       operators.Filters.oracle ++
       operators.Joins.oracle ++
       operators.Aggregations.oracle ++
-      operators.SetOps.oracle
+      operators.SetOps.oracle ++
+      operators.Windows.oracle ++
+      operators.Scalars.oracle
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Window-function operators (SURVEY.md §2.B "Window functions").
+  *
+  * Scale posture: each query is ONE shuffle on the partition key followed
+  * by a per-partition sort — no self-joins. Window order keys always end
+  * in a unique column so frames are total-ordered and deterministic.
+  * Money sums use decimal frames (associative, exact vs the oracle).
+  */
+object Windows {
+
+  /** Top-3 orders per customer by totalprice (rank-filter pattern). */
+  def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val winTopkPerGroupOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** rank / dense_rank / percent_rank over a tie-capable ordering, plus
+    * ntile(4) over a total ordering (ntile needs one to be stable). */
+  def winRankDenseNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTies = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    val wTotal = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        r6(percent_rank().over(wTies)).as("pct"),
+        ntile(4).over(wTotal).as("quartile"))
+      .orderBy("p_partkey")
+  }
+
+  val winRankDenseNtileOracle: String =
+    """SELECT p_partkey, p_brand, p_retailprice,
+      |  RANK() OVER w1 AS rnk, DENSE_RANK() OVER w1 AS drnk,
+      |  ROUND(PERCENT_RANK() OVER w1, 6) AS pct,
+      |  NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS quartile
+      |FROM part
+      |WINDOW w1 AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Per-user inter-event gap (lag) and next event type (lead). */
+  def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, sfDir)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  val winLagLeadOracle: String =
+    """SELECT event_id,
+      |  DATE_DIFF('microsecond', LAG(ts, 1) OVER w, ts) AS gap_us,
+      |  LEAD(event_type, 1) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running revenue per customer in order-date order. */
+  def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("decimal(18,2)").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winRunningSumOracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Per-user moving sum of event value over a trailing 1-hour RANGE
+    * frame keyed on integer epoch seconds (tie rows are frame peers, so
+    * the result is order-independent). */
+  def winMovingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    events(spark, sfDir)
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        sum(dec(col("value"))).over(w).cast("decimal(18,2)").as("moving_sum_1h"))
+      .orderBy("event_id")
+  }
+
+  val winMovingRangeOracle: String =
+    """SELECT event_id, user_id, sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum_1h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** first/last order date per customer alongside every row (full-extent
+    * frame). */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderdate")).over(w).as("first_date"),
+        last(col("o_orderdate")).over(w).as("last_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val winFirstLastOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  FIRST_VALUE(o_orderdate) OVER w AS first_date,
+      |  LAST_VALUE(o_orderdate) OVER w AS last_date
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_group" -> (winTopkPerGroup _),
+    "win_rank_dense_ntile" -> (winRankDenseNtile _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_moving_range" -> (winMovingRange _),
+    "win_first_last" -> (winFirstLast _))
+
+  val oracle: Map[String, String] = Map(
+    "win_topk_per_group" -> winTopkPerGroupOracle,
+    "win_rank_dense_ntile" -> winRankDenseNtileOracle,
+    "win_lag_lead" -> winLagLeadOracle,
+    "win_running_sum" -> winRunningSumOracle,
+    "win_moving_range" -> winMovingRangeOracle,
+    "win_first_last" -> winFirstLastOracle)
+}
