@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Aggregations.queries ++
       operators.SetOps.queries ++
       operators.Windows.queries ++
-      operators.Scalars.queries
+      operators.Scalars.queries ++
+      operators.TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.Aggregations.oracle ++
       operators.SetOps.oracle ++
       operators.Windows.oracle ++
-      operators.Scalars.oracle
+      operators.Scalars.oracle ++
+      operators.TimeSeries.oracle
 }
