@@ -24,7 +24,10 @@ object SparkEntry {
       operators.SetOps.queries ++
       operators.Windows.queries ++
       operators.Scalars.queries ++
-      operators.TimeSeries.queries
+      operators.TimeSeries.queries ++
+      operators.LlmDedup.queries ++
+      operators.LlmVector.queries ++
+      operators.LlmText.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +39,8 @@ object SparkEntry {
       operators.SetOps.oracle ++
       operators.Windows.oracle ++
       operators.Scalars.oracle ++
-      operators.TimeSeries.oracle
+      operators.TimeSeries.oracle ++
+      operators.LlmDedup.oracle ++
+      operators.LlmVector.oracle ++
+      operators.LlmText.oracle
 }

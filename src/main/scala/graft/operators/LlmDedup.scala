@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2.B "LLM-data-pipeline operators" + builder mandate).
+  *
+  * Scale posture — the whole point of this family:
+  *  - exact dedup is a hash groupBy: one shuffle on md5(text);
+  *  - exact-Jaccard near-dup is quadratic in docs sharing a shingle —
+  *    correct at test scale, but the 100 TB path is MinHash-LSH below;
+  *  - MinHash-LSH generates candidates with two EQUI-joins on band
+  *    hashes (never an OR/theta join), so candidate generation is
+  *    O(docs·bands) shuffled by band key, and the expensive exact
+  *    verify runs only on candidates;
+  *  - SimHash reduces each doc to a 16-bit signature in one groupBy —
+  *    pairs within small hamming distance can then be bucket-joined;
+  *  - embedding near-dup here is brute-force (the correctness oracle);
+  *    the ANN path for scale is `llm_ann_lsh` in LlmVector.
+  *
+  * Everything is hash-parity-safe: md5 hex strings are identical in
+  * Spark and DuckDB, and MIN over hex strings is a valid uniform
+  * min-hash, so even the sketches are oracle-checkable.
+  */
+object LlmDedup {
+
+  /** Distinct 3-gram token shingles per document. */
+  private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3)))")))
+        .as("sh"))
+
+  private[operators] val shinglesSql: String =
+    """SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] || ' ' || t[k+2] AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |     range(1, 10000) r(k)
+      |WHERE k + 2 <= len(t)""".stripMargin
+
+  /** Exact duplicate groups by content hash; keeps the smallest doc_id
+    * as the canonical representative. */
+  def llmDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  val llmDedupExactOracle: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Exact Jaccard near-duplicate pairs (3-gram shingles, J ≥ 0.8) via
+    * shingle-inverted-index self-join. Quadratic in per-shingle doc
+    * frequency — use llm_dedup_minhash at scale. */
+  def llmDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(n.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", r6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val llmDedupNearOracle: String =
+    s"""WITH sh AS ($shinglesSql),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN n na ON doc_a = na.doc_id
+       |JOIN n nb ON doc_b = nb.doc_id
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH near-dup: 8 hash seeds → 2 bands of 4; candidates
+    * from two equi-joins on band keys; exact Jaccard verified only on
+    * candidates (J ≥ 0.7). The min over md5(seed||shingle) hex strings
+    * is a uniform minwise hash available identically in both engines. */
+  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sig = sh
+      .withColumn("k", explode(expr("sequence(0, 7)")))
+      .withColumn("h", md5(concat(col("k").cast("string"), lit(":"), col("sh"))))
+      .groupBy("doc_id")
+      .agg(min(when(col("k") === 0, col("h"))).as("m0"),
+        (1 to 7).map(i => min(when(col("k") === i, col("h"))).as(s"m$i")): _*)
+      .withColumn("b0", md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))))
+      .withColumn("b1", md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))
+      .select("doc_id", "b0", "b1")
+    def bandPairs(band: String): DataFrame =
+      sig.as("x").join(sig.as("y"),
+          col(s"x.$band") === col(s"y.$band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .filter(col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", r6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val llmDedupMinhashOracle: String = {
+    val mins = (0 to 7).map(i =>
+      s"MIN(CASE WHEN k = $i THEN h END) AS m$i").mkString(",\n|    ")
+    s"""WITH sh AS ($shinglesSql),
+       |hashes AS (
+       |  SELECT doc_id, sh, k, md5(CAST(k AS VARCHAR) || ':' || sh) AS h
+       |  FROM sh CROSS JOIN range(0, 8) seeds(k)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, md5(m0 || m1 || m2 || m3) AS b0, md5(m4 || m5 || m6 || m7) AS b1 FROM sig),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id
+       |  FROM banded x JOIN banded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b AND a.sh = b.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+       |FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** 16-bit SimHash signature per document: per hex position of each
+    * token's md5, a weighted ±1 majority vote becomes one signature bit.
+    * Docs reduce to one row each — pairs within a hamming radius can
+    * then be joined on signature prefixes at scale. */
+  def llmDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("th", md5(col("token")))
+    val bitCols: Seq[Column] = (1 to 16).map { j =>
+      when(sum(when(substring(col("th"), j, 1) >= "8", 1).otherwise(-1)) >= 0, "1")
+        .otherwise("0")
+    }
+    tok.groupBy("doc_id")
+      .agg(concat(bitCols: _*).as("simhash16"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val llmDedupSimhashOracle: String = {
+    val bits = (1 to 16).map(j =>
+      s"CASE WHEN SUM(CASE WHEN substr(md5(token), $j, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END")
+      .mkString(" ||\n|    ")
+    s"""SELECT doc_id,
+       |    $bits AS simhash16,
+       |  COUNT(*) AS n_tokens
+       |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute force, cos ≥ 0.4) —
+    * the exact baseline that `llm_ann_lsh` approximates at scale. */
+  def llmDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        r6(expr(LlmVector.cosineExpr("a.embedding", "b.embedding"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val llmDedupEmbedOracle: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${LlmVector.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ROUND(${LlmVector.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (llmDedupExact _),
+    "llm_dedup_near" -> (llmDedupNear _),
+    "llm_dedup_minhash" -> (llmDedupMinhash _),
+    "llm_dedup_simhash" -> (llmDedupSimhash _),
+    "llm_dedup_embed" -> (llmDedupEmbed _))
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" -> llmDedupExactOracle,
+    "llm_dedup_near" -> llmDedupNearOracle,
+    "llm_dedup_minhash" -> llmDedupMinhashOracle,
+    "llm_dedup_simhash" -> llmDedupSimhashOracle,
+    "llm_dedup_embed" -> llmDedupEmbedOracle)
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §2.B "text" + builder mandate: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Every op is a single scan + (at most) one groupBy — per-document
+  * features are pure Catalyst expressions, so at 100 TB these run
+  * embarrassingly parallel with no shuffle except the final aggregate.
+  * All float math is integer-derived or ROUND(6)-stabilized.
+  */
+object LlmText {
+
+  /** Per-language corpus statistics. */
+  def llmTextStats(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        r6(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        r6(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  val llmTextStatsOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  SUM(n_tokens) AS sum_tokens,
+      |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+      |FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** TF-IDF: per (lang, term), score = ln(1+tf_lang)·ln(N/df); top-5
+    * terms per language. */
+  def llmTfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        r6(log(lit(1) + col("tf")) * log(col("n_total").cast("double") / col("df"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "term", "score", "rn")
+      .orderBy("lang", "rn")
+  }
+
+  val llmTfidfTopOracle: String =
+    """WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_total FROM documents)
+      |SELECT lang, term, score, rn FROM (
+      |  SELECT lang, term,
+      |    ROUND(LN(1 + tf) * LN(CAST(n_total AS DOUBLE) / df), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ROUND(LN(1 + tf) * LN(CAST(n_total AS DOUBLE) / df), 6) DESC, term ASC) AS rn
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  /** Top-50 bigram counts (with multiplicity) across the corpus. */
+  def llmNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2)))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(50)
+
+  val llmNgramsOracle: String =
+    """SELECT t[k] || ' ' || t[k+1] AS bigram, COUNT(*) AS cnt
+      |FROM (SELECT string_split(text, ' ') AS t FROM documents), range(1, 10000) r(k)
+      |WHERE k + 1 <= len(t)
+      |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin
+
+  /** Character-n-gram-heuristic language ID: the 'e'-frequency and mean
+    * token length thresholds are deterministic in both engines; accuracy
+    * is secondary to plumbing (synthetic corpus shares one vocabulary). */
+  def llmLangId(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("len_c", length(col("text")))
+      .withColumn("n_e", col("len_c") - length(regexp_replace(col("text"), "e", "")))
+      .withColumn("e_ratio", r6(col("n_e").cast("double") / col("len_c")))
+      .withColumn("pred_lang",
+        when(col("e_ratio") >= 0.10, "en")
+          .when(col("e_ratio") >= 0.08, "de")
+          .when(col("e_ratio") >= 0.06, "fr")
+          .when(col("e_ratio") >= 0.04, "es")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("e_ratio"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+
+  val llmLangIdOracle: String =
+    """SELECT doc_id, e_ratio, pred_lang, CAST(pred_lang = lang AS INT) AS correct FROM (
+      |  SELECT doc_id, lang, e_ratio,
+      |    CASE WHEN e_ratio >= 0.10 THEN 'en' WHEN e_ratio >= 0.08 THEN 'de'
+      |         WHEN e_ratio >= 0.06 THEN 'fr' WHEN e_ratio >= 0.04 THEN 'es'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM (SELECT doc_id, lang,
+      |          ROUND(CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+      |                / length(text), 6) AS e_ratio
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score from length, stopword ratio, and mean
+    * token length (the usual pre-training corpus filters). */
+  def llmQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")))
+      .withColumn("stop_ratio", r6(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("avg_tok_len",
+        r6((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
+      .withColumn("quality", r6(
+        lit(0.4) * least(col("n_tokens").cast("double") / 100, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("avg_tok_len") / 8, lit(1.0))))
+      .select("doc_id", "n_tokens", "stop_ratio", "avg_tok_len", "quality")
+      .orderBy("doc_id")
+
+  val llmQualityScoreOracle: String =
+    """SELECT doc_id, n_tokens, stop_ratio, avg_tok_len,
+      |  ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+      |      + 0.3 * (1.0 - stop_ratio)
+      |      + 0.3 * LEAST(avg_tok_len / 8, 1.0), 6) AS quality
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |    ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |    ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_tok_len
+      |  FROM (
+      |    SELECT doc_id, n_chars, len(t) AS n_tokens,
+      |      len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop
+      |    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Whitespace and BPE-ish-regex token counts. */
+  def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  val llmTokenCountOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+      |  length(text) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial content fingerprint, h = (31h + ascii) mod 1e9+7,
+    * folded per character in both engines. */
+  def llmFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+          |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+          |  cast(0 as bigint),
+          |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val llmFingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> (llmTextStats _),
+    "llm_tfidf_top" -> (llmTfidfTop _),
+    "llm_ngrams" -> (llmNgrams _),
+    "llm_lang_id" -> (llmLangId _),
+    "llm_quality_score" -> (llmQualityScore _),
+    "llm_token_count" -> (llmTokenCount _),
+    "llm_fingerprint" -> (llmFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "llm_text_stats" -> llmTextStatsOracle,
+    "llm_tfidf_top" -> llmTfidfTopOracle,
+    "llm_ngrams" -> llmNgramsOracle,
+    "llm_lang_id" -> llmLangIdOracle,
+    "llm_quality_score" -> llmQualityScoreOracle,
+    "llm_token_count" -> llmTokenCountOracle,
+    "llm_fingerprint" -> llmFingerprintOracle)
+}

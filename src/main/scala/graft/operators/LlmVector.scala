@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Vector-similarity operators over the embeddings table (SURVEY.md
+  * §2.B "similarity" + builder mandate: ANN over an embedding column).
+  *
+  * All vector math is pure Catalyst (`zip_with` + `aggregate` higher-
+  * order functions in explicit double precision) — codegen'd, no UDFs.
+  *
+  * Scale posture: `llm_sim_cosine_topk` is the exact brute-force
+  * baseline (broadcast the small query side; candidates never shuffle).
+  * `llm_ann_lsh` is the scale path: a deterministic sign-bit LSH bucket
+  * key turns ANN into an equi-join — at 100 TB the bucket key becomes
+  * the shuffle/bucketing key and each bucket is searched independently
+  * (IVF-style; more planes → smaller buckets).
+  */
+object LlmVector {
+
+  /** Double-precision cosine between two FLOAT[] columns, as a SQL
+    * expression string (Spark side). Folds left-to-right. */
+  def cosineExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
+       |    * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin
+
+  /** The DuckDB mirror of [[cosineExpr]] (list_zip structs are unnamed →
+    * numeric field access). */
+  def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Exact top-5 cosine neighbors for each query vector (vec_id < 10);
+    * the brute-force ANN baseline. Ranking is on the ROUNDED cosine with
+    * a vec_id tie-break so both engines cut the top-k identically. */
+  def llmSimCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        r6(expr(cosineExpr("q_emb", "embedding"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+
+  val llmSimCosineTopkOracle: String =
+    s"""SELECT q_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 10))
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** LSH-bucketed approximate nearest neighbors: bucket key = sign bits
+    * of the first 8 dimensions (deterministic hyperplanes), candidates
+    * restricted to the query's bucket → plain equi-join, top-3 within
+    * bucket. */
+  def llmAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketExpr = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        r6(expr(cosineExpr("q_emb", "embedding"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  val llmAnnLshOracle: String = {
+    val bucketSql = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+       |SELECT q_id, neighbor_id, bucket, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, bucket, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.bucket,
+       |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |    FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 50))
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Centroid classification: per-label mean vector from the training
+    * slice (vec_id ≥ 20), held-out vectors (vec_id < 20) assigned to the
+    * nearest centroid by squared L2. Centroids and distances are
+    * ROUND(6)-stabilized so avg order cannot flip the argmin. */
+  def llmKnnCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = ex.filter(col("vec_id") >= 20)
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(r6(avg(col("v"))).as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
+    ex.filter(col("vec_id") < 20)
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_label")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("pred_label"), col("dist2"))
+      .orderBy("vec_id")
+  }
+
+  val llmKnnCentroidOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+      |cent AS (
+      |  SELECT label AS c_label, pos, ROUND(AVG(v), 6) AS c
+      |  FROM ex WHERE vec_id >= 20 GROUP BY label, pos),
+      |dists AS (
+      |  SELECT ex.vec_id, cent.c_label, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
+      |  FROM ex JOIN cent USING (pos)
+      |  WHERE ex.vec_id < 20
+      |  GROUP BY ex.vec_id, cent.c_label)
+      |SELECT vec_id, c_label AS pred_label, dist2 FROM (
+      |  SELECT vec_id, c_label, dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, c_label ASC) AS rn
+      |  FROM dists)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
+    "llm_ann_lsh" -> (llmAnnLsh _),
+    "llm_knn_centroid" -> (llmKnnCentroid _))
+
+  val oracle: Map[String, String] = Map(
+    "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
+    "llm_ann_lsh" -> llmAnnLshOracle,
+    "llm_knn_centroid" -> llmKnnCentroidOracle)
+}
