@@ -27,7 +27,8 @@ object SparkEntry {
       operators.TimeSeries.queries ++
       operators.LlmDedup.queries ++
       operators.LlmVector.queries ++
-      operators.LlmText.queries
+      operators.LlmText.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.TimeSeries.oracle ++
       operators.LlmDedup.oracle ++
       operators.LlmVector.oracle ++
-      operators.LlmText.oracle
+      operators.LlmText.oracle ++
+      operators.Multimodal.oracle
 }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Multimodal-column operators (builder mandate: image/audio/video as
+  * opaque binary columns with typed metadata).
+  *
+  * The container has no media codecs, so the DECODE step is a clearly
+  * marked deterministic stub ([[MediaCodecStub]]) — but the Spark-side
+  * plumbing is real and tested: a typed `Dataset[MediaIn]` feeding
+  * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
+  * partition = one batch per task, decoder state amortized across the
+  * partition), binary payload columns, and a flatMap frame extractor.
+  *
+  * Scale posture: decode is embarrassingly parallel over partitions —
+  * no shuffle at all; at 100 TB the only knob is input split size
+  * (`spark.sql.files.maxPartitionBytes`) and the stub swap-in of a real
+  * codec. Because the stub derives metadata arithmetically from the
+  * payload bytes, every key still has an exact DuckDB oracle.
+  */
+object Multimodal {
+
+  /** Opaque media record: what a real pipeline would read from a blob
+    * store. Payload here is the UTF-8 bytes of the document text. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+
+  case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** ??? -- REAL CODEC GOES HERE. Deterministic fake decode in lieu of
+    * image/audio libs (not in this container): metadata is pure
+    * arithmetic over payload bytes, so the oracle can mirror it. */
+  object MediaCodecStub {
+    def decode(m: MediaIn): MediaMeta = {
+      val n = m.payload.length
+      val b0 = m.payload(0) & 0xff
+      val b1 = (if (n > 1) m.payload(1) else m.payload(0)) & 0xff
+      MediaMeta(m.doc_id, n,
+        format = (n % 3) match { case 0 => "img"; case 1 => "audio"; case _ => "video" },
+        width = (b0 % 64) * 16 + 64,
+        height = (b1 % 64) * 9 + 36,
+        n_frames = n % 30 + 1)
+    }
+
+    /** Frame extraction stub: 64-byte chunks, every 4th kept. */
+    def sampleFrames(m: MediaIn): Iterator[MediaFrame] = {
+      val full = m.payload.length / 64
+      Iterator.range(0, full).filter(_ % 4 == 0).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.util.Arrays.copyOfRange(m.payload, i * 64, (i + 1) * 64))
+        MediaFrame(m.doc_id, i, md.map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  private def mediaIn(spark: SparkSession, sfDir: String): Dataset[MediaIn] = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+  }
+
+  /** Binary payload → typed metadata via per-partition batch decode. */
+  def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .mapPartitions(_.map(MediaCodecStub.decode))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeMetaOracle: String =
+    """SELECT doc_id, length(text) AS n_bytes,
+      |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+      |  (ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS width,
+      |  (ascii(substr(text, CASE WHEN length(text) > 1 THEN 2 ELSE 1 END, 1)) % 64) * 9 + 36 AS height,
+      |  length(text) % 30 + 1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stub resize: cap width at 256, scale height by the same integer
+    * ratio (integer math ⇒ exact oracle parity). */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .mapPartitions(_.map { m =>
+        val meta = MediaCodecStub.decode(m)
+        val (ow, oh) =
+          if (meta.width > 256) (256, meta.height * 256 / meta.width)
+          else (meta.width, meta.height)
+        (meta.doc_id, meta.width, meta.height, ow, oh)
+      })
+      .toDF("doc_id", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id")
+  }
+
+  val mmResizeOracle: String =
+    """SELECT doc_id, width, height,
+      |  CASE WHEN width > 256 THEN 256 ELSE width END AS out_w,
+      |  CASE WHEN width > 256 THEN height * 256 // width ELSE height END AS out_h
+      |FROM (
+      |  SELECT doc_id,
+      |    (ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS width,
+      |    (ascii(substr(text, CASE WHEN length(text) > 1 THEN 2 ELSE 1 END, 1)) % 64) * 9 + 36 AS height
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stub feature extraction: 8-bin byte histogram, normalized. */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .mapPartitions(_.map { m =>
+        val bins = new Array[Int](8)
+        m.payload.foreach(b => bins((b & 0xff) % 8) += 1)
+        val n = m.payload.length.toDouble
+        (m.doc_id, bins(0) / n, bins(1) / n, bins(2) / n, bins(3) / n,
+          bins(4) / n, bins(5) / n, bins(6) / n, bins(7) / n)
+      })
+      .toDF("doc_id", "r0", "r1", "r2", "r3", "r4", "r5", "r6_", "r7")
+      .select(col("doc_id") +: (Seq("r0", "r1", "r2", "r3", "r4", "r5", "r6_", "r7")
+        .map(c => r6(col(c)).as(c))): _*)
+      .orderBy("doc_id")
+  }
+
+  val mmFeaturesOracle: String = {
+    val bins = (0 to 7).map { j =>
+      val name = if (j == 6) "r6_" else s"r$j"
+      s"ROUND(CAST(len(list_filter(codes, c -> c % 8 = $j)) AS DOUBLE) / len(codes), 6) AS $name"
+    }.mkString(",\n|  ")
+    s"""SELECT doc_id,
+       |  $bins
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Frame sampling: flatMap — one input row explodes to the sampled
+    * frame rows (typed generator shape). */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .flatMap(MediaCodecStub.sampleFrames)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFrameSampleOracle: String =
+    """SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+      |  md5(substr(text, CAST(idx * 64 + 1 AS INT), 64)) AS frame_md5
+      |FROM (SELECT doc_id, text FROM documents), range(0, 100) r(idx)
+      |WHERE (idx + 1) * 64 <= length(text) AND idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_resize" -> (mmResize _),
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" -> mmDecodeMetaOracle,
+    "mm_resize" -> mmResizeOracle,
+    "mm_features" -> mmFeaturesOracle,
+    "mm_frame_sample" -> mmFrameSampleOracle)
+}
