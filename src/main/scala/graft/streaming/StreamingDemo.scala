@@ -96,6 +96,26 @@ object StreamingDemo {
           "stream_dedup", "append")
         val b = batch.select("event_id").distinct()
         (s, b)
+      }),
+      ("map_groups_with_state_counts", {
+        // Custom keyed state (KeyValueGroupedDataset.mapGroupsWithState):
+        // per-user running event count; the final state must equal the
+        // batch groupBy count.
+        import spark.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val counted = stream.select(col("user_id")).as[Long]
+          .groupByKey(identity)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              val n = state.getOption.getOrElse(0L) + rows.size
+              state.update(n)
+              (user, n)
+          }
+          .toDF("user_id", "n")
+        val s = runToMemory(counted, "stream_state_counts", "update")
+          .groupBy("user_id").agg(max(col("n")).as("n")) // last update per user
+        val b = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
+        (s, b)
       }))
 
     checks.flatMap { case (name, (s, b)) =>

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.operators.WeightedAvgAgg
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** ScalaCheck properties for the pure (non-Spark) kernels — the pieces
+  * whose algebra the distributed correctness depends on (SURVEY.md
+  * §5.3): the UDAF buffer must be a commutative monoid (or partial
+  * aggregation order would change results), and float_dot must agree
+  * with a reference fold for any input.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val smallDouble = Gen.chooseNum(-1e6, 1e6).map(d => math.rint(d * 100) / 100)
+  private val pq = Gen.zip(smallDouble, Gen.chooseNum(0.0, 50.0).map(math.rint))
+  private val pqs = Gen.listOfN(20, pq)
+
+  private def reduceAll(xs: List[(Double, Double)]) =
+    xs.foldLeft(WeightedAvgAgg.zero)(WeightedAvgAgg.reduce)
+
+  property("udaf merge is commutative") = Prop.forAll(pqs, pqs) { (xs, ys) =>
+    WeightedAvgAgg.merge(reduceAll(xs), reduceAll(ys)) ==
+      WeightedAvgAgg.merge(reduceAll(ys), reduceAll(xs))
+  }
+
+  property("udaf merge is associative") = Prop.forAll(pqs, pqs, pqs) { (xs, ys, zs) =>
+    val (a, b, c) = (reduceAll(xs), reduceAll(ys), reduceAll(zs))
+    WeightedAvgAgg.merge(WeightedAvgAgg.merge(a, b), c) ==
+      WeightedAvgAgg.merge(a, WeightedAvgAgg.merge(b, c))
+  }
+
+  property("udaf partition split never changes the buffer") = Prop.forAll(pqs, Gen.chooseNum(0, 20)) { (xs, cut) =>
+    val (l, r) = xs.splitAt(cut)
+    WeightedAvgAgg.merge(reduceAll(l), reduceAll(r)) == reduceAll(xs)
+  }
+
+  private val floatArr = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+
+  private def evalDot(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.FloatDot(
+      Literal(ArrayData.toArrayData(a), ArrayType(FloatType)),
+      Literal(ArrayData.toArrayData(b), ArrayType(FloatType))).eval(null)
+      .asInstanceOf[Double]
+
+  property("float_dot matches reference fold") = Prop.forAll(floatArr, floatArr) { (a, b) =>
+    val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    evalDot(a, b) == ref
+  }
+
+  property("float_dot is commutative and psd on the diagonal") = Prop.forAll(floatArr, floatArr) { (a, b) =>
+    evalDot(a, b) == evalDot(b, a) && evalDot(a, a) >= 0.0
+  }
+}
