@@ -15,26 +15,29 @@ import graft.sources.Tables._
   */
 object LlmText {
 
-  /** Per-language corpus statistics. */
+  /** Per-language corpus statistics. Averages are exact integer
+    * micro-units (1e6·sum DIV count): float ROUND differs between
+    * engines when a quotient's shortest repr lands exactly on a …5
+    * boundary, integer division never does (SURVEY.md §5.4). */
   def llmTextStats(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        r6(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        r6(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("avg_chars_e6", expr("(1000000 * sum_chars) div n_docs"))
+      .withColumn("avg_tokens_e6", expr("(1000000 * sum_tokens) div n_docs"))
       .orderBy("lang")
 
   val llmTextStatsOracle: String =
     """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
       |  SUM(n_tokens) AS sum_tokens,
-      |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+      |  (1000000 * SUM(n_chars)) // COUNT(*) AS avg_chars_e6,
+      |  (1000000 * SUM(n_tokens)) // COUNT(*) AS avg_tokens_e6
       |FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -97,59 +100,61 @@ object LlmText {
     documents(spark, sfDir)
       .withColumn("len_c", length(col("text")))
       .withColumn("n_e", col("len_c") - length(regexp_replace(col("text"), "e", "")))
-      .withColumn("e_ratio", r6(col("n_e").cast("double") / col("len_c")))
+      .withColumn("e_ratio_e6", expr("(1000000 * cast(n_e as bigint)) div len_c"))
       .withColumn("pred_lang",
-        when(col("e_ratio") >= 0.10, "en")
-          .when(col("e_ratio") >= 0.08, "de")
-          .when(col("e_ratio") >= 0.06, "fr")
-          .when(col("e_ratio") >= 0.04, "es")
+        when(col("e_ratio_e6") >= 100000, "en")
+          .when(col("e_ratio_e6") >= 80000, "de")
+          .when(col("e_ratio_e6") >= 60000, "fr")
+          .when(col("e_ratio_e6") >= 40000, "es")
           .otherwise("zh"))
-      .select(col("doc_id"), col("e_ratio"), col("pred_lang"),
+      .select(col("doc_id"), col("e_ratio_e6"), col("pred_lang"),
         (col("pred_lang") === col("lang")).cast("int").as("correct"))
       .orderBy("doc_id")
 
   val llmLangIdOracle: String =
-    """SELECT doc_id, e_ratio, pred_lang, CAST(pred_lang = lang AS INT) AS correct FROM (
-      |  SELECT doc_id, lang, e_ratio,
-      |    CASE WHEN e_ratio >= 0.10 THEN 'en' WHEN e_ratio >= 0.08 THEN 'de'
-      |         WHEN e_ratio >= 0.06 THEN 'fr' WHEN e_ratio >= 0.04 THEN 'es'
+    """SELECT doc_id, e_ratio_e6, pred_lang, CAST(pred_lang = lang AS INT) AS correct FROM (
+      |  SELECT doc_id, lang, e_ratio_e6,
+      |    CASE WHEN e_ratio_e6 >= 100000 THEN 'en' WHEN e_ratio_e6 >= 80000 THEN 'de'
+      |         WHEN e_ratio_e6 >= 60000 THEN 'fr' WHEN e_ratio_e6 >= 40000 THEN 'es'
       |         ELSE 'zh' END AS pred_lang
       |  FROM (SELECT doc_id, lang,
-      |          ROUND(CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
-      |                / length(text), 6) AS e_ratio
+      |          (1000000 * CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT))
+      |            // length(text) AS e_ratio_e6
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
   /** Heuristic quality score from length, stopword ratio, and mean
     * token length (the usual pre-training corpus filters). */
+  /** quality = 0.4·min(n_tokens/100,1) + 0.3·(1−stop_ratio)
+    *          + 0.3·min(avg_tok_len/8,1), computed entirely in exact
+    * integer micro-units — float ROUND on composites like this is what
+    * produced the one cross-engine 1-ulp mismatch this round. */
   def llmQualityScore(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .withColumn("t", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("t")))
-      .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")))
-      .withColumn("stop_ratio", r6(col("n_stop").cast("double") / col("n_tokens")))
-      .withColumn("avg_tok_len",
-        r6((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
-      .withColumn("quality", r6(
-        lit(0.4) * least(col("n_tokens").cast("double") / 100, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.3) * least(col("avg_tok_len") / 8, lit(1.0))))
-      .select("doc_id", "n_tokens", "stop_ratio", "avg_tok_len", "quality")
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("bigint"))
+      .withColumn("stop_ratio_e6", expr("(1000000 * n_stop) div n_tokens"))
+      .withColumn("avg_tok_len_e6",
+        expr("(1000000 * (n_chars - (n_tokens - 1))) div n_tokens"))
+      .withColumn("quality_e6",
+        least(col("n_tokens"), lit(100L)) * 4000 +
+          expr("(300000 * (n_tokens - n_stop)) div n_tokens") +
+          least(expr("(300000 * (n_chars - (n_tokens - 1))) div (8 * n_tokens)"), lit(300000L)))
+      .select("doc_id", "n_tokens", "stop_ratio_e6", "avg_tok_len_e6", "quality_e6")
       .orderBy("doc_id")
 
   val llmQualityScoreOracle: String =
-    """SELECT doc_id, n_tokens, stop_ratio, avg_tok_len,
-      |  ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
-      |      + 0.3 * (1.0 - stop_ratio)
-      |      + 0.3 * LEAST(avg_tok_len / 8, 1.0), 6) AS quality
+    """SELECT doc_id, n_tokens,
+      |  (1000000 * n_stop) // n_tokens AS stop_ratio_e6,
+      |  (1000000 * (n_chars - (n_tokens - 1))) // n_tokens AS avg_tok_len_e6,
+      |  LEAST(n_tokens, 100) * 4000
+      |    + (300000 * (n_tokens - n_stop)) // n_tokens
+      |    + LEAST((300000 * (n_chars - (n_tokens - 1))) // (8 * n_tokens), 300000) AS quality_e6
       |FROM (
-      |  SELECT doc_id, n_tokens,
-      |    ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-      |    ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_tok_len
-      |  FROM (
-      |    SELECT doc_id, n_chars, len(t) AS n_tokens,
-      |      len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop
-      |    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)))
+      |  SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))
       |ORDER BY doc_id""".stripMargin
 
   /** Whitespace and BPE-ish-regex token counts. */
