@@ -28,7 +28,8 @@ object SparkEntry {
       operators.LlmDedup.queries ++
       operators.LlmVector.queries ++
       operators.LlmText.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.LlmDedup.oracle ++
       operators.LlmVector.oracle ++
       operators.LlmText.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.Sources.oracle
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Source/sink format breadth beyond parquet (SURVEY.md §2.A R2/R3:
+  * the reference's whole job is moving data between storage systems —
+  * here modeled as format roundtrips with read-back verification) plus
+  * the pivot/bucketing relational surfaces.
+  *
+  * Scale posture: CSV/JSON are line-splittable so reads parallelize per
+  * split; the bucketed write is the SCALE.md primitive that removes the
+  * shuffle from repeated fact⋈fact joins (bucket count becomes the
+  * parallelism unit).
+  */
+object Sources {
+
+  private def scratch(sfDir: String, name: String): String =
+    s"/tmp/graft_export/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** Parquet → CSV (header) → read back with explicit schema; returns
+    * the read-back rows so the oracle checks full fidelity. */
+  def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "nation_csv")
+    nation(spark, sfDir).write.mode("overwrite").option("header", "true").csv(dest)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(dest)
+      .orderBy("n_nationkey")
+  }
+
+  val sourceCsvRoundtripOracle: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** Parquet → JSON lines → read back with explicit schema. Money is
+    * decimal-cast before serialization so the JSON text is exact. */
+  def sourceJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "supplier_json")
+    supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        dec(col("s_acctbal")).as("s_acctbal"))
+      .write.mode("overwrite").json(dest)
+    spark.read
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DECIMAL(18,2)")
+      .json(dest)
+      .orderBy("s_suppkey")
+  }
+
+  val sourceJsonRoundtripOracle: String =
+    """SELECT s_suppkey, s_name, s_nationkey,
+      |  CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** PIVOT: order counts per priority × status (explicit value list so
+    * the output schema is static). */
+  def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val pivotStatusByPriorityOracle: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed parquet table write (8 buckets on the join key) +
+    * read-back aggregate — the no-shuffle-join building block from
+    * SCALE.md. The oracle checks the aggregate against the source. */
+  def exportBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = "graft_lineitem_bucketed"
+    lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", scratch(sfDir, "lineitem_bucketed"))
+      .saveAsTable(table)
+    spark.table(table)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val exportBucketedOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "pivot_status_by_priority" -> (pivotStatusByPriority _),
+    "export_bucketed" -> (exportBucketed _))
+
+  val oracle: Map[String, String] = Map(
+    "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
+    "source_json_roundtrip" -> sourceJsonRoundtripOracle,
+    "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
+    "export_bucketed" -> exportBucketedOracle)
+}
