@@ -59,6 +59,10 @@ object LlmDedup {
   def llmDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // NOTE: on real corpora, prefiltering shingles with document
+    // frequency 1 (can't form pairs) shrinks this join's input; measured
+    // here it LOSES (~40-word synthetic vocab ⇒ every shingle is shared,
+    // the filter is a pure extra pass) — see SCALE.md.
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
