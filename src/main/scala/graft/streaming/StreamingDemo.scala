@@ -48,16 +48,16 @@ object StreamingDemo {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
 
-    // The file stream source requires a directory: stage the single
-    // parquet file into a scratch dir (one file = one micro-batch).
-    val stageDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
-    java.nio.file.Files.createDirectories(stageDir)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stageDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The file stream source requires a directory: stage the events as
+    // TWO parquet files and feed them one per trigger, so stateful
+    // operators genuinely carry state across micro-batches.
+    val stageDir = s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    spark.read.parquet(path).repartition(2)
+      .write.mode("overwrite").parquet(stageDir)
 
-    def stream: DataFrame = spark.readStream.schema(schema).parquet(stageDir.toString)
+    def stream: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val batch = graft.sources.Tables.events(spark, sfDir)
 
@@ -115,6 +115,29 @@ object StreamingDemo {
         val s = runToMemory(counted, "stream_state_counts", "update")
           .groupBy("user_id").agg(max(col("n")).as("n")) // last update per user
         val b = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
+        (s, b)
+      }),
+      ("flat_map_groups_with_state_milestones", {
+        // flatMapGroupsWithState (0..n output rows per invocation): emit
+        // a milestone row each time a user's running event count crosses
+        // a multiple of 10; the set of milestones must equal the batch
+        // computation floor(count/10) per user.
+        import spark.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val milestones = stream.select(col("user_id")).as[Long]
+          .groupByKey(identity)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              val before = state.getOption.getOrElse(0L)
+              val after = before + rows.size
+              state.update(after)
+              ((before / 10 + 1) to (after / 10)).map(m => (user, m * 10)).iterator
+          }
+          .toDF("user_id", "milestone")
+        val s = runToMemory(milestones, "stream_milestones", "append")
+        val b = batch.groupBy("user_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 10) // sequence(1, 0) would descend
+          .select(col("user_id"), explode(expr("transform(sequence(1, cast(n div 10 as int)), i -> i * 10L)")).as("milestone"))
         (s, b)
       }))
 
