@@ -210,7 +210,29 @@ object Aggregations {
       |        / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles (linear interpolation) per group; the sketch
+    * variant at scale is approx_percentile (like agg_approx_hll,
+    * engine-specific → this exact form is the oracle-checked one). */
+  def aggPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        r6(element_at(col("pcts"), 1)).as("p50"),
+        r6(element_at(col("pcts"), 2)).as("p90"),
+        col("n"))
+      .orderBy("o_orderstatus")
+
+  val aggPercentilesOracle: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> (aggPercentiles _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "agg_global" -> (aggGlobal _),
     "agg_having" -> (aggHaving _),
@@ -223,6 +245,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_percentiles" -> aggPercentilesOracle,
     "agg_pricing_summary" -> aggPricingSummaryOracle,
     "agg_global" -> aggGlobalOracle,
     "agg_having" -> aggHavingOracle,

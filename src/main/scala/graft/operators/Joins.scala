@@ -200,7 +200,33 @@ object Joins {
       |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
+  /** Skew-mitigation recipe as an operator: the probe side gets a
+    * deterministic salt, the build side is replicated across all salts,
+    * and the join key becomes (key, salt) — a hot key's rows spread
+    * over SALTS reducers instead of one. Result is identical to the
+    * plain join (oracle = unsalted SQL); AQE's skew-join split does
+    * this adaptively, salting is the static/guaranteed variant. */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val SALTS = 4
+    val li = lineitem(spark, sfDir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SALTS)))
+    val o = orders(spark, sfDir)
+      .withColumn("salt", explode(expr(s"sequence(0, ${SALTS - 1})")))
+    li.join(o, col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinSkewSaltedOracle: String =
+    s"""SELECT o_orderpriority, ROUND(SUM($revenueSqlFrag), 2) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle_large" -> (joinShuffleLarge _),
     "join_star_5way" -> (joinStar5way _),
@@ -214,6 +240,7 @@ object Joins {
     "join_interval" -> (joinInterval _))
 
   val oracle: Map[String, String] = Map(
+    "join_skew_salted" -> joinSkewSaltedOracle,
     "join_broadcast" -> joinBroadcastOracle,
     "join_shuffle_large" -> joinShuffleLargeOracle,
     "join_star_5way" -> joinStar5wayOracle,
