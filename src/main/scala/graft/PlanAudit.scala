@@ -14,7 +14,8 @@ object PlanAudit {
     "FileScan", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "HashAggregate",
     "ObjectHashAggregate", "SortAggregate", "Exchange", "TakeOrderedAndProject",
-    "WindowExec", "Window ", "Expand", "Generate", "MapPartitions")
+    "WindowExec", "Window ", "WindowGroupLimit", "Expand", "Generate",
+    "MapPartitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
