@@ -187,7 +187,52 @@ object Scalars {
       |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin
 
+  /** MapType surface: build a map, probe it (element_at/size), and
+    * explode it back to rows (row output keeps the oracle engine-
+    * agnostic — map render formats differ between engines). */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .withColumn("m", map(
+        lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority")))
+      .select(col("o_orderkey"),
+        explode(col("m")).as(Seq("k", "v")),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "status").as("status_via_map"))
+      .select("o_orderkey", "k", "v", "n_keys", "status_via_map")
+      .orderBy("o_orderkey", "k")
+
+  val mapFuncsOracle: String =
+    """SELECT o_orderkey, k, v, 2 AS n_keys, o_orderstatus AS status_via_map FROM (
+      |  SELECT o_orderkey, o_orderstatus, 'status' AS k, o_orderstatus AS v FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, 'priority', o_orderpriority FROM orders)
+      |ORDER BY o_orderkey, k""".stripMargin
+
+  /** Nested StructType surface: build nested structs, access dotted
+    * fields, and serialize a flat struct to JSON text. */
+  def structFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .withColumn("rec", struct(
+        col("l_orderkey").as("okey"),
+        struct(col("l_quantity").as("qty"), col("l_extendedprice").as("price")).as("amounts")))
+      .select(
+        col("rec.okey").as("okey"),
+        col("l_linenumber").as("line"),
+        col("rec.amounts.qty").as("qty"),
+        col("rec.amounts.price").as("price"),
+        to_json(struct(col("l_orderkey").as("okey"), col("l_returnflag").as("flag"))).as("js"))
+      .orderBy("okey", "line")
+
+  val structFuncsOracle: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+      |  l_extendedprice AS price,
+      |  '{"okey":' || l_orderkey || ',"flag":"' || l_returnflag || '"}' AS js
+      |FROM lineitem ORDER BY okey, line""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_funcs" -> (mapFuncs _),
+    "struct_funcs" -> (structFuncs _),
     "str_funcs" -> (strFuncs _),
     "str_regexp" -> (strRegexp _),
     "date_funcs" -> (dateFuncs _),
@@ -198,6 +243,8 @@ object Scalars {
     "str_split_explode" -> (strSplitExplode _))
 
   val oracle: Map[String, String] = Map(
+    "map_funcs" -> mapFuncsOracle,
+    "struct_funcs" -> structFuncsOracle,
     "str_funcs" -> strFuncsOracle,
     "str_regexp" -> strRegexpOracle,
     "date_funcs" -> dateFuncsOracle,
