@@ -92,6 +92,42 @@ object LlmDedup {
        |WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style, Xiao et al.): for
+    * J ≥ t, two docs must share at least one of the first
+    * ⌊(1−t)·n⌋+1 shingles under any fixed total order — so only that
+    * prefix is indexed for candidate generation, and the exact
+    * intersection runs on candidates only. Result is IDENTICAL to
+    * `llm_dedup_near` (same oracle); this is the exact-dedup scale path
+    * when MinHash's approximation is not acceptable. */
+  def llmDedupNearPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    val sh = shingles(spark, sfDir)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val ranked = sh.join(n, Seq("doc_id"))
+      .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
+    val prefix = ranked
+      .filter(col("w") <= floor((lit(1.0) - t) * col("n_sh")) + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .filter(col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", r6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash + LSH near-dup: 8 hash seeds → 2 bands of 4; candidates
     * from two equi-joins on band keys; exact Jaccard verified only on
     * candidates (J ≥ 0.7). The min over md5(seed||shingle) hex strings
@@ -217,6 +253,7 @@ object LlmDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (llmDedupExact _),
     "llm_dedup_near" -> (llmDedupNear _),
+    "llm_dedup_near_prefix" -> (llmDedupNearPrefix _),
     "llm_dedup_minhash" -> (llmDedupMinhash _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_embed" -> (llmDedupEmbed _))
@@ -224,6 +261,7 @@ object LlmDedup {
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" -> llmDedupExactOracle,
     "llm_dedup_near" -> llmDedupNearOracle,
+    "llm_dedup_near_prefix" -> llmDedupNearOracle, // identical result by construction
     "llm_dedup_minhash" -> llmDedupMinhashOracle,
     "llm_dedup_simhash" -> llmDedupSimhashOracle,
     "llm_dedup_embed" -> llmDedupEmbedOracle)

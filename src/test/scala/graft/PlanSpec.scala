@@ -1,0 +1,51 @@
+package graft
+
+/** Structural plan assertions: the perf-critical physical-plan shapes
+  * that SCALE.md promises must actually appear. Guards against silent
+  * plan regressions (a lost broadcast hint, a filter that stops
+  * reaching the scan) that correctness checks can't see.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("scan_filter_pushdown pushes all predicates into the parquet reader") {
+    val p = plan("scan_filter_pushdown")
+    // (plan toString elides long filter lists with "..." — assert on the
+    // stable prefix only)
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in:\n" + p.take(800))
+  }
+
+  test("scan_project prunes to only the referenced columns") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_returnflag"), "unreferenced column not pruned")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("join_star_5way").contains("BroadcastHashJoin"))
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("sort_multikey_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("rank-filter top-k plans with partial WindowGroupLimit") {
+    val p = plan("win_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), "WindowGroupLimit missing:\n" + p.take(800))
+    assert(p.contains("Partial"), "partial (pre-shuffle) group limit missing")
+  }
+
+  test("aggregations are two-phase (partial + final HashAggregate)") {
+    val p = plan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("no plan contains a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { k =>
+      assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")
+    }
+  }
+}
