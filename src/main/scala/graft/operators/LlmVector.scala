@@ -143,13 +143,83 @@ object LlmVector {
       |  FROM dists)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** IVF-style ANN: the label centroids act as the coarse quantizer —
+    * every vector is assigned to its nearest centroid (inverted cells),
+    * and a query searches only its own cell. At 100 TB the cell id is
+    * the partition/bucketing key, so a query touches one partition;
+    * more cells (a real k-means) shrink each list. Deterministic here
+    * because the quantizer is the (r6-stabilized) label-centroid set. */
+  def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(r6(avg(col("v").cast("double"))).as("c"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_label").asc)
+    val cells = ex.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_label")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  val llmAnnIvfOracle: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+       |cent AS (
+       |  SELECT label AS c_label, pos, ROUND(AVG(v), 6) AS c
+       |  FROM ex GROUP BY label, pos),
+       |dists AS (
+       |  SELECT ex.vec_id, cent.c_label, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
+       |  FROM ex JOIN cent USING (pos)
+       |  GROUP BY ex.vec_id, cent.c_label),
+       |cells AS (
+       |  SELECT vec_id, c_label AS cell FROM (
+       |    SELECT vec_id, c_label, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_label ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |e AS (
+       |  SELECT emb.vec_id, emb.embedding, cells.cell
+       |  FROM embeddings emb JOIN cells ON emb.vec_id = cells.vec_id)
+       |SELECT q_id, neighbor_id, cell, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, cell, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.cell,
+       |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |    FROM e q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 30))
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
     "llm_ann_lsh" -> (llmAnnLsh _),
+    "llm_ann_ivf" -> (llmAnnIvf _),
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
     "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
     "llm_ann_lsh" -> llmAnnLshOracle,
+    "llm_ann_ivf" -> llmAnnIvfOracle,
     "llm_knn_centroid" -> llmKnnCentroidOracle)
 }
