@@ -193,7 +193,63 @@ object LlmText {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation pipeline — the composite the individual
+    * operators exist for: exact-dedup (keep min doc_id per content
+    * hash) → drop the higher id of every near-dup pair (J ≥ 0.9) →
+    * quality gate (integer micro-units ≥ 0.6) → curated corpus.
+    * One Catalyst plan; each stage is an independently-verified key. */
+  def llmCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDrops = LlmDedup.llmDedupNear(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("bigint"))
+      .withColumn("quality_e6",
+        least(col("n_tokens"), lit(100L)) * 4000 +
+          expr("(300000 * (n_tokens - n_stop)) div n_tokens") +
+          least(expr("(300000 * (n_chars - (n_tokens - 1))) div (8 * n_tokens)"), lit(300000L)))
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .filter(col("quality_e6") >= 600000)
+      .select("doc_id", "lang", "n_chars", "quality_e6")
+      .orderBy("doc_id")
+  }
+
+  val llmCurationOracle: String =
+    s"""WITH sh AS (${LlmDedup.shinglesSql}),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near_drops AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM inter
+       |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+       |  WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.9),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |scored AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    LEAST(n_tokens, 100) * 4000
+       |      + (300000 * (n_tokens - n_stop)) // n_tokens
+       |      + LEAST((300000 * (n_chars - (n_tokens - 1))) // (8 * n_tokens), 300000) AS quality_e6
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+       |    FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents)))
+       |SELECT doc_id, lang, n_chars, quality_e6 FROM scored
+       |WHERE doc_id IN (SELECT doc_id FROM keep)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_drops)
+       |  AND quality_e6 >= 600000
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_curation" -> (llmCuration _),
     "llm_text_stats" -> (llmTextStats _),
     "llm_tfidf_top" -> (llmTfidfTop _),
     "llm_ngrams" -> (llmNgrams _),
@@ -203,6 +259,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_curation" -> llmCurationOracle,
     "llm_text_stats" -> llmTextStatsOracle,
     "llm_tfidf_top" -> llmTfidfTopOracle,
     "llm_ngrams" -> llmNgramsOracle,
