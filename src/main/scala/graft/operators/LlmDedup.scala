@@ -96,13 +96,15 @@ object LlmDedup {
     * J ≥ t, two docs must share at least one of the first
     * ⌊(1−t)·n⌋+1 shingles under any fixed total order — so only that
     * prefix is indexed for candidate generation, and the exact
-    * intersection runs on candidates only. Result is IDENTICAL to
-    * `llm_dedup_near` (same oracle); this is the exact-dedup scale path
-    * when MinHash's approximation is not acceptable. */
+    * intersection runs on candidates only. This is the exact-dedup
+    * scale path when MinHash's approximation is not acceptable; scoped
+    * to doc_id < 2500 (the full corpus at sf≤0.01, half at sf0.1 —
+    * the technique demo shouldn't double the bench's quadratic cost on
+    * a corpus whose tiny vocabulary defeats prefix selectivity). */
   def llmDedupNearPrefix(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = 0.8
-    val sh = shingles(spark, sfDir)
+    val sh = shingles(spark, sfDir).filter(col("doc_id") < 2500)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val ranked = sh.join(n, Seq("doc_id"))
       .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
@@ -127,6 +129,23 @@ object LlmDedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Same algebra as llmDedupNearOracle restricted to the prefix demo's
+    * doc scope — by the prefix-filter guarantee the results coincide. */
+  val llmDedupNearPrefixOracle: String =
+    s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 2500),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN n na ON doc_a = na.doc_id
+       |JOIN n nb ON doc_b = nb.doc_id
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash + LSH near-dup: 8 hash seeds → 2 bands of 4; candidates
     * from two equi-joins on band keys; exact Jaccard verified only on
@@ -261,7 +280,7 @@ object LlmDedup {
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" -> llmDedupExactOracle,
     "llm_dedup_near" -> llmDedupNearOracle,
-    "llm_dedup_near_prefix" -> llmDedupNearOracle, // identical result by construction
+    "llm_dedup_near_prefix" -> llmDedupNearPrefixOracle,
     "llm_dedup_minhash" -> llmDedupMinhashOracle,
     "llm_dedup_simhash" -> llmDedupSimhashOracle,
     "llm_dedup_embed" -> llmDedupEmbedOracle)
