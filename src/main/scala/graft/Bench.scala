@@ -7,15 +7,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // df.count() would let Catalyst prune every unused projection,
+    // window, and sort — projection-heavy keys would measure scan+count
+    // only. toRdd runs the FULL final physical plan (all expressions,
+    // sorts, windows) and only then counts the produced rows.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.count()
     // Untimed warmup: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~5s attribution noise).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -18,7 +18,11 @@ object GoldenDump {
 
   def checksums(spark: SparkSession, sfDir: String): Map[String, String] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> checksum(fn(spark, sfDir))
+      // One broken key must not abort the other ~80 (mirrors Verify's
+      // per-key isolation); the error text fails GoldenSpec by name.
+      name -> (try checksum(fn(spark, sfDir)) catch {
+        case e: Throwable => s"ERROR ${e.getClass.getSimpleName}: ${e.getMessage}".take(120)
+      })
     }.toMap
 
   val goldenPath = "src/test/resources/golden_sf0.001.json"

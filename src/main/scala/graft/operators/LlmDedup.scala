@@ -35,11 +35,37 @@ object LlmDedup {
         "transform(sequence(0, size(t)-3), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3)))")))
         .as("sh"))
 
+  /** NOTE: the range(1, 10000) bound caps oracle-side shingle positions
+    * at 10k tokens per document — far above the data contract's maximum
+    * (~100 tokens, FIXTURES.md); raise it if document length ever grows. */
   private[operators] val shinglesSql: String =
     """SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] || ' ' || t[k+2] AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |     range(1, 10000) r(k)
       |WHERE k + 2 <= len(t)""".stripMargin
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    * joins each side's shingle set, counts the intersection, and keeps
+    * pairs with ROUND(J, 6) ≥ threshold — the shared tail of every
+    * candidate-generation strategy (inverted index, LSH bands, prefix
+    * filter). */
+  private def verifyCandidates(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .filter(col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", r6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact duplicate groups by content hash; keeps the smallest doc_id
     * as the canonical representative. */
@@ -108,26 +134,19 @@ object LlmDedup {
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val ranked = sh.join(n, Seq("doc_id"))
       .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
+    // Prefix length = n − ⌈t·n⌉ + 1 = ⌊n/5⌋ + 1 for t = 0.8, computed in
+    // EXACT integer arithmetic: the floating form floor((1−0.8)·n)+1
+    // evaluates (1−0.8) = 0.19999999999999996 and yields a one-short
+    // prefix for every n divisible by 5, silently dropping borderline
+    // J = t pairs (found in review; the synthetic data masked it).
     val prefix = ranked
-      .filter(col("w") <= floor((lit(1.0) - t) * col("n_sh")) + 1)
+      .filter(col("w") <= expr("n_sh div 5 + 1"))
       .select("doc_id", "sh")
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .filter(col("sha") === col("shb"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", r6(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter"))))
-      .filter(col("jaccard") >= t)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyCandidates(cand, sh, t)
   }
 
   /** Same algebra as llmDedupNearOracle restricted to the prefix demo's
@@ -167,20 +186,7 @@ object LlmDedup {
           col(s"x.$band") === col(s"y.$band") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .filter(col("sha") === col("shb"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", r6(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter"))))
-      .filter(col("jaccard") >= 0.7)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyCandidates(cand, sh, 0.7)
   }
 
   val llmDedupMinhashOracle: String = {

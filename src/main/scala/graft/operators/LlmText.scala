@@ -128,34 +128,44 @@ object LlmText {
   /** quality = 0.4·min(n_tokens/100,1) + 0.3·(1−stop_ratio)
     *          + 0.3·min(avg_tok_len/8,1), computed entirely in exact
     * integer micro-units — float ROUND on composites like this is what
-    * produced the one cross-engine 1-ulp mismatch this round. */
-  def llmQualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
-      .withColumn("t", split(col("text"), " "))
+    * produced the one cross-engine 1-ulp mismatch this round. The ONE
+    * definition shared by llm_quality_score and llm_curation (Spark
+    * side here, SQL side in [[qualityScoredSql]]). */
+  private[operators] def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("t", split(col("text"), " "))
       .withColumn("n_tokens", size(col("t")).cast("bigint"))
       .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("bigint"))
-      .withColumn("stop_ratio_e6", expr("(1000000 * n_stop) div n_tokens"))
-      .withColumn("avg_tok_len_e6",
-        expr("(1000000 * (n_chars - (n_tokens - 1))) div n_tokens"))
       .withColumn("quality_e6",
         least(col("n_tokens"), lit(100L)) * 4000 +
           expr("(300000 * (n_tokens - n_stop)) div n_tokens") +
           least(expr("(300000 * (n_chars - (n_tokens - 1))) div (8 * n_tokens)"), lit(300000L)))
-      .select("doc_id", "n_tokens", "stop_ratio_e6", "avg_tok_len_e6", "quality_e6")
-      .orderBy("doc_id")
 
-  val llmQualityScoreOracle: String =
-    """SELECT doc_id, n_tokens,
-      |  (1000000 * n_stop) // n_tokens AS stop_ratio_e6,
-      |  (1000000 * (n_chars - (n_tokens - 1))) // n_tokens AS avg_tok_len_e6,
+  /** SQL mirror of [[withQualityCols]] over the documents table. */
+  private[operators] val qualityScoredSql: String =
+    """SELECT doc_id, lang, n_chars, n_tokens, n_stop,
       |  LEAST(n_tokens, 100) * 4000
       |    + (300000 * (n_tokens - n_stop)) // n_tokens
       |    + LEAST((300000 * (n_chars - (n_tokens - 1))) // (8 * n_tokens), 300000) AS quality_e6
       |FROM (
-      |  SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
       |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
-      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))
-      |ORDER BY doc_id""".stripMargin
+      |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  def llmQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityCols(documents(spark, sfDir))
+      .withColumn("stop_ratio_e6", expr("(1000000 * n_stop) div n_tokens"))
+      .withColumn("avg_tok_len_e6",
+        expr("(1000000 * (n_chars - (n_tokens - 1))) div n_tokens"))
+      .select("doc_id", "n_tokens", "stop_ratio_e6", "avg_tok_len_e6", "quality_e6")
+      .orderBy("doc_id")
+
+  val llmQualityScoreOracle: String =
+    s"""SELECT doc_id, n_tokens,
+       |  (1000000 * n_stop) // n_tokens AS stop_ratio_e6,
+       |  (1000000 * (n_chars - (n_tokens - 1))) // n_tokens AS avg_tok_len_e6,
+       |  quality_e6
+       |FROM ($qualityScoredSql)
+       |ORDER BY doc_id""".stripMargin
 
   /** Whitespace and BPE-ish-regex token counts. */
   def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -206,14 +216,7 @@ object LlmText {
     val nearDrops = LlmDedup.llmDedupNear(spark, sfDir)
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("t")).cast("bigint"))
-      .withColumn("n_stop", size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("bigint"))
-      .withColumn("quality_e6",
-        least(col("n_tokens"), lit(100L)) * 4000 +
-          expr("(300000 * (n_tokens - n_stop)) div n_tokens") +
-          least(expr("(300000 * (n_chars - (n_tokens - 1))) div (8 * n_tokens)"), lit(300000L)))
+    withQualityCols(docs)
       .join(keep, Seq("doc_id"), "left_semi")
       .join(nearDrops, Seq("doc_id"), "left_anti")
       .filter(col("quality_e6") >= 600000)
@@ -233,15 +236,7 @@ object LlmText {
        |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
        |  WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.9),
        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |scored AS (
-       |  SELECT doc_id, lang, n_chars,
-       |    LEAST(n_tokens, 100) * 4000
-       |      + (300000 * (n_tokens - n_stop)) // n_tokens
-       |      + LEAST((300000 * (n_chars - (n_tokens - 1))) // (8 * n_tokens), 300000) AS quality_e6
-       |  FROM (
-       |    SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
-       |      CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
-       |    FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents)))
+       |scored AS ($qualityScoredSql)
        |SELECT doc_id, lang, n_chars, quality_e6 FROM scored
        |WHERE doc_id IN (SELECT doc_id FROM keep)
        |  AND doc_id NOT IN (SELECT doc_id FROM near_drops)

@@ -33,12 +33,18 @@ object Multimodal {
 
   /** ??? -- REAL CODEC GOES HERE. Deterministic fake decode in lieu of
     * image/audio libs (not in this container): metadata is pure
-    * arithmetic over payload bytes, so the oracle can mirror it. */
+    * arithmetic over payload bytes, so the oracle can mirror it.
+    *
+    * Parity assumption: the oracle mirrors BYTES with DuckDB CHARACTER
+    * functions, valid because the corpus is pure ASCII (verified,
+    * FIXTURES.md); a multi-byte corpus needs byte-based oracle SQL
+    * (octet_length etc.) or a real binary column source. */
   object MediaCodecStub {
     def decode(m: MediaIn): MediaMeta = {
       val n = m.payload.length
-      val b0 = m.payload(0) & 0xff
-      val b1 = (if (n > 1) m.payload(1) else m.payload(0)) & 0xff
+      // ascii('') = 0 on the oracle side — mirror that for empty payloads.
+      val b0 = if (n > 0) m.payload(0) & 0xff else 0
+      val b1 = if (n > 1) m.payload(1) & 0xff else b0
       MediaMeta(m.doc_id, n,
         format = (n % 3) match { case 0 => "img"; case 1 => "audio"; case _ => "video" },
         width = (b0 % 64) * 16 + 64,
@@ -115,7 +121,7 @@ object Multimodal {
       .mapPartitions(_.map { m =>
         val bins = new Array[Int](8)
         m.payload.foreach(b => bins((b & 0xff) % 8) += 1)
-        val n = m.payload.length.toDouble
+        val n = math.max(m.payload.length, 1).toDouble // avoid NaN on empty payloads
         (m.doc_id, bins(0) / n, bins(1) / n, bins(2) / n, bins(3) / n,
           bins(4) / n, bins(5) / n, bins(6) / n, bins(7) / n)
       })
