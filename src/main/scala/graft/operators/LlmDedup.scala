@@ -261,10 +261,15 @@ object LlmDedup {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    // The threshold goes INTO the join condition AFTER the cheap id
+    // predicate: written as a post-join filter, Catalyst pushes it into
+    // the BNLJ condition FIRST, evaluating the cosine for all n² ordered
+    // pairs instead of short-circuiting half of them on vec_id.
+    val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+    e.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+        cos.as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
