@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,15 +23,25 @@ object Bench {
     // Untimed warmup: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~5s attribution noise).
     try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // A key that crashes must NOT masquerade as a fast one: record the
+    // failure per key and surface an errors total in the JSON.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { exec(fn(spark, sfDir)); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val failed = results.collect { case (n, _, false) => n }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total + errors lead the line so a truncated tail still carries them
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

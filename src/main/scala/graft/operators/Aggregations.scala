@@ -11,6 +11,13 @@ import graft.sources.Tables._
   * result vs DuckDB); averages are computed as exact decimal sums divided
   * as doubles, then ROUND(6) on both sides (SURVEY.md §5.4).
   *
+  * Output-type policy (round 2): final SELECTs never emit DECIMAL-family
+  * columns — the external comparator canonicalizes int widths and
+  * date/timestamp but NOT decimals/hugeint, so money outputs are rendered
+  * as DOUBLE after the exact decimal math (exact: unscaled values are far
+  * below 2^53, both engines correctly-round the same decimal), and oracle
+  * SUM(int) is CAST to BIGINT (DuckDB would return HUGEINT).
+  *
   * Scale posture: every query here is a partial+final HashAggregate over
   * a parquet scan with column pruning — the same plan shuffles only the
   * (few) group keys at 100 TB. No collect, no driver-side loops.
@@ -30,10 +37,10 @@ object Aggregations {
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
-        col("raw_sum_qty").cast("decimal(18,2)").as("sum_qty"),
-        col("raw_sum_base").cast("decimal(18,2)").as("sum_base_price"),
-        col("raw_sum_disc").cast("decimal(18,2)").as("sum_disc_price"),
-        col("raw_sum_charge").cast("decimal(18,2)").as("sum_charge"),
+        col("raw_sum_qty").cast("decimal(18,2)").cast("double").as("sum_qty"),
+        col("raw_sum_base").cast("decimal(18,2)").cast("double").as("sum_base_price"),
+        col("raw_sum_disc").cast("decimal(18,2)").cast("double").as("sum_disc_price"),
+        col("raw_sum_charge").cast("decimal(18,2)").cast("double").as("sum_charge"),
         r6(col("raw_sum_qty").cast("double") / col("count_order")).as("avg_qty"),
         r6(col("raw_sum_base").cast("double") / col("count_order")).as("avg_price"),
         col("count_order"))
@@ -42,10 +49,10 @@ object Aggregations {
 
   val aggPricingSummaryOracle: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       |  ROUND(SUM($revenueSqlFrag), 2) AS sum_disc_price,
-       |  ROUND(SUM(CAST($revenueSqlFrag AS DECIMAL(24,8)) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(ROUND(SUM(CAST($revenueSqlFrag AS DECIMAL(24,8)) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS DOUBLE) AS sum_charge,
        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
        |  COUNT(*) AS count_order
@@ -60,16 +67,16 @@ object Aggregations {
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-        min(dec(col("l_extendedprice"))).as("min_price"),
-        max(dec(col("l_extendedprice"))).as("max_price"))
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"),
+        min(dec(col("l_extendedprice"))).cast("double").as("min_price"),
+        max(dec(col("l_extendedprice"))).cast("double").as("max_price"))
       .withColumn("avg_qty", r6(col("sum_qty").cast("double") / col("n_rows")))
 
   val aggGlobalOracle: String =
     """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-      |  MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
       |FROM lineitem""".stripMargin
 
@@ -77,14 +84,16 @@ object Aggregations {
   def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
     orders(spark, sfDir)
       .groupBy("o_custkey")
-      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total_spent"),
+      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total_spent_d"),
         count(lit(1)).as("n_orders"))
-      .filter(col("total_spent") > 2500000)
+      .filter(col("total_spent_d") > 2500000)
+      .select(col("o_custkey"), col("total_spent_d").cast("double").as("total_spent"),
+        col("n_orders"))
       .orderBy("o_custkey")
 
   val aggHavingOracle: String =
     """SELECT o_custkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey
       |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 2500000
@@ -124,14 +133,14 @@ object Aggregations {
     // fix: route through a temp view + SQL, which resolves by name.
     base.createOrReplaceTempView("graft_rollup_base")
     base.sparkSession.sql(
-      """SELECT r_name, n_name, CAST(SUM(dp) AS DECIMAL(18,2)) AS revenue
+      """SELECT r_name, n_name, CAST(CAST(SUM(dp) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM graft_rollup_base
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
   val aggRollupOracle: String =
-    s"""SELECT r_name, n_name, ROUND(SUM($revenueSqlFrag), 2) AS revenue
+    s"""SELECT r_name, n_name, CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -145,12 +154,12 @@ object Aggregations {
     lineitem(spark, sfDir)
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggCubeOracle: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -159,18 +168,18 @@ object Aggregations {
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(
       s"""SELECT l_returnflag, l_linestatus,
-         |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_flag, CAST(grouping(l_linestatus) AS INT) AS g_status,
          |  COUNT(*) AS n_rows,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
          |FROM parquet.`$sfDir/lineitem.parquet`
          |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
   val aggGroupingSetsOracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status,
       |  COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin

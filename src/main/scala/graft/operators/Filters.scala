@@ -42,9 +42,9 @@ object Filters {
   val filterNullSemanticsOracle: String =
     """SELECT o_orderpriority, COUNT(*) AS n_all,
       |  COUNT(NULLIF(o_orderstatus,'P')) AS n_nonnull,
-      |  SUM(CASE WHEN NULLIF(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END) AS n_null,
-      |  SUM(CAST(COALESCE(NULLIF(o_orderstatus,'O'),'?') IS NOT DISTINCT FROM 'F' AS INT)) AS n_f,
-      |  SUM(CAST(NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM NULL AS INT)) AS n_nullsafe_eq_null
+      |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CAST(COALESCE(NULLIF(o_orderstatus,'O'),'?') IS NOT DISTINCT FROM 'F' AS INT)) AS BIGINT) AS n_f,
+      |  CAST(SUM(CAST(NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM NULL AS INT)) AS BIGINT) AS n_nullsafe_eq_null
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Nested CASE WHEN pricing tiers over orders. */

@@ -36,12 +36,12 @@ object Joins {
     orders(spark, sfDir)
       .join(lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+      .agg(sum(discPrice).cast("decimal(18,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
 
   val joinShuffleLargeOracle: String =
-    s"""SELECT o_orderpriority, ROUND(SUM($revenueSqlFrag), 2) AS revenue,
+    s"""SELECT o_orderpriority, CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lines
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -55,12 +55,12 @@ object Joins {
       .join(broadcast(nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+      .agg(sum(discPrice).cast("decimal(18,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name")
 
   val joinStar5wayOracle: String =
-    s"""SELECT r_name, ROUND(SUM($revenueSqlFrag), 2) AS revenue, COUNT(*) AS n_lines
+    s"""SELECT r_name, CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -147,7 +147,7 @@ object Joins {
       .orderBy("s_suppkey")
 
   val joinThetaRangeOracle: String =
-    """SELECT s_suppkey, COUNT(*) AS n_parts, SUM(p_size) AS sum_size
+    """SELECT s_suppkey, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS sum_size
       |FROM part JOIN supplier ON p_size BETWEEN s_suppkey * 2 AND s_suppkey * 7
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
@@ -214,13 +214,13 @@ object Joins {
       .withColumn("salt", explode(expr(s"sequence(0, ${SALTS - 1})")))
     li.join(o, col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
       .groupBy("o_orderpriority")
-      .agg(sum(discPrice).cast("decimal(18,2)").as("revenue"),
+      .agg(sum(discPrice).cast("decimal(18,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
   }
 
   val joinSkewSaltedOracle: String =
-    s"""SELECT o_orderpriority, ROUND(SUM($revenueSqlFrag), 2) AS revenue,
+    s"""SELECT o_orderpriority, CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lines
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

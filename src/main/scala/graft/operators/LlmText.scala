@@ -33,11 +33,11 @@ object LlmText {
       .orderBy("lang")
 
   val llmTextStatsOracle: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-      |  SUM(n_tokens) AS sum_tokens,
-      |  (1000000 * SUM(n_chars)) // COUNT(*) AS avg_chars_e6,
-      |  (1000000 * SUM(n_tokens)) // COUNT(*) AS avg_tokens_e6
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST((1000000 * SUM(n_chars)) // COUNT(*) AS BIGINT) AS avg_chars_e6,
+      |  CAST((1000000 * SUM(n_tokens)) // COUNT(*) AS BIGINT) AS avg_tokens_e6
       |FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -88,7 +88,7 @@ object Scalars {
     lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(8,6)"))
-          .cast("decimal(18,4)").as("disc_amount"),
+          .cast("decimal(18,4)").cast("double").as("disc_amount"),
         abs(col("l_quantity") - 25).as("qty_dev"),
         ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
         floor(col("l_extendedprice") / 1000).as("price_k_floor"),
@@ -100,7 +100,7 @@ object Scalars {
 
   val mathFuncsOracle: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(18,4)) AS disc_amount,
+      |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(18,4)) AS DOUBLE) AS disc_amount,
       |  ABS(l_quantity - 25) AS qty_dev,
       |  CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
       |  CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
@@ -168,7 +168,7 @@ object Scalars {
 
   val jsonFuncsOracle: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
       |        / COUNT(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

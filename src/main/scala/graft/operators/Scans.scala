@@ -24,12 +24,12 @@ object Scans {
         col("l_quantity").as("qty"),
         (col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)")))
-          .cast("decimal(18,4)").as("disc_price"))
+          .cast("decimal(18,4)").cast("double").as("disc_price"))
       .orderBy("okey", "line")
 
   val scanProjectOracle: String =
     """SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(18,4)) AS disc_price
+      |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
       |FROM lineitem ORDER BY okey, line""".stripMargin
 
   /** TPC-H Q6-shaped filter; predicates reach the parquet reader
@@ -89,13 +89,13 @@ object Scans {
     spark.read.parquet(dest)
       .groupBy(col("l_returnflag").cast("string").as("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
   val exportManifestOracle: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

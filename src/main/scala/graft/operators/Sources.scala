@@ -44,12 +44,15 @@ object Sources {
     spark.read
       .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DECIMAL(18,2)")
       .json(dest)
+      // exact decimal through the JSON text; DOUBLE only in the final
+      // output (comparator cannot canonicalize decimals across engines)
+      .withColumn("s_acctbal", col("s_acctbal").cast("double"))
       .orderBy("s_suppkey")
   }
 
   val sourceJsonRoundtripOracle: String =
     """SELECT s_suppkey, s_name, s_nationkey,
-      |  CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
   /** PIVOT: order counts per priority × status (explicit value list so
@@ -64,9 +67,9 @@ object Sources {
 
   val pivotStatusByPriorityOracle: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Bucketed parquet table write (8 buckets on the join key) +
@@ -85,13 +88,13 @@ object Sources {
     spark.table(table)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+        sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
   val exportBucketedOracle: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

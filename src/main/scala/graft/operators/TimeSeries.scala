@@ -22,13 +22,13 @@ object TimeSeries {
     events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
 
   val tsTumblingOracle: String =
     """SELECT DATE_TRUNC('hour', ts) AS ws, event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
   /** 1-hour window sliding every 15 minutes: each event lands in exactly
@@ -38,14 +38,14 @@ object TimeSeries {
     events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
       .orderBy("ws")
 
   val tsSlidingOracle: String =
     """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS ws,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
       |GROUP BY 1 ORDER BY ws""".stripMargin
 
@@ -126,8 +126,8 @@ object TimeSeries {
 
   val tsLateDataOracle: String =
     """SELECT event_type,
-      |  SUM(CAST(DATE_DIFF('microsecond', ts, max_ts) > 600000000 AS INT)) AS n_late,
-      |  SUM(1 - CAST(DATE_DIFF('microsecond', ts, max_ts) > 600000000 AS INT)) AS n_ontime
+      |  CAST(SUM(CAST(DATE_DIFF('microsecond', ts, max_ts) > 600000000 AS INT)) AS BIGINT) AS n_late,
+      |  CAST(SUM(1 - CAST(DATE_DIFF('microsecond', ts, max_ts) > 600000000 AS INT)) AS BIGINT) AS n_ontime
       |FROM (SELECT event_type, ts, MAX(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -80,7 +80,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        sum(dec(col("o_totalprice"))).over(w).cast("decimal(18,2)").as("running_total"))
+        sum(dec(col("o_totalprice"))).over(w).cast("decimal(18,2)").cast("double").as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -88,7 +88,7 @@ object Windows {
     """SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Per-user moving sum of event value over a trailing 1-hour RANGE
@@ -99,7 +99,7 @@ object Windows {
     events(spark, sfDir)
       .withColumn("sec", expr("unix_micros(ts) div 1000000"))
       .select(col("event_id"), col("user_id"), col("sec"),
-        sum(dec(col("value"))).over(w).cast("decimal(18,2)").as("moving_sum_1h"))
+        sum(dec(col("value"))).over(w).cast("decimal(18,2)").cast("double").as("moving_sum_1h"))
       .orderBy("event_id")
   }
 
@@ -107,7 +107,7 @@ object Windows {
     """SELECT event_id, user_id, sec,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
       |    PARTITION BY user_id ORDER BY sec
-      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum_1h
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_1h
       |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value FROM events)
       |ORDER BY event_id""".stripMargin
 

@@ -32,6 +32,30 @@ class ExpressionSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("two float_dot calls in one projection stay codegen'd (fresh locals)") {
+    // Round-1 bug: fixed `n`/`acc`/`i` locals made the second call in the
+    // same codegen scope fail Janino compilation and silently fall back to
+    // interpreted eval. Non-null literal children mean no null-check
+    // branches, so both loops land in one scope. Generating the projection
+    // directly (no FALLBACK wrapper) turns that compile error into a
+    // thrown exception instead of a silent downgrade.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val d1 = FloatDot(lit(Array(1.0f, 2.0f)), lit(Array(3.0f, 4.0f)))
+    val d2 = FloatDot(lit(Array(2.0f)), lit(Array(5.0f)))
+    val proj = GenerateUnsafeProjection.generate(Seq(d1, d2))
+    val row = proj(InternalRow.empty)
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 10.0)
+  }
+
+  test("mismatched dimensions yield null (matches zip_with null-padding)") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("null inputs yield null") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql("SELECT float_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")

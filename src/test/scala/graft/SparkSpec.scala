@@ -47,7 +47,7 @@ class AggregationSpec extends SparkSpec {
     val rows = run("agg_pricing_summary").collect()
     assert(rows.length >= 4)
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue() > 0)
+      assert(r.getAs[Double]("sum_qty") > 0)
       assert(r.getAs[Long]("count_order") > 0)
     }
   }

@@ -31,6 +31,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# The driver's hasher canonicalizes int widths and date/timestamp across
+# engines but NOT decimal/hugeint/int8 — identical values in those types
+# still fail hash_match (round-1 lesson: 23 keys failed with bitwise-equal
+# values). Gate on the output SCHEMA, not just values.
+BANNED_TYPES = ("DECIMAL", "HUGEINT", "TINYINT")
+
+
+def schema_violations(con, files, sql):
+    bad = []
+    for col, typ in [r[:2] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]:
+        if any(b in typ.upper() for b in BANNED_TYPES):
+            bad.append(f"spark:{col}:{typ}")
+    for col, typ in [r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall()]:
+        if any(b in typ.upper() for b in BANNED_TYPES):
+            bad.append(f"oracle:{col}:{typ}")
+    return bad
+
+
 def compare(name, spark_df, oracle_df):
     ok = True
     if list(spark_df.columns) != list(oracle_df.columns):
@@ -95,11 +114,16 @@ def main():
             n_bad += 1
             continue
         try:
+            viols = schema_violations(con, files, sql)
             spark_df = norm(con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf())
             oracle_df = norm(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"[{name}] ERROR: {e}")
+            n_bad += 1
+            continue
+        if viols:
+            print(f"[{name}] BANNED OUTPUT TYPE (driver hash cannot canonicalize): {viols}")
             n_bad += 1
             continue
         if compare(name, spark_df, oracle_df):
