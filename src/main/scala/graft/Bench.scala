@@ -25,7 +25,13 @@ object Bench {
     try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // A key that crashes must NOT masquerade as a fast one: record the
     // failure per key and surface an errors total in the JSON.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated key filter for local iteration
+    // (SPARK_GRAFT_KEYS=llm_dedup_minhash,llm_curation); driver sets none.
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { exec(fn(spark, sfDir)); true } catch {
         case e: Throwable =>

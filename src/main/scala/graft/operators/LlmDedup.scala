@@ -26,14 +26,18 @@ import graft.sources.Tables._
   */
 object LlmDedup {
 
-  /** Distinct 3-gram token shingles per document. */
-  private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
+  /** Distinct 3-gram token shingles per document (of an arbitrary
+    * (doc_id, text) frame — minhash shingles only its dedup reps). */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3)))")))
         .as("sh"))
+
+  private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(documents(spark, sfDir))
 
   /** NOTE: the range(1, 10000) bound caps oracle-side shingle positions
     * at 10k tokens per document — far above the data contract's maximum
@@ -51,20 +55,61 @@ object LlmDedup {
     * filter). */
   private def verifyCandidates(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
+    // Lossless length filter (Arasu/Chaudhuri): J ≥ t forces
+    // min(na,nb) ≥ t·max(na,nb) because inter ≤ min and the union ≥ max —
+    // applied BEFORE the shingle joins so mismatched-size candidate pairs
+    // never pay the intersection. Exact integer arithmetic (t·10 is exact
+    // for the 0.7/0.8/0.9 thresholds used here).
+    val tNum = math.round(threshold * 10).toInt
+    require(tNum / 10.0 == threshold, s"threshold $threshold must be a multiple of 0.1")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .filter(col("sha") === col("shb"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    val sized = cand
       .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * tNum)
+    // Intersection via equi-join on (doc, shingle): output is only the
+    // shared shingles (linear in candidates), never the na×nb cross rows.
+    sized
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", r6(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered exact-Jaccard near-dup pairs (PPJoin-style, lossless
+    * for J ≥ t = 1 − 1/divisor): under any fixed shingle total order, two
+    * docs with J ≥ t must share one of each other's first ⌊n/divisor⌋+1
+    * shingles, so only that prefix is indexed for candidate generation.
+    * Integer prefix math — see llm_dedup_near_prefix's round-1 FP bug. */
+  private[operators] def nearDupPairsPrefix(shLineage: DataFrame, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Explicit divisor→threshold map: the oracle SQL compares against the
+    // same decimal literal, so t must be that literal's double exactly
+    // (not a 1−1/d float expression that might round differently).
+    val t = divisor match {
+      case 5 => 0.8
+      case 10 => 0.9
+      case d => throw new IllegalArgumentException(s"unsupported prefix divisor $d")
+    }
+    // The shingle frame feeds four consumers (counts, ranking, and both
+    // verify joins); materialize it once instead of re-deriving the
+    // explode lineage per consumer — at 100 TB this is a persisted
+    // intermediate table, locally it also collapses the codegen'd plan.
+    val sh = shLineage.localCheckpoint()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = sh.join(n, Seq("doc_id"))
+      .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
+      .filter(col("w") <= expr(s"n_sh div $divisor + 1"))
+      .select("doc_id", "sh")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidates(cand, sh, t)
   }
 
   /** Exact duplicate groups by content hash; keeps the smallest doc_id
@@ -127,27 +172,14 @@ object LlmDedup {
     * to doc_id < 2500 (the full corpus at sf≤0.01, half at sf0.1 —
     * the technique demo shouldn't double the bench's quadratic cost on
     * a corpus whose tiny vocabulary defeats prefix selectivity). */
-  def llmDedupNearPrefix(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = 0.8
-    val sh = shingles(spark, sfDir).filter(col("doc_id") < 2500)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val ranked = sh.join(n, Seq("doc_id"))
-      .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
-    // Prefix length = n − ⌈t·n⌉ + 1 = ⌊n/5⌋ + 1 for t = 0.8, computed in
-    // EXACT integer arithmetic: the floating form floor((1−0.8)·n)+1
-    // evaluates (1−0.8) = 0.19999999999999996 and yields a one-short
-    // prefix for every n divisible by 5, silently dropping borderline
-    // J = t pairs (found in review; the synthetic data masked it).
-    val prefix = ranked
-      .filter(col("w") <= expr("n_sh div 5 + 1"))
-      .select("doc_id", "sh")
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyCandidates(cand, sh, t)
-  }
+  def llmDedupNearPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    // Prefix length = n − ⌈0.8·n⌉ + 1 = ⌊n/5⌋ + 1, computed in EXACT
+    // integer arithmetic inside nearDupPairsPrefix: the floating form
+    // floor((1−0.8)·n)+1 evaluates (1−0.8) = 0.19999999999999996 and
+    // yields a one-short prefix for every n divisible by 5, silently
+    // dropping borderline J = t pairs (found in round-1 review).
+    nearDupPairsPrefix(shingles(spark, sfDir).filter(col("doc_id") < 2500), 5)
+      .orderBy("doc_a", "doc_b")
 
   /** Same algebra as llmDedupNearOracle restricted to the prefix demo's
     * doc scope — by the prefix-filter guarantee the results coincide. */
@@ -171,7 +203,27 @@ object LlmDedup {
     * candidates (J ≥ 0.7). The min over md5(seed||shingle) hex strings
     * is a uniform minwise hash available identically in both engines. */
   def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    // Exact-duplicate pre-collapse — the 100 TB guard for boilerplate-heavy
+    // corpora: m identical docs would land in the same band bucket and emit
+    // m²/2 candidate pairs into the expensive verify. Identical text means
+    // identical shingle set, hence identical signature, bands, and Jaccard
+    // against anything else — so band + verify once per distinct text and
+    // reconstruct member pairs after (intra-group J is exactly 1, and a
+    // member pair collides in a band iff its reps do): output is
+    // provably identical to banding the full corpus.
+    val docs = documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3) // mirror shinglesOf: shingle-less docs can't pair
+      .select("doc_id", "text")
+    // groups feeds the rep semi-join and three pair-expansion consumers;
+    // the rep shingles feed signatures and both verify joins — both are
+    // materialized once (persisted intermediates at scale, smaller
+    // codegen'd plans locally).
+    val groups = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint()
+    val reps = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = shinglesOf(reps).localCheckpoint()
     // All 8 salted mins in ONE grouped pass (8 md5 evals per row beats
     // exploding to 8× rows — an 8× smaller shuffle; values identical).
     val sig = sh
@@ -186,7 +238,23 @@ object LlmDedup {
           col(s"x.$band") === col(s"y.$band") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
-    verifyCandidates(cand, sh, 0.7)
+    if (sys.env.contains("GRAFT_LOG_CANDIDATES"))
+      System.err.println(s"[minhash] reps=${reps.count()} candidates=${cand.count()}")
+    val repPairs = verifyCandidates(cand, sh, 0.7)
+    // Expand rep-level pairs to member pairs (cross-group), plus all
+    // intra-group pairs at J = 1.
+    val mA = groups.select(col("rep").as("doc_a"), explode(col("members")).as("a"))
+    val mB = groups.select(col("rep").as("doc_b"), explode(col("members")).as("b"))
+    val cross = repPairs
+      .join(mA, Seq("doc_a")).join(mB, Seq("doc_b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val m = groups.select(col("h"), explode(col("members")).as("m"))
+    val intra = m.as("x").join(m.as("y"),
+        col("x.h") === col("y.h") && col("x.m") < col("y.m"))
+      .select(col("x.m").as("doc_a"), col("y.m").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(intra).orderBy("doc_a", "doc_b")
   }
 
   val llmDedupMinhashOracle: String = {

@@ -207,14 +207,18 @@ object LlmText {
     * operators exist for: exact-dedup (keep min doc_id per content
     * hash) → drop the higher id of every near-dup pair (J ≥ 0.9) →
     * quality gate (integer micro-units ≥ 0.6) → curated corpus.
-    * One Catalyst plan; each stage is an independently-verified key. */
+    * One Catalyst plan; each stage is an independently-verified key.
+    * The near-dup stage is the PPJoin prefix filter (lossless at
+    * J ≥ 0.9 with divisor 10), not the quadratic inverted-index
+    * self-join — identical output by the prefix-filter guarantee, but
+    * candidate generation indexes only ⌊n/10⌋+1 shingles per doc, so
+    * the composite survives a 100× corpus. */
   def llmCuration(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
     val keep = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nearDrops = LlmDedup.llmDedupNear(spark, sfDir)
-      .filter(col("jaccard") >= 0.9)
+    val nearDrops = LlmDedup.nearDupPairsPrefix(LlmDedup.shingles(spark, sfDir), 10)
       .select(col("doc_b").as("doc_id")).distinct()
     withQualityCols(docs)
       .join(keep, Seq("doc_id"), "left_semi")
