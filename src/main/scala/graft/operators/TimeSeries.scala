@@ -49,6 +49,42 @@ object TimeSeries {
       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
       |GROUP BY 1 ORDER BY ws""".stripMargin
 
+  /** `ts_tumbling` executed as a REAL Structured Streaming job: the
+    * events file is staged as two parquet files fed one per micro-batch
+    * (`maxFilesPerTrigger=1`) through `readStream` → watermark → windowed
+    * aggregation → memory sink, so windowed state genuinely carries
+    * across triggers. Complete output mode keeps every window, making the
+    * result equal to the batch form — the key shares `ts_tumbling`'s
+    * DuckDB oracle. At scale the same plan runs from a Kafka/file-rate
+    * source with a durable checkpoint; state shuffles by (window,
+    * event_type) exactly like the batch shuffle.
+    */
+  def tsTumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file stream source requires a DIRECTORY (round-1 lesson): stage
+    // the single events file as two splits so there are ≥2 micro-batches.
+    val stageDir = s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/tumbling"
+    spark.read.parquet(path).repartition(2)
+      .write.mode("overwrite").parquet(stageDir)
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    val sink = "graft_ts_tumbling_stream"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
   /** Per-user session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag gap starts with lag(), running-sum the flags
     * into session ids, aggregate per session. */
@@ -133,6 +169,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_tumbling" -> (tsTumbling _),
+    "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
     "ts_session" -> (tsSession _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
@@ -140,6 +177,8 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "ts_tumbling" -> tsTumblingOracle,
+    // the streaming execution must produce exactly the batch result
+    "ts_tumbling_stream" -> tsTumblingOracle,
     "ts_sliding" -> tsSlidingOracle,
     "ts_session" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,
