@@ -55,6 +55,29 @@ object Sources {
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** DataSourceV2 connector roundtrip (SURVEY.md §2.A R2): supplier
+    * cells written through the custom `graft-kv` v2 writer (two-phase
+    * task commit), read back via the v2 scan with a pushed
+    * qualifier/rowkey predicate and a pruned (rowkey, value) schema —
+    * PlanSpec asserts both actually reach the scan. Oracle reads the
+    * same cells straight from the parquet source. */
+  def sourceKvConnector(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "supplier_kv")
+    // fresh snapshot: clear prior .kv files (the connector appends)
+    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
+    Scans.scanKvModel(spark, sfDir)
+      .write.format("graft-kv").option("path", dest).mode("append").save()
+    spark.read.format("graft-kv").load(dest)
+      .filter(col("qualifier") === "acctbal" && col("rowkey") <= 500)
+      .select("rowkey", "value")
+      .orderBy("rowkey")
+  }
+
+  val sourceKvConnectorOracle: String =
+    """SELECT s_suppkey AS rowkey,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value
+      |FROM supplier WHERE s_suppkey <= 500 ORDER BY rowkey""".stripMargin
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -100,12 +123,14 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "source_kv_connector" -> (sourceKvConnector _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
   val oracle: Map[String, String] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
+    "source_kv_connector" -> sourceKvConnectorOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }

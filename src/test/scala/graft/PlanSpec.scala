@@ -28,6 +28,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("join_star_5way").contains("BroadcastHashJoin"))
   }
 
+  test("graft-kv v2 scan pushes filters and prunes columns") {
+    // (string assertions — AQE wraps the plan so a collect() over
+    // executedPlan cannot reach the BatchScanExec before execution)
+    val p = plan("source_kv_connector")
+    assert(p.contains("BatchScan graft-kv"), "no v2 scan in:\n" + p.take(800))
+    // both predicates are pushable, so the post-scan plan needs neither
+    // qualifier nor the filters — the v2 scan must carry them
+    assert(p.contains("EqualTo(qualifier,acctbal)") && p.contains("LessThanOrEqual(rowkey,500)"),
+      "filters not pushed:\n" + p.take(800))
+    assert(p.contains("ReadSchema: struct<rowkey:bigint,value:string>"),
+      "columns not pruned:\n" + p.take(800))
+  }
+
   test("sort+limit plans as TakeOrderedAndProject, not a global sort") {
     assert(plan("sort_multikey_limit").contains("TakeOrderedAndProject"))
   }
