@@ -202,16 +202,22 @@ object LlmDedup {
     * from two equi-joins on band keys; exact Jaccard verified only on
     * candidates (J ≥ 0.7). The min over md5(seed||shingle) hex strings
     * is a uniform minwise hash available identically in both engines. */
-  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // Exact-duplicate pre-collapse — the 100 TB guard for boilerplate-heavy
-    // corpora: m identical docs would land in the same band bucket and emit
-    // m²/2 candidate pairs into the expensive verify. Identical text means
-    // identical shingle set, hence identical signature, bands, and Jaccard
-    // against anything else — so band + verify once per distinct text and
-    // reconstruct member pairs after (intra-group J is exactly 1, and a
-    // member pair collides in a band iff its reps do): output is
-    // provably identical to banding the full corpus.
-    val docs = documents(spark, sfDir)
+  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(documents(spark, sfDir))
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) frame.
+    *
+    * Exact-duplicate pre-collapse — the 100 TB guard for boilerplate-heavy
+    * corpora: m identical docs would land in the same band bucket and emit
+    * m²/2 candidate pairs into the expensive verify. Identical text means
+    * identical shingle set, hence identical signature, bands, and Jaccard
+    * against anything else — so band + verify once per distinct text and
+    * reconstruct member pairs after (intra-group J is exactly 1, and a
+    * member pair collides in a band iff its reps do): output is
+    * provably identical to banding the full corpus.
+    */
+  private[operators] def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3) // mirror shinglesOf: shingle-less docs can't pair
       .select("doc_id", "text")
