@@ -296,6 +296,74 @@ object LlmDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup CLUSTER resolution — what a curation pipeline actually
+    * consumes (pairs alone can't answer "which doc represents this
+    * group"): connected components over the J ≥ 0.9 near-dup graph,
+    * cluster id = min doc_id in the component.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * min label among itself and its neighbors; converges in ≤ diameter
+    * rounds. Each round is one shuffle-by-dst join + a groupBy (the
+    * GraphX/connected-components shape); lineage is cut per round with
+    * localCheckpoint so the plan does not grow with iterations, and the
+    * driver-side loop runs one COUNT per round purely as the convergence
+    * test. At 100 TB swap the propagation for the large-star/small-star
+    * variant (O(log n) rounds on skewed components) — the per-round join
+    * structure is identical. Edges come from the lossless prefix-filtered
+    * generator, so the pair set equals exact Jaccard.
+    */
+  def llmDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nearDupPairsPrefix(shingles(spark, sfDir), 10)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.v") === col("p.v"))
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Transitive closure by recursive CTE — exact reference for the
+    * propagation result (UNION-distinct terminates on cyclic graphs). */
+  val llmDedupClustersOracle: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+       |  WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.9),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
+       |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY v ORDER BY doc_id""".stripMargin
+
   /** 16-bit SimHash signature per document: per hex position of each
     * token's md5, a weighted ±1 majority vote becomes one signature bit.
     * Docs reduce to one row each — pairs within a hamming radius can
@@ -359,6 +427,7 @@ object LlmDedup {
     "llm_dedup_near" -> (llmDedupNear _),
     "llm_dedup_near_prefix" -> (llmDedupNearPrefix _),
     "llm_dedup_minhash" -> (llmDedupMinhash _),
+    "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_embed" -> (llmDedupEmbed _))
 
@@ -367,6 +436,7 @@ object LlmDedup {
     "llm_dedup_near" -> llmDedupNearOracle,
     "llm_dedup_near_prefix" -> llmDedupNearPrefixOracle,
     "llm_dedup_minhash" -> llmDedupMinhashOracle,
+    "llm_dedup_clusters" -> llmDedupClustersOracle,
     "llm_dedup_simhash" -> llmDedupSimhashOracle,
     "llm_dedup_embed" -> llmDedupEmbedOracle)
 }
