@@ -58,15 +58,18 @@ object LlmDedup {
     // Lossless length filter (Arasu/Chaudhuri): J ≥ t forces
     // min(na,nb) ≥ t·max(na,nb) because inter ≤ min and the union ≥ max —
     // applied BEFORE the shingle joins so mismatched-size candidate pairs
-    // never pay the intersection. Exact integer arithmetic (t·10 is exact
-    // for the 0.7/0.8/0.9 thresholds used here).
+    // never pay the intersection. The verify gate below keeps
+    // r6(jaccard) ≥ t, i.e. true J ≥ t − 5e-7, so the filter uses that
+    // slackened bound in exact integer arithmetic:
+    //   min·2e7 ≥ max·(t·2e7 − 10), with t·2e6 exact for t ∈ {0.7,0.8,0.9}.
     val tNum = math.round(threshold * 10).toInt
     require(tNum / 10.0 == threshold, s"threshold $threshold must be a multiple of 0.1")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sized = cand
       .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * tNum)
+      .filter(least(col("na"), col("nb")) * lit(20000000L) >=
+        greatest(col("na"), col("nb")) * lit(tNum * 2000000L - 10L))
     // Intersection via equi-join on (doc, shingle): output is only the
     // shared shingles (linear in candidates), never the na×nb cross rows.
     sized
@@ -84,7 +87,13 @@ object LlmDedup {
     * for J ≥ t = 1 − 1/divisor): under any fixed shingle total order, two
     * docs with J ≥ t must share one of each other's first ⌊n/divisor⌋+1
     * shingles, so only that prefix is indexed for candidate generation.
-    * Integer prefix math — see llm_dedup_near_prefix's round-1 FP bug. */
+    * Integer prefix math — see llm_dedup_near_prefix's round-1 FP bug.
+    *
+    * Rounding-gate bound: verify keeps r6(J) ≥ t (true J ≥ t − 5e-7).
+    * The ⌊n/d⌋+1 prefix is still exact for that slack while n < 2·10⁵
+    * shingles per doc — frac(t·n) is a multiple of 0.1 when nonzero, and
+    * 5e-7·n stays below it — far above the data contract's ~100 tokens;
+    * revisit the prefix length before feeding megashingle documents. */
   private[operators] def nearDupPairsPrefix(shLineage: DataFrame, divisor: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit divisor→threshold map: the oracle SQL compares against the
@@ -321,9 +330,10 @@ object LlmDedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    val maxIters = 50
     var iter = 0
     var converged = false
-    while (!converged && iter < 25) {
+    while (!converged && iter < maxIters) {
       val prop = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(prop, col("v") === col("src"), "left")
@@ -337,6 +347,10 @@ object LlmDedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent cap would ship wrong cluster ids for long chains — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"llm_dedup_clusters did not converge within $maxIters rounds " +
+        "(component diameter exceeds the cap; raise maxIters or switch to large-star/small-star)")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -60,7 +60,7 @@ object TimeSeries {
     * event_type) exactly like the batch shuffle.
     */
   def tsTumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enableNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // The file stream source requires a DIRECTORY (round-1 lesson): stage
@@ -71,7 +71,7 @@ object TimeSeries {
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", eventsTsFromNanos)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),

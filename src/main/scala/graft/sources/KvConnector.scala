@@ -45,9 +45,13 @@ object KvFormat {
   def dataFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).collect(Collectors.toList[Path]).asScala.toSeq
-      .filter(f => f.getFileName.toString.endsWith(".kv"))
-      .sortBy(_.toString)
+    else {
+      val s = Files.list(p)
+      try s.collect(Collectors.toList[Path]).asScala.toSeq
+        .filter(f => f.getFileName.toString.endsWith(".kv"))
+        .sortBy(_.toString)
+      finally s.close()
+    }
   }
 }
 
@@ -104,15 +108,19 @@ class KvScanBuilder(path: String)
 }
 
 /** Predicate evaluation for the pushed subset. The kv store is dense
-  * (no null cells), so two-valued logic is exact here. */
+  * (no null cells), so two-valued logic is exact here. Filters carrying
+  * a null literal are NOT accepted (their three-valued semantics stay
+  * with Spark post-scan), and string comparison uses UTF8String —
+  * byte order, not String's UTF-16 order, which disagrees on non-BMP
+  * code points. */
 object KvFilterEval {
   def supports(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => ok(a)
-    case GreaterThan(a, _) => ok(a)
-    case GreaterThanOrEqual(a, _) => ok(a)
-    case LessThan(a, _) => ok(a)
-    case LessThanOrEqual(a, _) => ok(a)
-    case In(a, _) => ok(a)
+    case EqualTo(a, v) => ok(a) && v != null
+    case GreaterThan(a, v) => ok(a) && v != null
+    case GreaterThanOrEqual(a, v) => ok(a) && v != null
+    case LessThan(a, v) => ok(a) && v != null
+    case LessThanOrEqual(a, v) => ok(a) && v != null
+    case In(a, vs) => ok(a) && vs != null && vs.forall(_ != null)
     // Catalyst guards every pushed comparison with IsNotNull; accepting
     // it here is what lets column pruning drop filter-only columns.
     case IsNotNull(a) => ok(a)
@@ -131,7 +139,7 @@ object KvFilterEval {
     }
     def cmp(a: String, v: Any): Int = get(a) match {
       case l: Long => java.lang.Long.compare(l, v.asInstanceOf[Number].longValue())
-      case s: String => s.compareTo(v.toString)
+      case s: String => UTF8String.fromString(s).compareTo(UTF8String.fromString(v.toString))
     }
     f match {
       case EqualTo(a, v) => cmp(a, v) == 0
@@ -206,7 +214,13 @@ class KvBatchWrite(path: String) extends BatchWrite {
     new KvWriterFactory(path)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // job-level abort must undo task-level commits, or the renamed files of
+  // successful tasks would remain visible as partial output
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KvCommitMessage(f) => Files.deleteIfExists(Paths.get(f))
+      case _ => ()
+    }
 }
 
 class KvWriterFactory(path: String) extends DataWriterFactory {
@@ -223,7 +237,15 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
   private val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
 
   override def write(row: InternalRow): Unit = {
-    out.write(s"${row.getLong(0)}${KvFormat.SEP}${row.getUTF8String(1)}${KvFormat.SEP}${row.getUTF8String(2)}")
+    // the format is one cell per line, tab-separated: reject rather than
+    // silently corrupt rows whose fields would break framing
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+      "graft-kv cells must be fully non-null")
+    val q = row.getUTF8String(1).toString
+    val v = row.getUTF8String(2).toString
+    require(!q.contains('\t') && !q.contains('\n') && !v.contains('\t') && !v.contains('\n'),
+      "graft-kv qualifier/value must not contain tab or newline")
+    out.write(s"${row.getLong(0)}${KvFormat.SEP}$q${KvFormat.SEP}$v")
     out.newLine()
   }
   override def commit(): WriterCommitMessage = {

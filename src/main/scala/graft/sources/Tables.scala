@@ -38,10 +38,21 @@ object Tables {
     * oracle sees byte-identical timestamps.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enableNanosAsLong(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", eventsTsFromNanos)
   }
+
+  /** The two halves of the ns workaround, shared with the streaming
+    * reader (operators.TimeSeries.tsTumblingStream) so batch and stream
+    * can never diverge on the conversion. */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Exact ns→µs truncation of the raw long `ts` (`div`, not `/` —
+    * double division loses precision at 1e18 nanos). */
+  def eventsTsFromNanos: org.apache.spark.sql.Column =
+    timestamp_micros(expr("ts div 1000"))
 
   /** Money math: cast to DECIMAL(18,2) so aggregation is associative and
     * exact — Spark's partial aggregation order then cannot diverge from
