@@ -211,13 +211,50 @@ object LlmVector {
        |    WHERE q.vec_id < 30))
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× memory reduction for serving/storing a 100 TB embedding corpus
+    * (scale = max|x|/127 per vector, q = round-half-up(x/scale)).
+    * Output is the exploded (vec_id, pos, q, scale) long format.
+    *
+    * Determinism: `floor(x/scale + 0.5)` instead of round() — floor is
+    * exact on doubles in both engines, while round()'s half-way rule
+    * differs (Spark rounds the shortest decimal repr, DuckDB the binary
+    * value) and quantization lands on exact halves routinely. The final
+    * int cast is of an integral double, so DuckDB's round-on-cast vs
+    * Spark's truncate-on-cast difference cannot bite.
+    */
+  def llmEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .withColumn("scale", expr(
+        "aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / 127"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+        when(col("scale") === 0, 0)
+          .otherwise(expr("cast(floor(cast(x as double) / scale + 0.5d) as int)")).as("q"),
+        col("scale"))
+      .orderBy("vec_id", "pos")
+
+  val llmEmbedQuantizeOracle: String =
+    """SELECT vec_id, k AS pos,
+      |  CASE WHEN scale = 0 THEN 0
+      |       ELSE CAST(FLOOR(CAST(embedding[k] AS DOUBLE) / scale + 0.5) AS INT) END AS q,
+      |  scale
+      |FROM (SELECT vec_id, embedding,
+      |        CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127 AS scale
+      |      FROM embeddings),
+      |     range(1, 4096) r(k)
+      |WHERE k <= len(embedding)
+      |ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_quantize" -> (llmEmbedQuantize _),
     "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
     "llm_ann_lsh" -> (llmAnnLsh _),
     "llm_ann_ivf" -> (llmAnnIvf _),
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
+    "llm_embed_quantize" -> llmEmbedQuantizeOracle,
     "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
     "llm_ann_lsh" -> llmAnnLshOracle,
     "llm_ann_ivf" -> llmAnnIvfOracle,
