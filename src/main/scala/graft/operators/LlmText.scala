@@ -184,15 +184,16 @@ object LlmText {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Rolling polynomial content fingerprint, h = (31h + ascii) mod 1e9+7,
-    * folded per character in both engines. */
-  def llmFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    * folded per character in both engines — via the native codegen'd
+    * `rolling_hash` expression (one loop per string; the HOF fold
+    * materialized a per-char array + two interpreted lambdas per char,
+    * making this the third-slowest bench key). */
+  def llmFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TextExprs.register(spark)
     documents(spark, sfDir)
-      .select(col("doc_id"),
-        expr("""aggregate(
-          |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-          |  cast(0 as bigint),
-          |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("fingerprint"))
+      .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   val llmFingerprintOracle: String =
     """SELECT doc_id,

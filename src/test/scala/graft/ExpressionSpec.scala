@@ -56,6 +56,22 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("rolling_hash equals the higher-order fold formulation on real docs") {
+    graft.functions.TextExprs.register(spark)
+    val d = graft.sources.Tables.documents(spark, sf).limit(100)
+    val both = d.select(
+      expr("rolling_hash(text)").as("native"),
+      expr("""aggregate(
+        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        |  cast(0 as bigint),
+        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty string hashes to 0; codegen and interpreted agree
+    assert(graft.functions.RollingHash.hash("") == 0L)
+    val r = spark.sql("SELECT rolling_hash('')").collect()(0).getLong(0)
+    assert(r == 0L)
+  }
+
   test("null inputs yield null") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql("SELECT float_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
