@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Library install path for graft's native functions: add
   * `spark.sql.extensions=graft.GraftExtensions` (or
-  * `builder.withExtensions(new GraftExtensions)`) and `float_dot` is
-  * available in SQL on every session. The harness's plain sessions use
-  * the equivalent runtime registration in
-  * [[graft.functions.VectorExprs.register]].
+  * `builder.withExtensions(new GraftExtensions)`) and `float_dot` /
+  * `rolling_hash` are available in SQL on every session. The harness's
+  * plain sessions use the equivalent runtime registrations in
+  * [[graft.functions.VectorExprs.register]] and
+  * [[graft.functions.TextExprs.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.FloatDot].getName, "float_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[functions.RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.RollingHash(exprs.head)))
   }
 }
