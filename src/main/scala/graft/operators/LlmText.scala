@@ -248,7 +248,61 @@ object LlmText {
        |  AND quality_e6 >= 600000
        |ORDER BY doc_id""".stripMargin
 
+  /** Concat-and-chunk sequence packing — how a training pipeline fills
+    * fixed context windows: documents concatenate in doc_id order and
+    * split every 512 tokens. Each doc gets its exclusive-prefix-sum
+    * start offset; chunk id = offset div 512, and spans counts how many
+    * window boundaries the doc crosses. One window prefix-sum = one
+    * shuffle; at 100 TB the order key becomes (shard, doc_id) and the
+    * prefix sum runs per shard — same plan. */
+  def llmPackChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("start_tok"),
+        expr("start_tok div 512").as("chunk_id"),
+        expr("(start_tok + n_tokens - 1) div 512 - start_tok div 512").as("spans"))
+      .orderBy("doc_id")
+  }
+
+  val llmPackChunksOracle: String =
+    """SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(start_tok // 512 AS BIGINT) AS chunk_id,
+      |  CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 AS BIGINT) AS spans
+      |FROM (SELECT doc_id, n_tokens,
+      |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |      FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Reproducible stratified sampling — the data-mix primitive: keep a
+    * deterministic ~25% of each language by thresholding a salted md5 of
+    * the doc id (hex-prefix < '4' ⇔ first 4 bits < 4/16). Hash-based
+    * sampling shuffles nothing, scales embarrassingly, and re-runs
+    * byte-identically — unlike rand()-based sampling. */
+  def llmSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .filter(substring(md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 1) < "4")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang")
+
+  val llmSampleStratifiedOracle: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack_chunks" -> (llmPackChunks _),
+    "llm_sample_stratified" -> (llmSampleStratified _),
     "llm_curation" -> (llmCuration _),
     "llm_text_stats" -> (llmTextStats _),
     "llm_tfidf_top" -> (llmTfidfTop _),
@@ -259,6 +313,8 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_pack_chunks" -> llmPackChunksOracle,
+    "llm_sample_stratified" -> llmSampleStratifiedOracle,
     "llm_curation" -> llmCurationOracle,
     "llm_text_stats" -> llmTextStatsOracle,
     "llm_tfidf_top" -> llmTfidfTopOracle,
