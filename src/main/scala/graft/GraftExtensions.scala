@@ -17,12 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[functions.FloatDot].getName, "float_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.FloatDot(exprs(0), exprs(1))))
+      functions.VectorExprs.build _))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[functions.RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.RollingHash(exprs.head)))
+      functions.TextExprs.build _))
   }
 }

@@ -71,8 +71,15 @@ object RollingHash {
 }
 
 object TextExprs {
+  /** Shared builder with an arity check: `exprs.head` alone would
+    * silently drop extra arguments and die opaquely on zero. */
+  private[graft] def build(exprs: Seq[Expression]): RollingHash = {
+    require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
+    RollingHash(exprs.head)
+  }
+
   /** Registers `rolling_hash`; idempotent (same pattern as VectorExprs). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash", build, "built-in")
 }

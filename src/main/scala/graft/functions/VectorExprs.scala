@@ -85,7 +85,14 @@ object VectorExprs {
     * usable from `expr(...)`/SQL. Idempotent. (The library-install path
     * would be a SparkSessionExtensions.injectFunction; runtime
     * registration keeps the harness's plain sessions working.) */
+  /** Shared builder with an arity check (indexing alone would silently
+    * drop extra arguments). */
+  private[graft] def build(exprs: Seq[Expression]): FloatDot = {
+    require(exprs.length == 2, s"float_dot expects 2 arguments, got ${exprs.length}")
+    FloatDot(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+      "float_dot", build, "built-in")
 }

@@ -235,15 +235,15 @@ object LlmVector {
       .orderBy("vec_id", "pos")
 
   val llmEmbedQuantizeOracle: String =
-    """SELECT vec_id, k AS pos,
+    """SELECT vec_id, pos,
       |  CASE WHEN scale = 0 THEN 0
-      |       ELSE CAST(FLOOR(CAST(embedding[k] AS DOUBLE) / scale + 0.5) AS INT) END AS q,
+      |       ELSE CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END AS q,
       |  scale
-      |FROM (SELECT vec_id, embedding,
-      |        CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127 AS scale
-      |      FROM embeddings),
-      |     range(1, 4096) r(k)
-      |WHERE k <= len(embedding)
+      |FROM (SELECT vec_id,
+      |        generate_subscripts(embedding, 1) AS pos,
+      |        unnest(embedding) AS x,
+      |        CAST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE) / 127 AS scale
+      |      FROM embeddings)
       |ORDER BY vec_id, pos""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -86,17 +86,33 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
-  test("GraftExtensions installs float_dot on a fresh session") {
-    val ext = new GraftExtensions()
-    // Applying to the extensions object must register exactly our
-    // builder; behavior is then exercised through a SQL call on a
-    // session that got the runtime-equivalent registration.
-    val e = new org.apache.spark.sql.SparkSessionExtensions
-    ext.apply(e) // must not throw; wiring is type-checked at compile time
-    graft.functions.VectorExprs.register(spark)
-    val v = spark.sql(
-      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
-      .collect()(0).getDouble(0)
-    assert(v == 11.0)
+  test("GraftExtensions installs float_dot and rolling_hash through the real builder path") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate only applies extensions when it CREATES a session, so
+    // clear the default/active session (the shared SparkContext is
+    // reused) and restore afterwards — do NOT stop the new session, that
+    // would kill the context under the other suites.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val r = s2.sql(
+        """SELECT rolling_hash('abc') AS h,
+          |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0)
+      assert(r.getLong(0) == graft.functions.RollingHash.hash("abc"))
+      assert(r.getDouble(1) == 11.0)
+      // arity is enforced, not silently truncated
+      intercept[Exception] { s2.sql("SELECT rolling_hash('a', 31)").collect() }
+      intercept[Exception] { s2.sql("SELECT rolling_hash()").collect() }
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
   }
 }
