@@ -29,6 +29,7 @@ object Bench {
     // (SPARK_GRAFT_KEYS=llm_dedup_minhash,llm_curation); driver sets none.
     val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
       .map(_.split(",").map(_.trim).toSet)
+    val keysTotal = SparkEntry.queries.size
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -38,15 +39,24 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Measure every key against a clean block manager: the dedup keys
+      // pin localCheckpoint blocks that otherwise accumulate and tax the
+      // (alphabetically) later keys with GC/memory pressure — the r2
+      // driver bench showed 3–10× inflation clustered on the sorted tail.
+      // Cleanup runs OUTSIDE the timed section.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, t, ok)
     }
     val failed = results.collect { case (n, _, false) => n }
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // total + errors lead the line so a truncated tail still carries them
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}""")
+    // total + errors lead the line so a truncated tail still carries them;
+    // keys_run vs keys_total makes a filtered run self-identifying.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

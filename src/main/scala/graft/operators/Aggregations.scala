@@ -266,25 +266,35 @@ object Aggregations {
     "udaf_weighted_avg" -> udafWeightedAvgOracle)
 }
 
-/** Qty-weighted average price: buffer keeps exact decimal partial sums
-  * (Σ price·qty, Σ qty) so merge order cannot change the result; the
-  * division to double happens once at finish (SURVEY.md §2.B
-  * udaf_weighted_avg).
+/** Qty-weighted average price: buffer keeps exact partial sums
+  * (Σ price·qty in e-4 units, Σ qty in e-2 units) so merge order cannot
+  * change the result; the division to double happens once at finish
+  * (SURVEY.md §2.B udaf_weighted_avg).
+  *
+  * The buffer is a pair of primitive longs, not BigDecimal (round-2
+  * fix: the boxed-decimal buffer forced per-row serialization in
+  * ObjectHashAggregate — 10× slower in the driver bench). Inputs are
+  * 2-dp money/quantity doubles, so x·100 is within 1e-9 of an integer
+  * and round() recovers the exact unscaled value; the integer sums are
+  * associative and exact (≤ ~5e10 per row — Long overflows only past
+  * ~2e8 rows per group at TPC-H value ranges, far beyond any tested SF).
+  * finish() matches the oracle's CAST(SUM(DECIMAL) AS DOUBLE) division
+  * bit-for-bit while the sums stay below 2^53 (exact long→double, then
+  * one correctly-rounded divide by an exact power of ten each).
   */
 object WeightedAvgAgg
-    extends org.apache.spark.sql.expressions.Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    extends org.apache.spark.sql.expressions.Aggregator[(Double, Double), (Long, Long), Double] {
   import org.apache.spark.sql.{Encoder, Encoders}
 
-  private def d2(x: Double): BigDecimal =
-    BigDecimal(java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP))
+  private def e2(x: Double): Long = math.round(x * 100.0)
 
-  def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
-  def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)): (BigDecimal, BigDecimal) =
-    (b._1 + d2(in._1) * d2(in._2), b._2 + d2(in._2))
-  def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) =
+    (b._1 + e2(in._1) * e2(in._2), b._2 + e2(in._2))
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
-  def finish(b: (BigDecimal, BigDecimal)): Double =
-    if (b._2.signum == 0) 0.0 else (b._1.toDouble / b._2.toDouble)
-  def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] = Encoders.product[(BigDecimal, BigDecimal)]
+  def finish(b: (Long, Long)): Double =
+    if (b._2 == 0L) 0.0 else (b._1.toDouble / 10000.0) / (b._2.toDouble / 100.0)
+  def bufferEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -252,16 +252,39 @@ object LlmText {
     * fixed context windows: documents concatenate in doc_id order and
     * split every 512 tokens. Each doc gets its exclusive-prefix-sum
     * start offset; chunk id = offset div 512, and spans counts how many
-    * window boundaries the doc crosses. One window prefix-sum = one
-    * shuffle; at 100 TB the order key becomes (shard, doc_id) and the
-    * prefix sum runs per shard — same plan. */
+    * window boundaries the doc crosses.
+    *
+    * Distributed two-level prefix sum (round-2 fix — the previous global
+    * `Window.orderBy` moved the whole corpus into ONE task):
+    *   1. shard = doc_id div W — a monotone shard key, so concatenation
+    *      order is (shard, doc_id) = plain doc_id order;
+    *   2. per-shard exclusive prefix sum — a PARTITIONED window, every
+    *      shard is an independent task;
+    *   3. shard start offsets = exclusive prefix over the per-shard
+    *      totals — computed with a broadcast triangular join over the
+    *      tiny totals frame (n_docs/W rows), not a global window;
+    *   4. start_tok = shard offset + within-shard prefix, broadcast-
+    *      joined back — partition-local, no extra shuffle of the corpus.
+    * At 100 TB: pick W so a shard is a few hundred MB; the only global
+    * structure is the totals frame (≤ ~1e4 rows at any plausible scale).
+    */
   def llmPackChunks(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    documents(spark, sfDir)
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+    val shardWidth = 128L
+    val toks = documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = toks.withColumn("local_tok",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val totals = toks.groupBy("shard").agg(sum(col("n_tokens")).as("shard_total"))
+    val earlier = totals.select(col("shard").as("b_shard"), col("shard_total").as("b_total"))
+    val offsets = totals.join(broadcast(earlier), col("b_shard") < col("shard"), "left")
+      .groupBy("shard").agg(coalesce(sum(col("b_total")), lit(0L)).as("shard_offset"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .withColumn("start_tok", col("shard_offset") + col("local_tok"))
+      .select(col("doc_id"), col("n_tokens"),
         col("start_tok"),
         expr("start_tok div 512").as("chunk_id"),
         expr("(start_tok + n_tokens - 1) div 512 - start_tok div 512").as("spans"))

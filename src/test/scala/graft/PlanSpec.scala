@@ -61,4 +61,17 @@ class PlanSpec extends SparkSpec {
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")
     }
   }
+
+  test("no graded plan contains an unpartitioned (single-task) Window") {
+    // An empty partitionSpec moves the ENTIRE input to one task — the
+    // round-2 llm_pack_chunks scale-killer. Checked on the optimized
+    // logical plan (AQE hides physical nodes before execution).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    SparkEntry.queries.keys.foreach { k =>
+      val bad = run(k).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$k plans an unpartitioned Window (single task at scale)")
+    }
+  }
 }
