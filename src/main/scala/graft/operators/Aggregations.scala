@@ -111,13 +111,46 @@ object Aggregations {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** HyperLogLog approximate distinct — sketch output is engine-specific,
-    * so this key is deliberately oracle-exempt (rows-only check). */
-  def aggApproxHll(spark: SparkSession, sfDir: String): DataFrame =
+  /** Approximate distinct users per event type via a PORTABLE bottom-k
+    * (KMV) sketch — round-3 change: `approx_count_distinct`'s HLL is
+    * engine-specific and left this the single oracle-exempt key, while
+    * the KMV estimate (graft.functions.KmvDistinctAgg) is deterministic
+    * integer math over md5, reproduced bit-for-bit by the DuckDB oracle.
+    * Exact distinct is included so the sketch's error is itself a graded
+    * output (err_pct_e6 = |approx−exact|·1e6 div exact). Spark's native
+    * HLL remains available to users; the graded surface is the sketch
+    * whose answer can be CHECKED. */
+  def aggApproxHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinctAgg)
     events(spark, sfDir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(kmv(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("err_pct_e6",
+        expr("(1000000 * abs(approx_users - exact_users)) div exact_users"))
       .orderBy("event_type")
+  }
+
+  val aggApproxHllOracle: String =
+    """WITH hv AS (
+      |  SELECT DISTINCT event_type,
+      |    list_reduce(list_transform(range(1, 13),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_h
+      |  FROM hv),
+      |kmv AS (
+      |  SELECT event_type,
+      |    CASE WHEN n_h < 64 THEN n_h ELSE (63 * 281474976710656) // h END AS approx_users
+      |  FROM ranked WHERE rn = LEAST(n_h, 64)),
+      |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+      |SELECT kmv.event_type, approx_users, exact_users,
+      |  (1000000 * abs(approx_users - exact_users)) // exact_users AS err_pct_e6
+      |FROM kmv JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
 
   /** ROLLUP(region, nation) revenue. Spark sorts nulls first by default;
     * the oracle says NULLS FIRST explicitly. */
@@ -259,6 +292,7 @@ object Aggregations {
     "agg_global" -> aggGlobalOracle,
     "agg_having" -> aggHavingOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
+    "agg_approx_hll" -> aggApproxHllOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_grouping_sets" -> aggGroupingSetsOracle,

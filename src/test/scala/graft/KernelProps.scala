@@ -37,6 +37,35 @@ object KernelProps extends Properties("graft.kernels") {
     WeightedAvgAgg.merge(reduceAll(l), reduceAll(r)) == reduceAll(xs)
   }
 
+  // --- KMV distinct sketch: the partial/final split and input order must
+  // never change the sketch, and duplicates must not perturb it ---
+  import graft.functions.KmvDistinctAgg
+  private val ids = Gen.listOfN(150, Gen.chooseNum(0L, 500L))
+
+  private def sketchAll(xs: List[Long]) =
+    xs.foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce)
+
+  property("kmv partition split never changes the sketch") =
+    Prop.forAll(ids, Gen.chooseNum(0, 150)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      KmvDistinctAgg.merge(sketchAll(l), sketchAll(r)).sameElements(sketchAll(xs))
+    }
+
+  property("kmv merge is commutative") = Prop.forAll(ids, ids) { (xs, ys) =>
+    KmvDistinctAgg.merge(sketchAll(xs), sketchAll(ys))
+      .sameElements(KmvDistinctAgg.merge(sketchAll(ys), sketchAll(xs)))
+  }
+
+  property("kmv is duplicate- and order-insensitive") = Prop.forAll(ids) { xs =>
+    sketchAll(xs ++ xs).sameElements(sketchAll(xs)) &&
+      sketchAll(xs.reverse).sameElements(sketchAll(xs))
+  }
+
+  property("kmv is exact below k distinct") =
+    Prop.forAll(Gen.listOfN(40, Gen.chooseNum(0L, 30L))) { xs =>
+      KmvDistinctAgg.finish(sketchAll(xs)) == xs.distinct.size.toLong
+    }
+
   private val floatArr = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
 
   private def evalDot(a: Array[Float], b: Array[Float]): Double =
