@@ -17,6 +17,43 @@ import graft.sources.Tables._
   */
 object TimeSeries {
 
+  /** Per-process staging tag: two concurrent runs against the same sfDir
+    * (e.g. bench + verify in separate JVMs) must not overwrite each
+    * other's file-stream staging dirs or memory-sink names mid-stream.
+    * Per-JVM (not per-call) so repeated in-process calls reuse one dir. */
+  private val runTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Stage the events file as `nCopies` full copies (each one micro-batch
+    * under `maxFilesPerTrigger=1`) under a per-process scratch dir and
+    * open it as a file-stream with the µs-truncated `ts`. */
+  private def stagedEventStream(spark: SparkSession, sfDir: String,
+      name: String, nCopies: Int): DataFrame = {
+    enableNanosAsLong(spark)
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stageDir =
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val src = spark.read.parquet(path)
+    if (nCopies == 1) src.repartition(2).write.mode("overwrite").parquet(stageDir)
+    else {
+      src.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      (2 to nCopies).foreach(_ => src.coalesce(1).write.mode("append").parquet(stageDir))
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", eventsTsFromNanos)
+  }
+
+  /** Run a streaming frame to completion through a per-process memory
+    * sink and return the sink table. */
+  private def runToMemory(df: DataFrame, sink: String, mode: String): DataFrame = {
+    val name = s"${sink}_$runTag"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** 1-hour tumbling window counts + exact value sums per event type. */
   def tsTumbling(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
@@ -60,29 +97,58 @@ object TimeSeries {
     * event_type) exactly like the batch shuffle.
     */
   def tsTumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    enableNanosAsLong(spark)
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     // The file stream source requires a DIRECTORY (round-1 lesson): stage
     // the single events file as two splits so there are ≥2 micro-batches.
-    val stageDir = s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/tumbling"
-    spark.read.parquet(path).repartition(2)
-      .write.mode("overwrite").parquet(stageDir)
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", eventsTsFromNanos)
+    val agg = stagedEventStream(spark, sfDir, "tumbling", 1)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
-    val sink = "graft_ts_tumbling_stream"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(sink)
+    runToMemory(agg, "graft_ts_tumbling_stream", "complete")
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
+  }
+
+  /** `ts_session` executed as a REAL Structured Streaming job via the
+    * native `session_window` operator: per-user sessions with a
+    * 30-minute gap, state merged across micro-batches, complete output
+    * mode. Session-window semantics (an event exactly at the gap
+    * boundary MERGES — windows are [start, end) and a touching window
+    * extends the session) coincide with the batch gaps-and-islands form
+    * (`new_sess` iff gap STRICTLY exceeds 30 min), so the key shares
+    * `ts_session`'s DuckDB oracle: session_start = min(ts) per merged
+    * window. At scale this is the plan you'd run from Kafka — state
+    * shuffles by (user, session) with watermark-driven eviction.
+    */
+  def tsSessionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = stagedEventStream(spark, sfDir, "session", 1)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    runToMemory(agg, "graft_ts_session_stream", "complete")
+      .select(col("user_id"), col("mn").as("session_start"), col("n_events"),
+        (unix_micros(col("mx")) - unix_micros(col("mn"))).as("duration_us"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** `ts_dedup_watermark` executed as a REAL Structured Streaming job:
+    * the events file is staged TWICE (replay!), fed one copy per
+    * micro-batch through `dropDuplicatesWithinWatermark` on event_id.
+    * Batch 2 is the at-least-once replay: rows still inside the
+    * watermark hit dedup state, rows behind it are dropped as late —
+    * either way exactly one row per event_id survives, and because
+    * replayed rows are byte-identical the survivor set equals the batch
+    * form regardless of arrival order. Append mode: emitted once, never
+    * revised — the streaming contract the batch key models.
+    */
+  def tsDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = stagedEventStream(spark, sfDir, "dedup", 2)
+      .select("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(dedup, "graft_ts_dedup_stream", "append")
+      .select("event_id", "ts", "user_id", "event_type")
+      .orderBy("event_id")
   }
 
   /** Per-user session windows with a 30-minute inactivity gap —
@@ -172,15 +238,19 @@ object TimeSeries {
     "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
     "ts_session" -> (tsSession _),
+    "ts_session_stream" -> (tsSessionStream _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
+    "ts_dedup_stream" -> (tsDedupStream _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
     "ts_tumbling" -> tsTumblingOracle,
-    // the streaming execution must produce exactly the batch result
+    // the streaming executions must produce exactly the batch results
     "ts_tumbling_stream" -> tsTumblingOracle,
     "ts_sliding" -> tsSlidingOracle,
     "ts_session" -> tsSessionOracle,
+    "ts_session_stream" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,
+    "ts_dedup_stream" -> tsDedupWatermarkOracle,
     "ts_late_data" -> tsLateDataOracle)
 }
