@@ -78,6 +78,34 @@ object Sources {
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value
       |FROM supplier WHERE s_suppkey <= 500 ORDER BY rowkey""".stripMargin
 
+  /** Full snapshot lifecycle on the graft-kv store (SURVEY.md §2.A
+    * R1/R4/R5 — the reference's raison d'être): CREATE a named immutable
+    * snapshot of the model cells, create + DELETE a second snapshot
+    * (delete must actually remove it from the committed listing), then
+    * RESTORE the first through its verifying manifest and return the
+    * restored cells. The oracle checks restored == source, i.e. the
+    * whole create→restore path is lossless; lifecycle invariants that
+    * aren't row-shaped (immutability, tamper detection, delete of a
+    * missing name) are pinned in KvSnapshotsSpec. */
+  def kvSnapshotLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch(sfDir, "kv_snapshots")
+    // graded key must be re-runnable: clear any prior run's snapshots
+    graft.sources.KvSnapshots.list(root)
+      .foreach(graft.sources.KvSnapshots.delete(root, _))
+    val cells = Scans.scanKvModel(spark, sfDir)
+    graft.sources.KvSnapshots.create(cells, root, "model_v1")
+    graft.sources.KvSnapshots.create(
+      cells.filter(col("qualifier") === "name"), root, "tmp_names")
+    graft.sources.KvSnapshots.delete(root, "tmp_names")
+    val live = graft.sources.KvSnapshots.list(root)
+    require(live == Seq("model_v1"), s"lifecycle broken: live snapshots $live")
+    graft.sources.KvSnapshots.restore(spark, root, "model_v1")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** Restored cells must equal the source cells. */
+  val kvSnapshotLifecycleOracle: String = Scans.scanKvModelOracle
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -124,6 +152,7 @@ object Sources {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_kv_connector" -> (sourceKvConnector _),
+    "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
@@ -131,6 +160,7 @@ object Sources {
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
     "source_kv_connector" -> sourceKvConnectorOracle,
+    "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }
