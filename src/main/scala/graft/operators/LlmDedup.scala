@@ -305,54 +305,98 @@ object LlmDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Connected components over an undirected pair list via alternating
+    * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — O(log n) rounds regardless
+    * of component diameter, vs O(diameter) for label propagation (the
+    * round-2 implementation; a 100 TB corpus chained by boilerplate
+    * produces long paths).
+    *
+    * Edges are kept directed child→parent (src > dst). Per round:
+    *  - large-star: every node attaches its LARGER neighbors to the min
+    *    of its neighborhood (including itself);
+    *  - small-star: every node reattaches its parents and itself to its
+    *    min parent.
+    * Each op is equi-join + groupBy shuffles keyed by node id — the
+    * standard CC-on-MapReduce shape. Lineage is cut per round with
+    * localCheckpoint; CONVERGENCE is read from a Spark accumulator fed
+    * by the same materializing job (an emission flags `changed` iff it
+    * rewires its source edge), so no extra comparison/count job runs per
+    * round. All-flags-false ⇔ every node's neighborhood min is itself a
+    * direct parent ⇔ the graph is a forest of stars = the fixpoint;
+    * task retries can only inflate the counter, never fake convergence.
+    *
+    * Returns (labels (doc_id, cluster_id = component min), rounds run).
+    */
+  private[operators] def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 30): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("graft_cc_rewires")
+
+    // Strips the per-emission change flag into the accumulator while the
+    // checkpoint job materializes the round — a narrow final map stage.
+    def materialize(df: DataFrame): DataFrame =
+      df.as[(Long, Long, Boolean)].mapPartitions { it =>
+        it.map { case (s, d, ch) => if (ch) acc.add(1L); (s, d) }
+      }.toDF("src", "dst").localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("mnv"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("s"), col("m").as("d"), (col("m") =!= col("u")).as("ch"))
+        .groupBy("s", "d").agg(max("ch").as("ch"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("mn"), count(lit(1)).as("deg"))
+      // u reattaches itself to its min parent (a change unless it was the
+      // only parent) and every non-min parent to that min (always new).
+      val self = mins.select(col("src").as("s"), col("mn").as("d"),
+        (col("deg") > 1).as("ch"))
+      val rewire = e.join(mins, "src").filter(col("dst") =!= col("mn"))
+        .select(col("dst").as("s"), col("mn").as("d"), lit(true).as("ch"))
+      self.unionAll(rewire).groupBy("s", "d").agg(max("ch").as("ch"))
+    }
+
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("src"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val before = acc.value
+      e = materialize(largeStar(e))
+      e = materialize(smallStar(e))
+      rounds += 1
+      converged = acc.value == before
+    }
+    // a silent cap would ship wrong cluster ids — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters star rounds")
+    val labels = e.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionAll(e.select(col("dst"), col("dst")).distinct()
+        .toDF("doc_id", "cluster_id"))
+    (labels, rounds)
+  }
+
   /** Near-dup CLUSTER resolution — what a curation pipeline actually
     * consumes (pairs alone can't answer "which doc represents this
     * group"): connected components over the J ≥ 0.9 near-dup graph,
-    * cluster id = min doc_id in the component.
-    *
-    * Algorithm: min-label propagation — each round every node takes the
-    * min label among itself and its neighbors; converges in ≤ diameter
-    * rounds. Each round is one shuffle-by-dst join + a groupBy (the
-    * GraphX/connected-components shape); lineage is cut per round with
-    * localCheckpoint so the plan does not grow with iterations, and the
-    * driver-side loop runs one COUNT per round purely as the convergence
-    * test. At 100 TB swap the propagation for the large-star/small-star
-    * variant (O(log n) rounds on skewed components) — the per-round join
-    * structure is identical. Edges come from the lossless prefix-filtered
-    * generator, so the pair set equals exact Jaccard.
+    * cluster id = min doc_id in the component. Edges come from the
+    * lossless prefix-filtered generator, so the pair set equals exact
+    * Jaccard; components resolve via [[connectedComponents]]'
+    * large-star/small-star rounds.
     */
   def llmDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = nearDupPairsPrefix(shingles(spark, sfDir), 10)
       .select("doc_a", "doc_b").localCheckpoint()
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
-    val maxIters = 50
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val prop = edges.join(labels, col("dst") === col("v"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("v") === col("src"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.v") === col("p.v"))
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    // a silent cap would ship wrong cluster ids for long chains — fail loudly
-    if (!converged) throw new IllegalStateException(
-      s"llm_dedup_clusters did not converge within $maxIters rounds " +
-        "(component diameter exceeds the cap; raise maxIters or switch to large-star/small-star)")
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    connectedComponents(pairs)._1.orderBy("doc_id")
   }
 
   /** Transitive closure by recursive CTE — exact reference for the
