@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
@@ -18,6 +20,36 @@ object Sources {
 
   private def scratch(sfDir: String, name: String): String =
     s"/tmp/graft_export/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** Per-process tag for the snapshot roots (mirror of TimeSeries.runTag):
+    * two concurrent JVMs on the same sfDir — the exact bench+verify
+    * scenario — must not race on create/delete of the same named
+    * snapshots. The tagged roots are deleted on JVM exit so /tmp does
+    * not accumulate across runs. */
+  private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Recursive delete that also removes UNCOMMITTED (manifest-less)
+    * snapshot dirs a crashed prior run may have left — list()-based
+    * cleanup cannot see those. */
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
+  private val hookedRoots = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def snapshotRoot(sfDir: String, name: String): String = {
+    val root = scratch(sfDir, s"${name}_$procTag")
+    deleteTree(root) // re-runnable in-process, and clears crashed leftovers
+    // one exit hook per root, however often the key re-runs in-process
+    hookedRoots.getOrElseUpdate(root, { sys.addShutdownHook(deleteTree(root)); () })
+    root
+  }
 
   /** Parquet → CSV (header) → read back with explicit schema; returns
     * the read-back rows so the oracle checks full fidelity. */
@@ -88,10 +120,8 @@ object Sources {
     * aren't row-shaped (immutability, tamper detection, delete of a
     * missing name) are pinned in KvSnapshotsSpec. */
   def kvSnapshotLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = scratch(sfDir, "kv_snapshots")
-    // graded key must be re-runnable: clear any prior run's snapshots
-    graft.sources.KvSnapshots.list(root)
-      .foreach(graft.sources.KvSnapshots.delete(root, _))
+    // per-process root, wiped whole (uncommitted dirs included) up front
+    val root = snapshotRoot(sfDir, "kv_snapshots")
     val cells = Scans.scanKvModel(spark, sfDir)
     graft.sources.KvSnapshots.create(cells, root, "model_v1")
     graft.sources.KvSnapshots.create(
@@ -105,6 +135,48 @@ object Sources {
 
   /** Restored cells must equal the source cells. */
   val kvSnapshotLifecycleOracle: String = Scans.scanKvModelOracle
+
+  /** Incremental snapshot export (SURVEY.md §1.2 "creating a snapshot
+    * copies no data"): snapshot v1 of the model cells, then v2 of a
+    * MODIFIED frame (acctbal values adjusted). Both frames are written
+    * under the same deterministic layout — hash-partitioned by qualifier
+    * and sorted within partitions — so the unmodified qualifiers produce
+    * byte-identical files and v2 stores them as hard links to v1's
+    * immutable files, recorded as `shared_from` in the manifest. The key
+    * requires ≥1 shared file (the dedup actually happened) and returns
+    * the verified restore of v2; the oracle checks it equals the
+    * modified frame exactly. */
+  def kvSnapshotIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapshotRoot(sfDir, "kv_snapshots_inc")
+    // deterministic file layout: qualifier-pure files, rowkey-sorted.
+    // The EXPLICIT partition count matters: with a bare repartition(col)
+    // AQE may coalesce v1 and v2 differently (their byte sizes differ),
+    // splitting identical cells across different file boundaries and
+    // defeating content-hash sharing.
+    def layout(df: DataFrame): DataFrame =
+      df.repartition(8, col("qualifier")).sortWithinPartitions("rowkey", "qualifier")
+    val v1 = Scans.scanKvModel(spark, sfDir)
+    graft.sources.KvSnapshots.create(layout(v1), root, "model_v1")
+    val v2 = v1.withColumn("value",
+      when(col("qualifier") === "acctbal", concat(col("value"), lit("#adj")))
+        .otherwise(col("value")))
+    graft.sources.KvSnapshots.createIncremental(layout(v2), root, "model_v2", "model_v1")
+    val shared = graft.sources.KvSnapshots.sharedFiles(root, "model_v2")
+    require(shared.nonEmpty, "incremental snapshot shared no files with its base")
+    val live = graft.sources.KvSnapshots.list(root)
+    require(live == Seq("model_v1", "model_v2"), s"lifecycle broken: live snapshots $live")
+    // restore verifies v2's full manifest — shared AND new files alike
+    graft.sources.KvSnapshots.restore(spark, root, "model_v2")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** Restored v2 must equal the modified frame. */
+  val kvSnapshotIncrementalOracle: String =
+    """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '#adj' AS value FROM supplier
+      |UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier
+      |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+      |ORDER BY rowkey, qualifier""".stripMargin
 
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
@@ -153,6 +225,7 @@ object Sources {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_kv_connector" -> (sourceKvConnector _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
+    "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
@@ -161,6 +234,7 @@ object Sources {
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
     "source_kv_connector" -> sourceKvConnectorOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
+    "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }

@@ -55,6 +55,102 @@ object KvFormat {
   }
 }
 
+/** Per-file statistics computed INSIDE the writing task (streaming MD5 +
+  * cell count + rowkey min/max) and carried back through the
+  * `WriterCommitMessage` — the scale rule is that checksum work rides the
+  * distributed write, never a driver re-read (O(files) driver metadata,
+  * O(data) only on executors). The job committer persists them as the
+  * `.file_meta.tsv` index next to the data, the same role HBase region
+  * metadata plays: rowkey bounds let the scan prune files, and the
+  * snapshot manifest is assembled from these entries without touching
+  * data bytes again. */
+case class KvFileMeta(file: String, bytes: Long, md5: String, cells: Long,
+    minKey: Long, maxKey: Long)
+
+object KvMeta {
+  val FILE = ".file_meta.tsv"
+
+  /** The committed per-file index for a kv dir; files without an entry
+    * (e.g. hand-written fixtures) simply have no stats. */
+  def read(dir: String): Map[String, KvFileMeta] = {
+    val p = Paths.get(dir, FILE)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+      .map { l =>
+        val a = l.split("\t", 6)
+        KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong)
+      }
+      // last entry per filename wins (append-mode jobs merge on commit)
+      .map(m => m.file -> m).toMap
+  }
+
+  /** Merge new entries into the index: single job committer per dir
+    * (Spark's job-commit is driver-side and serialized), entries for
+    * deleted files are pruned, and the write is temp-file + atomic move
+    * so readers never see a torn index. */
+  def append(dir: String, entries: Seq[KvFileMeta]): Unit = {
+    val merged = (read(dir) ++ entries.map(m => m.file -> m).toMap)
+      .filter { case (f, _) => Files.exists(Paths.get(dir, f)) }
+    val text = merged.values.toSeq.sortBy(_.file)
+      .map(m => s"${m.file}\t${m.bytes}\t${m.md5}\t${m.cells}\t${m.minKey}\t${m.maxKey}")
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(dir, s"$FILE.tmp")
+    Files.writeString(tmp, text, StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(dir, FILE), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Streaming MD5 of a file (1 MiB chunks — constant memory regardless
+    * of file size; runs on executors for verification jobs). */
+  def md5HexOf(file: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(Paths.get(file))
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
+/** Conservative [lo, hi] rowkey interval implied by a pushed filter —
+  * the file-pruning mirror of HBase's region-range scan planning. ANDs
+  * intersect, ORs take the hull, anything not about rowkey is the full
+  * range. Never narrower than the true predicate, so pruning is always
+  * sound. */
+object KvKeyRange {
+  type Range = (Long, Long)
+  val Full: Range = (Long.MinValue, Long.MaxValue)
+  val Empty: Range = (1L, 0L) // lo > hi
+
+  def intersect(a: Range, b: Range): Range = (math.max(a._1, b._1), math.min(a._2, b._2))
+  def hull(a: Range, b: Range): Range =
+    if (a._1 > a._2) b else if (b._1 > b._2) a
+    else (math.min(a._1, b._1), math.max(a._2, b._2))
+
+  def of(f: Filter): Range = f match {
+    case EqualTo("rowkey", v: Number) => (v.longValue, v.longValue)
+    case GreaterThan("rowkey", v: Number) =>
+      if (v.longValue == Long.MaxValue) Empty else (v.longValue + 1, Long.MaxValue)
+    case GreaterThanOrEqual("rowkey", v: Number) => (v.longValue, Long.MaxValue)
+    case LessThan("rowkey", v: Number) =>
+      if (v.longValue == Long.MinValue) Empty else (Long.MinValue, v.longValue - 1)
+    case LessThanOrEqual("rowkey", v: Number) => (Long.MinValue, v.longValue)
+    case In("rowkey", vs) if vs != null && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      val ls = vs.map(_.asInstanceOf[Number].longValue)
+      (ls.min, ls.max)
+    case And(l, r) => intersect(of(l), of(r))
+    case Or(l, r) => hull(of(l), of(r))
+    case _ => Full
+  }
+
+  /** Top-level pushed filters are conjunctive. */
+  def ofAll(filters: Array[Filter]): Range =
+    filters.map(of).foldLeft(Full)(intersect)
+}
+
 class KvDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvFormat.schema
@@ -115,21 +211,31 @@ class KvScanBuilder(path: String)
   * code points. */
 object KvFilterEval {
   def supports(f: Filter): Boolean = f match {
-    case EqualTo(a, v) => ok(a) && v != null
-    case GreaterThan(a, v) => ok(a) && v != null
-    case GreaterThanOrEqual(a, v) => ok(a) && v != null
-    case LessThan(a, v) => ok(a) && v != null
-    case LessThanOrEqual(a, v) => ok(a) && v != null
-    case In(a, vs) => ok(a) && vs != null && vs.forall(_ != null)
+    case EqualTo(a, v) => ok(a, v)
+    case GreaterThan(a, v) => ok(a, v)
+    case GreaterThanOrEqual(a, v) => ok(a, v)
+    case LessThan(a, v) => ok(a, v)
+    case LessThanOrEqual(a, v) => ok(a, v)
+    case In(a, vs) => vs != null && vs.forall(ok(a, _))
     // Catalyst guards every pushed comparison with IsNotNull; accepting
     // it here is what lets column pruning drop filter-only columns.
-    case IsNotNull(a) => ok(a)
-    case IsNull(a) => ok(a)
+    case IsNotNull(a) => col(a)
+    case IsNull(a) => col(a)
     case And(l, r) => supports(l) && supports(r)
     case Or(l, r) => supports(l) && supports(r)
     case _ => false
   }
-  private def ok(attr: String) = attr == "rowkey" || attr == "qualifier" || attr == "value"
+  private def col(attr: String) = attr == "rowkey" || attr == "qualifier" || attr == "value"
+  // Literal RUNTIME type must match the column, or the executor-side
+  // eval would ClassCastException mid-scan (Catalyst always sends the
+  // right type, but Filter is a public API — a hand-built
+  // EqualTo("rowkey", "x") must fall back to Spark, not crash a task).
+  private def ok(attr: String, v: Any): Boolean = col(attr) && (v match {
+    case null => false
+    case _: Number => attr == "rowkey"
+    case _: String => attr != "rowkey"
+    case _ => false
+  })
 
   def eval(f: Filter, rowkey: Long, qualifier: String, value: String): Boolean = {
     def get(a: String): Any = a match {
@@ -166,8 +272,21 @@ class KvScan(path: String, required: StructType, pushed: Array[Filter])
   override def description(): String =
     s"graft-kv $path, PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    KvFormat.dataFiles(path).map(f => KvInputPartition(f.toString)).toArray
+  /** One partition per surviving data file. Files whose committed
+    * [minKey, maxKey] cannot overlap the pushed rowkey interval are
+    * skipped entirely — the HBase prune-by-region-range move; at 100 TB
+    * a point/range lookup opens a handful of files instead of the whole
+    * store. Files without index entries are always read (sound). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val range = KvKeyRange.ofAll(pushed)
+    val meta = KvMeta.read(path)
+    KvFormat.dataFiles(path)
+      .filter { f =>
+        meta.get(f.getFileName.toString)
+          .forall(m => m.maxKey >= range._1 && m.minKey <= range._2)
+      }
+      .map(f => KvInputPartition(f.toString)).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required, pushed)
 }
@@ -191,10 +310,25 @@ class KvPartitionReader(file: String, required: StructType, pushed: Array[Filter
       case "value" => (_: Long, _: String, v: String) => UTF8String.fromString(v)
     }
 
+  private var lineNo = 0L
+
   override def next(): Boolean = {
     while (it.hasNext) {
-      val parts = it.next().split(KvFormat.SEP, 3)
-      val (r, q, v) = (parts(0).toLong, parts(1), parts(2))
+      val line = it.next(); lineNo += 1
+      // A corrupt store must fail DIAGNOSABLY: name the file and line,
+      // not surface a bare NumberFormat/ArrayIndexOutOfBounds from deep
+      // inside a task retry loop.
+      val parts = line.split(KvFormat.SEP, 3)
+      if (parts.length != 3)
+        throw new java.io.IOException(
+          s"graft-kv: malformed cell at $file:$lineNo — expected 3 tab-separated fields, got ${parts.length}")
+      val r =
+        try parts(0).toLong
+        catch {
+          case e: NumberFormatException => throw new java.io.IOException(
+            s"graft-kv: bad rowkey '${parts(0)}' at $file:$lineNo", e)
+        }
+      val (q, v) = (parts(1), parts(2))
       if (pushed.forall(KvFilterEval.eval(_, r, q, v))) {
         current = InternalRow.fromSeq(fields.map(_(r, q, v)).toIndexedSeq)
         return true
@@ -213,12 +347,16 @@ class KvBatchWrite(path: String) extends BatchWrite {
     Files.createDirectories(Paths.get(path))
     new KvWriterFactory(path)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job commit assembles the per-file stats index from the tasks'
+    * commit messages — the driver never re-reads data bytes; its work is
+    * O(committed files). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    KvMeta.append(path, messages.collect { case KvCommitMessage(Some(m)) => m }.toSeq)
   // job-level abort must undo task-level commits, or the renamed files of
   // successful tasks would remain visible as partial output
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommitMessage(f) => Files.deleteIfExists(Paths.get(f))
+      case KvCommitMessage(Some(m)) => Files.deleteIfExists(Paths.get(path, m.file))
       case _ => ()
     }
 }
@@ -228,13 +366,34 @@ class KvWriterFactory(path: String) extends DataWriterFactory {
     new KvDataWriter(path, partitionId, taskId)
 }
 
-case class KvCommitMessage(file: String) extends WriterCommitMessage
+/** None = the task received no rows and committed no file (empty shuffle
+  * partitions must not litter the store with 0-byte files). */
+case class KvCommitMessage(meta: Option[KvFileMeta]) extends WriterCommitMessage
 
+/** Streams cells to a temp file, RENAMING into place on commit (two-phase
+  * task commit). While writing it maintains the stats that become the
+  * commit message: byte count + MD5 via a digesting stream (single pass,
+  * constant memory) and the rowkey min/max for scan pruning. Rowkey
+  * CLUSTERING is the plan's job (`sortWithinPartitions`/
+  * `repartitionByRange` before the write) — min/max stays sound either
+  * way, a writer-side sort would just re-buffer what Spark's sort
+  * operator already spills correctly. */
 class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val tmp = Paths.get(path, s".tmp-$partitionId-$taskId")
   private val dest = Paths.get(path, s"part-$partitionId-$taskId.kv")
-  private val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+  private val digest = java.security.MessageDigest.getInstance("MD5")
+  private var bytes = 0L
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.security.DigestOutputStream(Files.newOutputStream(tmp), digest) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        super.write(b, off, len); bytes += len
+      }
+      override def write(b: Int): Unit = { super.write(b); bytes += 1 }
+    }, StandardCharsets.UTF_8))
+  private var cells = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
     // the format is one cell per line, tab-separated: reject rather than
@@ -245,13 +404,22 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     val v = row.getUTF8String(2).toString
     require(!q.contains('\t') && !q.contains('\n') && !v.contains('\t') && !v.contains('\n'),
       "graft-kv qualifier/value must not contain tab or newline")
-    out.write(s"${row.getLong(0)}${KvFormat.SEP}$q${KvFormat.SEP}$v")
+    val r = row.getLong(0)
+    out.write(s"$r${KvFormat.SEP}$q${KvFormat.SEP}$v")
     out.newLine()
+    cells += 1
+    if (r < minKey) minKey = r
+    if (r > maxKey) maxKey = r
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    KvCommitMessage(dest.toString)
+    if (cells == 0) { Files.deleteIfExists(tmp); KvCommitMessage(None) }
+    else {
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      val md5 = digest.digest().map("%02x".format(_)).mkString
+      KvCommitMessage(Some(KvFileMeta(
+        dest.getFileName.toString, bytes, md5, cells, minKey, maxKey)))
+    }
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }
   override def close(): Unit = ()

@@ -18,6 +18,82 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(KvFilterEval.supports(In("rowkey", Array[Any](1L, 2L))))
   }
 
+  test("filters with wrong-typed literals fall back to Spark, not CCE on executors") {
+    // Filter is a public API: a hand-built EqualTo can carry any literal
+    assert(!KvFilterEval.supports(EqualTo("rowkey", "x")))
+    assert(!KvFilterEval.supports(LessThan("qualifier", 5)))
+    assert(!KvFilterEval.supports(In("rowkey", Array[Any](1L, "2"))))
+    assert(!KvFilterEval.supports(And(EqualTo("rowkey", 1L), EqualTo("value", 9))))
+    assert(KvFilterEval.supports(EqualTo("rowkey", 1L)))
+    assert(KvFilterEval.supports(EqualTo("rowkey", java.lang.Integer.valueOf(1))))
+    assert(KvFilterEval.supports(EqualTo("qualifier", "acctbal")))
+  }
+
+  test("a corrupt cell line fails naming the file and line, not with a bare NFE") {
+    val dir = Files.createTempDirectory("kvspec")
+    val f = dir.resolve("part-0-0.kv")
+    Files.writeString(f, "1\tq\tv\nnot_a_number\tq\tv\n")
+    val r = new KvPartitionReader(f.toString, KvFormat.schema, Array.empty)
+    assert(r.next())
+    val e = intercept[java.io.IOException] { r.next() }
+    assert(e.getMessage.contains(f.toString) && e.getMessage.contains(":2"))
+    r.close()
+    val g = dir.resolve("part-0-1.kv")
+    Files.writeString(g, "1\tonly_two_fields\n")
+    val r2 = new KvPartitionReader(g.toString, KvFormat.schema, Array.empty)
+    val e2 = intercept[java.io.IOException] { r2.next() }
+    assert(e2.getMessage.contains(g.toString) && e2.getMessage.contains(":1"))
+    r2.close()
+  }
+
+  test("writer commit message carries bytes/md5/cells/rowkey-bounds of the file it wrote") {
+    val dir = Files.createTempDirectory("kvspec").toString
+    val w = new KvDataWriter(dir, 0, 0L)
+    def cell(r: Long) = InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString(s"v$r"))
+    Seq(5L, 2L, 9L).foreach(r => w.write(cell(r)))
+    val m = (w.commit(): @unchecked) match { case KvCommitMessage(Some(x)) => x }
+    val f = Paths.get(dir, m.file)
+    assert(Files.size(f) == m.bytes)
+    assert(KvMeta.md5HexOf(f.toString) == m.md5)
+    assert(m.cells == 3 && m.minKey == 2L && m.maxKey == 9L)
+    // job commit persists the stats as the index — no data re-read needed
+    new KvBatchWrite(dir).commit(Array(KvCommitMessage(Some(m))))
+    assert(KvMeta.read(dir) == Map(m.file -> m))
+  }
+
+  test("an empty task commits no file (no 0-byte litter from empty partitions)") {
+    val dir = Files.createTempDirectory("kvspec").toString
+    val w = new KvDataWriter(dir, 4, 2L)
+    assert(w.commit() == KvCommitMessage(None))
+    assert(KvFormat.dataFiles(dir).isEmpty)
+    val left = Files.list(Paths.get(dir))
+    try assert(!left.iterator().hasNext) finally left.close()
+  }
+
+  test("rowkey-range scan plans only the files whose [min,max] overlap") {
+    val dir = Files.createTempDirectory("kvspec").toString
+    def mkFile(keys: Seq[Long]): KvFileMeta = {
+      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
+      keys.foreach(r => w.write(
+        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
+      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
+    }
+    val metas = Seq(mkFile(1L to 10L), mkFile(11L to 20L), mkFile(21L to 30L))
+    new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
+    assert(KvFormat.dataFiles(dir).size == 3)
+    def planned(filters: Filter*): Int =
+      new KvScan(dir, KvFormat.schema, filters.toArray).planInputPartitions().length
+    assert(planned() == 3)
+    assert(planned(LessThanOrEqual("rowkey", 10L)) == 1)
+    assert(planned(EqualTo("rowkey", 15L)) == 1)
+    assert(planned(GreaterThan("rowkey", 20L)) == 1)
+    assert(planned(GreaterThanOrEqual("rowkey", 5L), LessThan("rowkey", 15L)) == 2)
+    assert(planned(In("rowkey", Array[Any](3L, 25L))) == 3) // hull keeps middle: sound, not minimal
+    assert(planned(GreaterThan("rowkey", 100L)) == 0)
+    // a predicate on another column must not prune anything
+    assert(planned(EqualTo("qualifier", "q")) == 3)
+  }
+
   test("pushed string comparison follows UTF8 byte order, not UTF-16") {
     // U+1F600 (surrogate pair D83D DE00) vs U+FFFF: UTF-16 compareTo says
     // the emoji sorts BELOW, UTF-8 byte order says ABOVE — the reader

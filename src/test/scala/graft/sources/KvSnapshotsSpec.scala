@@ -48,6 +48,69 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("bytes") || e.getMessage.contains("checksum"))
   }
 
+  test("create's manifest comes from the write-time commit messages, not a driver re-read") {
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "s1")
+    val dataDir = Paths.get(root, "s1", "data").toString
+    val index = KvMeta.read(dataDir)
+    val entries = KvSnapshots.parseManifest(root, "s1")
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val m = index(e.file) // every manifest entry IS a committed-stats entry
+      assert((e.bytes, e.md5, e.cells) == (m.bytes, m.md5, m.cells))
+      // and the stats are truthful about the file on disk
+      assert(Files.size(Paths.get(dataDir, e.file)) == e.bytes)
+      assert(KvMeta.md5HexOf(Paths.get(dataDir, e.file).toString) == e.md5)
+    }
+  }
+
+  test("a snapshot of an empty frame commits and restores as an empty frame") {
+    val root = freshRoot()
+    KvSnapshots.create(cells.filter(col("rowkey") < 0), root, "empty")
+    assert(KvSnapshots.list(root) == Seq("empty"))
+    assert(KvSnapshots.parseManifest(root, "empty").isEmpty)
+    assert(KvSnapshots.restore(spark, root, "empty").count() == 0)
+  }
+
+  test("incremental snapshot hard-links unchanged files and restores both versions") {
+    val root = freshRoot()
+    // explicit partition count: AQE must not re-coalesce differently per run
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(8, col("qualifier")).sortWithinPartitions("rowkey", "qualifier")
+    KvSnapshots.create(layout(cells), root, "v1")
+    val modified = cells.withColumn("value",
+      when(col("qualifier") === "acctbal", concat(col("value"), lit("X")))
+        .otherwise(col("value")))
+    KvSnapshots.createIncremental(layout(modified), root, "v2", "v1")
+    val shared = KvSnapshots.sharedFiles(root, "v2")
+    assert(shared.nonEmpty, "unchanged qualifier files must be shared with v1")
+    assert(shared.size < KvSnapshots.parseManifest(root, "v2").size,
+      "the modified acctbal file must NOT be shared")
+    // shared entries are hard links to v1's file (no data copy)
+    val v1ByContent = KvSnapshots.parseManifest(root, "v1").map(e => e.md5 -> e.file).toMap
+    shared.foreach { f =>
+      val mine = Paths.get(root, "v2", "data", f)
+      val md5 = KvMeta.md5HexOf(mine.toString)
+      val base = Paths.get(root, "v1", "data", v1ByContent(md5))
+      assert(Files.isSameFile(mine, base), s"$f must be a hard link to v1's file")
+    }
+    // both restores verify green and carry the right values
+    val r1 = KvSnapshots.restore(spark, root, "v1")
+    val r2 = KvSnapshots.restore(spark, root, "v2")
+    assert(r1.exceptAll(cells).count() == 0 && cells.exceptAll(r1).count() == 0)
+    assert(r2.exceptAll(modified).count() == 0 && modified.exceptAll(r2).count() == 0)
+    // deleting v2 leaves v1 intact (links, not moves)
+    KvSnapshots.delete(root, "v2")
+    assert(KvSnapshots.restore(spark, root, "v1").count() == cells.count())
+  }
+
+  test("incremental against a missing base fails loudly") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      KvSnapshots.createIncremental(cells, root, "v2", "nope")
+    }
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
