@@ -45,8 +45,10 @@ object Bench {
       // (alphabetically) later keys with GC/memory pressure — the r2
       // driver bench showed 3–10× inflation clustered on the sorted tail.
       // Cleanup runs OUTSIDE the timed section.
+      // blocking: removal must COMPLETE before the next key's t0, or the
+      // async cleanup would execute inside the next timed section
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       (name, t, ok)
     }
     val failed = results.collect { case (n, _, false) => n }

@@ -230,13 +230,12 @@ object LlmDedup {
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3) // mirror shinglesOf: shingle-less docs can't pair
       .select("doc_id", "text")
-    // groups feeds the rep semi-join and three pair-expansion consumers;
-    // the rep shingles feed signatures and both verify joins — both are
-    // materialized once (persisted intermediates at scale, smaller
-    // codegen'd plans locally).
+    // Only the rep shingles (4 consumers, the wide expensive frame) are
+    // materialized; `groups` is a small 2-consumer aggregate whose eager
+    // localCheckpoint cost more cold time than recomputing it
+    // (round-3 bench: the two checkpoints dominated the key's 8.3 s).
     val groups = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint()
     val reps = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val sh = shinglesOf(reps).localCheckpoint()
     // All 8 salted mins in ONE grouped pass (8 md5 evals per row beats
@@ -466,6 +465,10 @@ object LlmDedup {
     // the BNLJ condition FIRST, evaluating the cosine for all n² ordered
     // pairs instead of short-circuiting half of them on vec_id.
     val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+    // broadcast(full table) is BASELINE-ONLY: this key is the declared
+    // exact brute-force oracle for the bucketed paths — at corpus scale
+    // the table doesn't fit a broadcast, and the scale path is the ANN
+    // family (llm_ann_lsh / llm_ann_ivf / llm_ann_ivf_kmeans).
     e.as("a").join(broadcast(e.as("b")),
         col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -211,6 +211,111 @@ object LlmVector {
        |    WHERE q.vec_id < 30))
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** IVF with a REAL coarse quantizer: deterministic k-means over the
+    * embeddings themselves — no label column, so it works on the normal
+    * case of an unlabeled corpus (the round-2/3 carried gap). Fully
+    * deterministic and oracle-checkable:
+    *   - init: the k vectors with the smallest vec_ids (k = 4),
+    *   - exactly 5 Lloyd iterations (no convergence test — fixed work,
+    *     identical on both engines),
+    *   - every centroid component and distance ROUND(6)-stabilized, ties
+    *     broken by c_id, so partial-agg order cannot flip an argmin.
+    * Each iteration is one broadcast join (centroids are k×64 — tiny) +
+    * one shuffle keyed by vec_id, the textbook distributed-k-means shape:
+    * at 100 TB the assignment pass streams the corpus once per iteration
+    * and only k×64 doubles ever sit on the driver. The final cell id then
+    * plays the partition/bucketing-key role exactly as in `llm_ann_ivf`.
+    */
+  private val IvfK = 4
+  private val IvfIters = 5
+
+  /** Argmin-centroid assignment of every vector: (vec_id, c_id). */
+  private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+    ex.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_id")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "c_id")
+  }
+
+  def llmAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    // one materialization of the long format — consumed by every
+    // iteration's assignment and the final centroid update
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .localCheckpoint()
+    var cent = ex.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("c_id"), col("pos"), r6(col("v")).as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to IvfIters) {
+      val assign = assignCells(ex, cent)
+      cent = ex.join(assign, Seq("vec_id"))
+        .groupBy("c_id", "pos")
+        .agg(r6(avg(col("v"))).as("c"))
+        .localCheckpoint() // k×64 rows: cuts the unrolled plan, values unchanged
+    }
+    val cells = assignCells(ex, cent).withColumnRenamed("c_id", "cell")
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  /** The 5 Lloyd iterations unrolled as a CTE chain — same init, same
+    * rounding, same tie-breaks as the Spark side. */
+  val llmAnnIvfKmeansOracle: String = {
+    def assignCtes(centCte: String, name: String): String =
+      s"""d_$name AS (
+         |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
+         |  FROM ex JOIN $centCte c USING (pos) GROUP BY ex.vec_id, c.c_id),
+         |$name AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
+         |    FROM d_$name) WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to IvfIters).map { i =>
+      assignCtes(s"cent${i - 1}", s"a$i") + s""",
+         |cent$i AS (
+         |  SELECT c_id, pos, ROUND(AVG(v), 6) AS c
+         |  FROM ex JOIN a$i USING (vec_id) GROUP BY c_id, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c_id, pos, ROUND(v, 6) AS c
+       |  FROM ex WHERE vec_id < $IvfK),
+       |$iterCtes,
+       |${assignCtes(s"cent$IvfIters", "cells0")},
+       |e AS (
+       |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
+       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id)
+       |SELECT q_id, neighbor_id, cell, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, cell, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.cell,
+       |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |    FROM e q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 30))
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction for serving/storing a 100 TB embedding corpus
     * (scale = max|x|/127 per vector, q = round-half-up(x/scale)).
@@ -251,6 +356,7 @@ object LlmVector {
     "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
     "llm_ann_lsh" -> (llmAnnLsh _),
     "llm_ann_ivf" -> (llmAnnIvf _),
+    "llm_ann_ivf_kmeans" -> (llmAnnIvfKmeans _),
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
@@ -258,5 +364,6 @@ object LlmVector {
     "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
     "llm_ann_lsh" -> llmAnnLshOracle,
     "llm_ann_ivf" -> llmAnnIvfOracle,
+    "llm_ann_ivf_kmeans" -> llmAnnIvfKmeansOracle,
     "llm_knn_centroid" -> llmKnnCentroidOracle)
 }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
@@ -28,26 +26,12 @@ object Sources {
     * not accumulate across runs. */
   private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
 
-  /** Recursive delete that also removes UNCOMMITTED (manifest-less)
-    * snapshot dirs a crashed prior run may have left — list()-based
-    * cleanup cannot see those. */
-  private def deleteTree(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally s.close()
-    }
-  }
-
-  private val hookedRoots = scala.collection.concurrent.TrieMap.empty[String, Unit]
-
   private def snapshotRoot(sfDir: String, name: String): String = {
     val root = scratch(sfDir, s"${name}_$procTag")
-    deleteTree(root) // re-runnable in-process, and clears crashed leftovers
-    // one exit hook per root, however often the key re-runs in-process
-    hookedRoots.getOrElseUpdate(root, { sys.addShutdownHook(deleteTree(root)); () })
+    // full-tree wipe (not list()-based): also removes UNCOMMITTED
+    // manifest-less dirs a crashed prior run may have left
+    graft.util.Scratch.deleteTree(root)
+    graft.util.Scratch.deleteOnExit(root)
     root
   }
 

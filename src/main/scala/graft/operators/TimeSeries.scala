@@ -33,6 +33,9 @@ object TimeSeries {
     val schema = spark.read.parquet(path).schema
     val stageDir =
       s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    // staging copies are per-process scratch: clean the whole tagged root
+    // on JVM exit so runs don't accumulate copies of events.parquet in /tmp
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
     val src = spark.read.parquet(path)
     if (nCopies == 1) src.repartition(2).write.mode("overwrite").parquet(stageDir)
     else {
@@ -46,9 +49,13 @@ object TimeSeries {
   }
 
   /** Run a streaming frame to completion through a per-process memory
-    * sink and return the sink table. */
+    * sink and return the sink table. The table must outlive this call
+    * (the graded result consumes it lazily), so the previous run's sink
+    * is dropped HERE, on re-entry — at most one live sink table per key
+    * per process, instead of unbounded growth in a long-lived session. */
   private def runToMemory(df: DataFrame, sink: String, mode: String): DataFrame = {
     val name = s"${sink}_$runTag"
+    df.sparkSession.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
@@ -151,6 +158,57 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** ARBITRARY-state streaming — the surface beyond built-in stateful
+    * ops (windowed agg / session_window / dropDuplicates): a per-user
+    * running profile (event count, first/last seen) kept in a CUSTOM
+    * state object via `flatMapGroupsWithState`, updated across real
+    * micro-batches (the staged events file arrives as two splits) and
+    * emitted in Update mode after each batch.
+    *
+    * Determinism: the state folds are commutative+associative (count,
+    * min, max), so arrival order across and within batches cannot change
+    * the final profile; the update-mode sink then holds one row per
+    * (user, batch-with-changes) and the FINAL profile per user is
+    * recovered by max/min/max — each component is monotone over batches.
+    * The oracle is the plain batch aggregate. NoTimeout keeps the run
+    * deterministic (processing-time timeouts depend on the wall clock);
+    * at scale the same code carries a TTL via `GroupStateTimeout` and a
+    * durable checkpoint, and state shuffles by user_id exactly like the
+    * batch groupBy. */
+  def tsStatefulStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updates = stagedEventStream(spark, sfDir, "stateful", 1)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, java.sql.Timestamp, java.sql.Timestamp)]) =>
+          var (n, mn, mx) = state.getOption.getOrElse(
+            (0L, null: java.sql.Timestamp, null: java.sql.Timestamp))
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (mn == null || ts.compareTo(mn) < 0) mn = ts
+            if (mx == null || ts.compareTo(mx) > 0) mx = ts
+          }
+          state.update((n, mn, mx))
+          Iterator((uid, n, mn, mx))
+      }
+      .toDF("user_id", "n_events", "first_ts", "last_ts")
+    runToMemory(updates, "graft_ts_stateful_stream", "update")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val tsStatefulStreamOracle: String =
+    """SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Per-user session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag gap starts with lag(), running-sum the flags
     * into session ids, aggregate per session. */
@@ -241,6 +299,7 @@ object TimeSeries {
     "ts_session_stream" -> (tsSessionStream _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
     "ts_dedup_stream" -> (tsDedupStream _),
+    "ts_stateful_stream" -> (tsStatefulStream _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
@@ -252,5 +311,6 @@ object TimeSeries {
     "ts_session_stream" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,
     "ts_dedup_stream" -> tsDedupWatermarkOracle,
+    "ts_stateful_stream" -> tsStatefulStreamOracle,
     "ts_late_data" -> tsLateDataOracle)
 }
