@@ -49,16 +49,38 @@ object TimeSeries {
   }
 
   /** Run a streaming frame to completion through a per-process memory
-    * sink and return the sink table. The table must outlive this call
-    * (the graded result consumes it lazily), so the previous run's sink
-    * is dropped HERE, on re-entry — at most one live sink table per key
-    * per process, instead of unbounded growth in a long-lived session. */
-  private def runToMemory(df: DataFrame, sink: String, mode: String): DataFrame = {
+    * sink and return its rows as a fresh local frame.
+    *
+    * Hygiene (the round-4 bench finding): leaving each key's memory-sink
+    * table registered for the rest of the session kept every earlier
+    * streaming result + its state on the heap, inflating the
+    * alphabetically-later bench keys 2–10×. The sink is driver-resident
+    * by construction, so copying its rows out costs nothing extra — then
+    * the view is dropped and the terminated query released IMMEDIATELY,
+    * leaving the session as clean as before the key ran.
+    *
+    * Shuffle partitions: state-store instances = shuffle partitions, and
+    * the session default (32) means 32 RocksDB/HDFS store lifecycles per
+    * stateful operator for ~1k distinct keys — pure per-micro-batch
+    * overhead at test scale. Streaming keys run at 4; the conf is
+    * restored afterwards (the batch plan around the sink is unaffected:
+    * it runs on the frame returned here).
+    */
+  private def runToMemory(df: DataFrame, sink: String, mode: String,
+      shufflePartitions: Int = 4): DataFrame = {
+    val spark = df.sparkSession
     val name = s"${sink}_$runTag"
-    df.sparkSession.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+      val sinkTable = spark.table(name)
+      val (rows, schema) = (sinkTable.collect(), sinkTable.schema)
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated() // release the terminated query refs
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** 1-hour tumbling window counts + exact value sums per event type. */
@@ -153,7 +175,9 @@ object TimeSeries {
       .select("event_id", "ts", "user_id", "event_type")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    runToMemory(dedup, "graft_ts_dedup_stream", "append")
+    // dedup state is per-EVENT (one entry per event_id, ~|events| rows),
+    // not per-user — give it more stores than the 1k-key aggregations
+    runToMemory(dedup, "graft_ts_dedup_stream", "append", shufflePartitions = 16)
       .select("event_id", "ts", "user_id", "event_type")
       .orderBy("event_id")
   }
