@@ -240,7 +240,10 @@ object LlmVector {
       .select("vec_id", "c_id")
   }
 
-  def llmAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The trained quantizer: (exploded long format, final centroids) —
+    * shared by the nprobe=1 and nprobe=2 search keys so "train once,
+    * probe differently" is literal code reuse. */
+  private def kmeansState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(spark)
     // one materialization of the long format — consumed by every
     // iteration's assignment and the final centroid update
@@ -258,6 +261,11 @@ object LlmVector {
         .agg(r6(avg(col("v"))).as("c"))
         .localCheckpoint() // k×64 rows: cuts the unrolled plan, values unchanged
     }
+    (ex, cent)
+  }
+
+  def llmAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ex, cent) = kmeansState(spark, sfDir)
     val cells = assignCells(ex, cent).withColumnRenamed("c_id", "cell")
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -316,6 +324,96 @@ object LlmVector {
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** IVF MULTI-PROBE (nprobe = 2): same trained k-means quantizer as
+    * `llm_ann_ivf_kmeans`, but each query searches its TWO nearest cells
+    * instead of only its own — the standard recall fix for queries that
+    * sit near a cell boundary (their true neighbors often live just
+    * across it). Candidates are still stored in exactly one inverted
+    * list, so multi-probe adds zero storage and no duplicate candidates;
+    * the query side simply fans out to nprobe (cell) join keys. At
+    * 100 TB that means a query touches nprobe partitions instead of one
+    * — recall rises, cost stays O(nprobe × list size), and the top-k
+    * window then ranks across all probed cells together. */
+  def llmAnnIvfProbe2(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = 2
+    val (ex, cent) = kmeansState(spark, sfDir)
+    val cells = assignCells(ex, cent).withColumnRenamed("c_id", "cell")
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    // the query's nprobe nearest centroids — the same r6-stabilized
+    // argmin as storage assignment, just keeping rn <= nprobe
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+    val probes = ex.filter(col("vec_id") < 30)
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_id")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val q = embeddings(spark, sfDir)
+      .filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
+      .join(probes.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Same unrolled CTE chain; the probe CTE re-reads the FINAL
+    * assignment distances (d_cells0) keeping rn <= 2 for the queries. */
+  val llmAnnIvfProbe2Oracle: String = {
+    def assignCtes(centCte: String, name: String): String =
+      s"""d_$name AS (
+         |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
+         |  FROM ex JOIN $centCte c USING (pos) GROUP BY ex.vec_id, c.c_id),
+         |$name AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
+         |    FROM d_$name) WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to IvfIters).map { i =>
+      assignCtes(s"cent${i - 1}", s"a$i") + s""",
+         |cent$i AS (
+         |  SELECT c_id, pos, ROUND(AVG(v), 6) AS c
+         |  FROM ex JOIN a$i USING (vec_id) GROUP BY c_id, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c_id, pos, ROUND(v, 6) AS c
+       |  FROM ex WHERE vec_id < $IvfK),
+       |$iterCtes,
+       |${assignCtes(s"cent$IvfIters", "cells0")},
+       |probes AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
+       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 2),
+       |e AS (
+       |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
+       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
+       |qp AS (
+       |  SELECT emb.vec_id, emb.embedding, probes.cell
+       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id)
+       |SELECT q_id, neighbor_id, cell, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, cell, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, q.cell,
+       |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |    FROM qp q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id))
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction for serving/storing a 100 TB embedding corpus
     * (scale = max|x|/127 per vector, q = round-half-up(x/scale)).
@@ -357,6 +455,7 @@ object LlmVector {
     "llm_ann_lsh" -> (llmAnnLsh _),
     "llm_ann_ivf" -> (llmAnnIvf _),
     "llm_ann_ivf_kmeans" -> (llmAnnIvfKmeans _),
+    "llm_ann_ivf_probe2" -> (llmAnnIvfProbe2 _),
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
@@ -365,5 +464,6 @@ object LlmVector {
     "llm_ann_lsh" -> llmAnnLshOracle,
     "llm_ann_ivf" -> llmAnnIvfOracle,
     "llm_ann_ivf_kmeans" -> llmAnnIvfKmeansOracle,
+    "llm_ann_ivf_probe2" -> llmAnnIvfProbe2Oracle,
     "llm_knn_centroid" -> llmKnnCentroidOracle)
 }

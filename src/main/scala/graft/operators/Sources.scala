@@ -154,6 +154,32 @@ object Sources {
       .orderBy("rowkey", "qualifier")
   }
 
+  /** Snapshot EXPORT between stores (SURVEY.md §2.A R2/R3 — the
+    * reference's literal workflow: export a snapshot to another storage
+    * root, restore it there): create model_v1 at a source root, EXPORT
+    * it to a destination root (distributed copy, one task per file, md5
+    * re-verified on the destination bytes), DELETE it at the source, and
+    * return the restore FROM THE DESTINATION — proving the export is
+    * self-contained and survives the source's disappearance. The oracle
+    * checks exported-restored cells equal the original source frame. */
+  def kvSnapshotExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcRoot = snapshotRoot(sfDir, "kv_snap_exp_src")
+    val destRoot = snapshotRoot(sfDir, "kv_snap_exp_dst")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    graft.sources.KvSnapshots.create(cells, srcRoot, "model_v1")
+    graft.sources.KvSnapshots.export(spark, srcRoot, destRoot, "model_v1")
+    graft.sources.KvSnapshots.delete(srcRoot, "model_v1")
+    require(graft.sources.KvSnapshots.list(srcRoot).isEmpty,
+      "source snapshot survived its delete")
+    val live = graft.sources.KvSnapshots.list(destRoot)
+    require(live == Seq("model_v1"), s"export broken: destination snapshots $live")
+    graft.sources.KvSnapshots.restore(spark, destRoot, "model_v1")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** Exported-restored cells must equal the source cells. */
+  val kvSnapshotExportOracle: String = Scans.scanKvModelOracle
+
   /** Restored v2 must equal the modified frame. */
   val kvSnapshotIncrementalOracle: String =
     """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
@@ -210,6 +236,7 @@ object Sources {
     "source_kv_connector" -> (sourceKvConnector _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
+    "kv_snapshot_export" -> (kvSnapshotExport _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
@@ -219,6 +246,7 @@ object Sources {
     "source_kv_connector" -> sourceKvConnectorOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
+    "kv_snapshot_export" -> kvSnapshotExportOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }

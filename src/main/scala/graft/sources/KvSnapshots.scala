@@ -177,6 +177,75 @@ object KvSnapshots {
     spark.read.format("graft-kv").load(data.toString)
   }
 
+  /** EXPORT a committed snapshot to a second root — the reference
+    * utility's namesake operation (SURVEY.md §2.A R2/R3: copy a
+    * snapshot between storage systems, then restore it there).
+    *
+    * Manifest-driven distributed copy: one Spark task per manifest
+    * entry; each task streams its file to the destination through a
+    * digesting copy (single pass, constant memory) and reports the md5
+    * OF THE BYTES IT WROTE, which the driver compares against the source
+    * manifest — so in-flight corruption is caught, not just source-side
+    * rot. The destination manifest is committed only after every file
+    * verifies: a crash or mismatch mid-copy leaves the destination data
+    * dir WITHOUT a manifest — invisible to `list`, unrestorable — the
+    * same uncommitted-is-invisible rule as a crashed `create`.
+    *
+    * Hard-linked files of an incremental snapshot are materialized as
+    * full independent copies (link topology is a source-store storage
+    * optimization, not part of the snapshot's logical content), so the
+    * export is restorable even after the base is deleted at the source.
+    * The per-file stats index rides along so rowkey-range scan pruning
+    * keeps working at the destination. */
+  def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String): Unit = {
+    val entries = parseManifest(srcRoot, name)
+    require(!Files.exists(snapDir(destRoot, name)),
+      s"snapshot $name already exists at export destination")
+    val srcData = dataDir(srcRoot, name)
+    val destData = dataDir(destRoot, name)
+    Files.createDirectories(destData)
+    if (entries.nonEmpty) {
+      import spark.implicits._
+      val jobs = entries.map(e => (srcData.resolve(e.file).toString,
+        destData.resolve(e.file).toString, e.md5, e.bytes))
+      val bad = spark.createDataset(jobs)
+        .repartition(math.min(jobs.size, 32))
+        .map { case (src, dest, wantMd5, wantBytes) =>
+          val gotMd5 = copyDigesting(src, dest)
+          if (gotMd5 == wantMd5 && Files.size(Paths.get(dest)) == wantBytes) ""
+          else Paths.get(src).getFileName.toString
+        }
+        .filter(_.nonEmpty)
+        .collect() // only the names of corrupt copies come back
+      require(bad.isEmpty,
+        s"export $name: ${bad.mkString(", ")} failed checksum verification at destination")
+    }
+    // metadata sidecar (tiny, driver-side): preserves min/max rowkey
+    // bounds so the destination store prunes files like the source did
+    val srcIdx = srcData.resolve(KvMeta.FILE)
+    if (Files.exists(srcIdx))
+      Files.copy(srcIdx, destData.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
+    commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)))
+  }
+
+  /** Executor-side: copy src → dest via temp file + atomic move,
+    * returning the md5 of the written bytes. Idempotent under task
+    * retries (unique temp name; REPLACE_EXISTING on the publish move). */
+  private def copyDigesting(src: String, dest: String): String = {
+    val destP = Paths.get(dest)
+    val tmp = destP.resolveSibling(
+      s".${destP.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(Paths.get(src))
+    try {
+      val out = new java.security.DigestOutputStream(Files.newOutputStream(tmp), md)
+      try in.transferTo(out) finally out.close()
+      Files.move(tmp, destP, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Delete the named snapshot (manifest first, so a crashed delete
     * leaves an invisible — not half-readable — snapshot). Hard-linked
     * shared files only drop THIS snapshot's link; the base's data is

@@ -118,6 +118,19 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("bucket").length == 8))
     assert(rows.forall(r => r.getAs[Int]("rn") <= 3))
   }
+
+  test("ivf multi-probe recall dominates single-probe") {
+    // same quantizer, wider search: the best (rank-1) neighbor under
+    // nprobe=2 can never be WORSE than under nprobe=1, because the
+    // probe-2 candidate set is a superset of the probe-1 set
+    def best(key: String) = run(key).filter(col("rn") === 1)
+      .select(col("q_id"), col("cos_sim"))
+    val one = best("llm_ann_ivf_kmeans").withColumnRenamed("cos_sim", "c1")
+    val two = best("llm_ann_ivf_probe2").withColumnRenamed("cos_sim", "c2")
+    val j = one.join(two, Seq("q_id")).collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getAs[Double]("c2") >= r.getAs[Double]("c1")))
+  }
 }
 
 /** Streaming/batch equivalence as a test (also runnable standalone via
@@ -126,5 +139,43 @@ class StreamingSpec extends SparkSpec {
   test("streaming pipelines agree with batch operators on sf0.001") {
     val failures = graft.streaming.StreamingDemo.run(spark, sf)
     assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("windowed aggregation resumes from a durable checkpoint across restarts") {
+    // the operational story streaming exists for: kill the query after
+    // batch 1, restart FROM THE CHECKPOINT, and the final answer equals
+    // the uninterrupted run — state (window counts) and source progress
+    // (which files were consumed) both come back from disk, not memory
+    val events = graft.sources.Tables.events(spark, sf).select("event_id", "ts", "event_type")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ckpt_stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_loc").toString
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    half1.coalesce(1).write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def start(name: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+    // run 1 sees only half1, then dies
+    val q1 = start("graft_ckpt_run1")
+    try q1.processAllAvailable() finally q1.stop()
+    // half2 lands while the query is down; the restart must pick up
+    // exactly there — no reprocessing of half1, no loss of its state
+    half2.coalesce(1).write.mode("append").parquet(stage)
+    val q2 = start("graft_ckpt_run2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.recentProgress.map(_.numInputRows).sum == half2.count(),
+      "restart re-read files already processed before the stop")
+    val got = spark.table("graft_ckpt_run2")
+    val expected = events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "resumed result differs from the uninterrupted computation")
+    spark.catalog.dropTempView("graft_ckpt_run1")
+    spark.catalog.dropTempView("graft_ckpt_run2")
   }
 }

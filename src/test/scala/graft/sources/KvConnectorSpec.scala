@@ -94,6 +94,43 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(planned(EqualTo("qualifier", "q")) == 3)
   }
 
+  test("pushed limit stops each partition reader after n surviving cells") {
+    val dir = Files.createTempDirectory("kvspec_limit").toString
+    def mkFile(keys: Seq[Long]): KvFileMeta = {
+      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
+      keys.foreach(r => w.write(
+        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
+      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
+    }
+    val metas = Seq(mkFile(1L to 100L), mkFile(101L to 200L))
+    new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
+    def drain(scan: KvScan): Long = {
+      KvReadStats.reset()
+      scan.planInputPartitions().foreach { p =>
+        val r = scan.createReaderFactory().createReader(p)
+        try while (r.next()) { r.get(); () } finally r.close()
+      }
+      KvReadStats.cellsEmitted.get()
+    }
+    // no limit: the full 200 cells stream out
+    assert(drain(new KvScan(dir, KvFormat.schema, Array.empty)) == 200L)
+    // limit 5: each of the 2 files stops after 5 cells — 10 emitted, not 200,
+    // and the reader stops READING too (≤ 5+1 lines per file, not 100)
+    assert(drain(new KvScan(dir, KvFormat.schema, Array.empty, Some(5))) == 10L)
+    assert(KvReadStats.linesRead.get() <= 12L)
+    // limit composes with a pushed filter: 5 SURVIVING cells per file
+    val filtered = new KvScan(dir, KvFormat.schema,
+      Array[Filter](GreaterThan("rowkey", 50L)), Some(5))
+    assert(drain(filtered) == 10L)
+    // the end-to-end DataFrame path actually pushes the limit
+    val spark = graft.TestSpark.spark
+    KvReadStats.reset()
+    val got = spark.read.format("graft-kv").load(dir).limit(5).collect()
+    assert(got.length == 5)
+    assert(KvReadStats.cellsEmitted.get() <= 10L, // ≤ n per file, NOT the full store
+      s"limit not pushed: ${KvReadStats.cellsEmitted.get()} cells emitted")
+  }
+
   test("pushed string comparison follows UTF8 byte order, not UTF-16") {
     // U+1F600 (surrogate pair D83D DE00) vs U+FFFF: UTF-16 compareTo says
     // the emoji sorts BELOW, UTF-8 byte order says ABOVE — the reader

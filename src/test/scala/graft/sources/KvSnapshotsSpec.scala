@@ -111,6 +111,73 @@ class KvSnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("export copies a snapshot to a second root; restore there survives source delete") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells, src, "s1")
+    KvSnapshots.export(spark, src, dest, "s1")
+    KvSnapshots.delete(src, "s1")
+    assert(KvSnapshots.list(src).isEmpty)
+    assert(KvSnapshots.list(dest) == Seq("s1"))
+    val restored = KvSnapshots.restore(spark, dest, "s1")
+    assert(restored.exceptAll(cells).count() == 0)
+    assert(cells.exceptAll(restored).count() == 0)
+    // the stats sidecar rides along: destination scans keep file pruning
+    assert(KvMeta.read(Paths.get(dest, "s1", "data").toString).nonEmpty)
+  }
+
+  test("a corrupted copy leaves the export destination uncommitted") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells, src, "s1")
+    // corrupt a source file AFTER its manifest was committed: the
+    // in-flight digest at the destination must mismatch the manifest,
+    // the export must throw, and — the two-phase guarantee — the
+    // destination must stay invisible (no manifest) and unrestorable,
+    // exactly as if the copy had crashed halfway
+    val f = KvFormat.dataFiles(Paths.get(src, "s1", "data").toString).head
+    Files.write(f, "9\tq\tv\n".getBytes, StandardOpenOption.APPEND)
+    val e = intercept[IllegalArgumentException] { KvSnapshots.export(spark, src, dest, "s1") }
+    assert(e.getMessage.contains("checksum"))
+    assert(KvSnapshots.list(dest).isEmpty)
+    intercept[IllegalArgumentException] { KvSnapshots.restore(spark, dest, "s1") }
+  }
+
+  test("exporting an incremental snapshot materializes shared files as full copies") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(8, col("qualifier")).sortWithinPartitions("rowkey", "qualifier")
+    KvSnapshots.create(layout(cells), src, "v1")
+    val modified = cells.withColumn("value",
+      when(col("qualifier") === "acctbal", concat(col("value"), lit("X")))
+        .otherwise(col("value")))
+    KvSnapshots.createIncremental(layout(modified), src, "v2", "v1")
+    assert(KvSnapshots.sharedFiles(src, "v2").nonEmpty)
+    KvSnapshots.export(spark, src, dest, "v2")
+    // destination is self-contained: no shared_from provenance, no links
+    assert(KvSnapshots.sharedFiles(dest, "v2").isEmpty)
+    KvSnapshots.parseManifest(dest, "v2").foreach { e =>
+      assert(!Files.isSameFile(
+        Paths.get(dest, "v2", "data", e.file),
+        Paths.get(src, "v2", "data", e.file)))
+    }
+    // restorable at the destination even after BOTH source versions die
+    KvSnapshots.delete(src, "v2")
+    KvSnapshots.delete(src, "v1")
+    val r = KvSnapshots.restore(spark, dest, "v2")
+    assert(r.exceptAll(modified).count() == 0 && modified.exceptAll(r).count() == 0)
+  }
+
+  test("exporting an empty snapshot commits a restorable empty frame") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells.filter(col("rowkey") < 0), src, "empty")
+    KvSnapshots.export(spark, src, dest, "empty")
+    assert(KvSnapshots.list(dest) == Seq("empty"))
+    assert(KvSnapshots.restore(spark, dest, "empty").count() == 0)
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
