@@ -94,6 +94,28 @@ object Sources {
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value
       |FROM supplier WHERE s_suppkey <= 500 ORDER BY rowkey""".stripMargin
 
+  /** Stats-index aggregate pushdown on the graft-kv store: COUNT(*) /
+    * MIN(rowkey) / MAX(rowkey) answered from the write-time per-file
+    * stats (`SupportsPushDownAggregates`) — zero data bytes read, the
+    * parquet-footer-count move for the cell store. At 100 TB this is
+    * the difference between an O(files) metadata fold and a full scan.
+    * KvConnectorSpec proves the zero-read claim via the reader
+    * counters; this key grades the VALUES against the source table. */
+  def kvStatsPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "supplier_kv_stats")
+    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
+    Scans.scanKvModel(spark, sfDir)
+      .write.format("graft-kv").option("path", dest).mode("append").save()
+    spark.read.format("graft-kv").load(dest)
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("rowkey")).as("min_rowkey"),
+        max(col("rowkey")).as("max_rowkey"))
+  }
+
+  val kvStatsPushdownOracle: String =
+    """SELECT 3 * COUNT(*) AS n_cells, MIN(s_suppkey) AS min_rowkey,
+      |  MAX(s_suppkey) AS max_rowkey FROM supplier""".stripMargin
+
   /** Full snapshot lifecycle on the graft-kv store (SURVEY.md §2.A
     * R1/R4/R5 — the reference's raison d'être): CREATE a named immutable
     * snapshot of the model cells, create + DELETE a second snapshot
@@ -234,6 +256,7 @@ object Sources {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_kv_connector" -> (sourceKvConnector _),
+    "kv_stats_pushdown" -> (kvStatsPushdown _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
@@ -244,6 +267,7 @@ object Sources {
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
     "source_kv_connector" -> sourceKvConnectorOracle,
+    "kv_stats_pushdown" -> kvStatsPushdownOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,

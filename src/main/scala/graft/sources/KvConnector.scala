@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -185,7 +186,7 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 
 class KvScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = KvFormat.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
@@ -208,7 +209,84 @@ class KvScanBuilder(path: String)
     * default): n per file, Spark still applies the global limit. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan = new KvScan(path, required, pushed, limit)
+  /** COUNT(*) / MIN(rowkey) / MAX(rowkey) with no grouping and no
+    * filters are answered from the write-time stats index — O(files)
+    * driver metadata, ZERO data bytes read (the parquet-footer-count
+    * move). Sound only when every data file has a committed stats entry
+    * (hand-written fixtures don't) — otherwise refuse and let Spark
+    * aggregate the real scan. Complete pushdown: the index is exact. */
+  private var aggStats: Option[Seq[String]] = None
+
+  private def plannable(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
+    val meta = KvMeta.read(path)
+    if (!KvFormat.dataFiles(path).forall(f => meta.contains(f.getFileName.toString)))
+      return None
+    def rowkeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("rowkey"))
+        case _ => false
+      }
+    val stats = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if rowkeyRef(m.column) => Some("min")
+      case m: Max if rowkeyRef(m.column) => Some("max")
+      case _ => None
+    }
+    if (stats.nonEmpty && stats.forall(_.isDefined)) Some(stats.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = plannable(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggStats = plannable(agg)
+    aggStats.isDefined
+  }
+
+  override def build(): Scan = aggStats match {
+    case Some(stats) => new KvStatsScan(path, stats)
+    case None => new KvScan(path, required, pushed, limit)
+  }
+}
+
+/** The aggregate-pushdown scan: one partition, one row, values straight
+  * from the committed `.file_meta.tsv`. MIN/MAX of an empty store are
+  * null (matching SQL aggregate semantics); COUNT is 0. */
+class KvStatsScan(path: String, stats: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(stats.zipWithIndex.map {
+    case (s, i) => StructField(s"${s}_$i", LongType, nullable = s != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv $path, PushedAggregates: [${stats.mkString(", ")}] (stats-index only, no data read)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvStatsPartition(computeRow()))
+  // driver-side O(files) metadata fold; the row travels inside the
+  // partition. Restricted to files that still EXIST — a stale index
+  // entry for a file deleted outside the connector must not be counted
+  private def computeRow(): Array[Option[Long]] = {
+    val files = KvFormat.dataFiles(path).map(_.getFileName.toString).toSet
+    val metas = KvMeta.read(path).collect { case (f, m) if files(f) => m }.toSeq
+    stats.map {
+      case "count" => Some(metas.map(_.cells).sum)
+      case "min" => if (metas.isEmpty) None else Some(metas.map(_.minKey).min)
+      case "max" => if (metas.isEmpty) None else Some(metas.map(_.maxKey).max)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory
+}
+
+case class KvStatsPartition(values: Array[Option[Long]]) extends InputPartition
+
+object KvStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = partition.asInstanceOf[KvStatsPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(values.toIndexedSeq.map(_.map(Long.box).orNull))
+      override def close(): Unit = ()
+    }
 }
 
 /** Predicate evaluation for the pushed subset. The kv store is dense

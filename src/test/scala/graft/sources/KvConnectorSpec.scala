@@ -131,6 +131,37 @@ class KvConnectorSpec extends AnyFunSuite {
       s"limit not pushed: ${KvReadStats.cellsEmitted.get()} cells emitted")
   }
 
+  test("count/min/max push down to the stats index — zero data bytes read") {
+    val dir = Files.createTempDirectory("kvspec_agg").toString
+    def mkFile(keys: Seq[Long]): KvFileMeta = {
+      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
+      keys.foreach(r => w.write(
+        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
+      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
+    }
+    val metas = Seq(mkFile(5L to 104L), mkFile(200L to 299L))
+    new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-kv").load(dir)
+    KvReadStats.reset()
+    val row = df.agg(count(lit(1)).as("n"), min("rowkey").as("mn"), max("rowkey").as("mx"))
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 5L, 299L)))
+    assert(KvReadStats.cellsEmitted.get() == 0L,
+      s"aggregate not answered from stats: ${KvReadStats.cellsEmitted.get()} cells were read")
+    // a filter makes metadata counts unsound → real scan, same answer shape
+    KvReadStats.reset()
+    val filtered = df.filter(col("rowkey") > 100).agg(count(lit(1))).collect().head.getLong(0)
+    assert(filtered == 104L) // 101..104 from file 1 + all 100 of file 2
+    assert(KvReadStats.cellsEmitted.get() > 0L, "filtered count must read data")
+    // an un-indexed file (hand-written fixture) makes stats incomplete → real scan
+    Files.writeString(Paths.get(dir, "extra.kv"), "999\tq\tv\n")
+    KvReadStats.reset()
+    assert(df.agg(count(lit(1))).collect().head.getLong(0) == 201L)
+    assert(KvReadStats.cellsEmitted.get() > 0L, "incomplete stats index must fall back to scanning")
+  }
+
   test("pushed string comparison follows UTF8 byte order, not UTF-16") {
     // U+1F600 (surrogate pair D83D DE00) vs U+FFFF: UTF-16 compareTo says
     // the emoji sorts BELOW, UTF-8 byte order says ABOVE — the reader
