@@ -178,4 +178,34 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_ckpt_run1")
     spark.catalog.dropTempView("graft_ckpt_run2")
   }
+
+  test("stream ingestion into the kv store, then snapshot → restore, equals the batch input") {
+    // the reference's operational loop end-to-end: rows arrive as a
+    // stream, land in the cell store micro-batch by micro-batch
+    // (foreachBatch → graft-kv append, each batch a committed set of
+    // files), a named snapshot is cut from the live store, and the
+    // verifying restore returns exactly the ingested cells
+    val cells = graft.sources.Tables.supplier(spark, sf)
+      .selectExpr("cast(s_suppkey as bigint) as rowkey", "'name' as qualifier", "s_name as value")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ingest_stage").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_ingest_store").toString + "/cells"
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft_ingest_snap").toString
+    cells.filter(col("rowkey") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
+    cells.filter(col("rowkey") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("graft-kv").option("path", store).mode("append").save()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // ≥2 micro-batches each committed their own files + stats entries
+    assert(graft.sources.KvFormat.dataFiles(store).size >= 2)
+    graft.sources.KvSnapshots.create(
+      spark.read.format("graft-kv").load(store), snapRoot, "ingested")
+    val restored = graft.sources.KvSnapshots.restore(spark, snapRoot, "ingested")
+    assert(restored.exceptAll(cells).count() == 0)
+    assert(cells.exceptAll(restored).count() == 0)
+  }
 }

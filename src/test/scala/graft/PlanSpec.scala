@@ -41,6 +41,21 @@ class PlanSpec extends SparkSpec {
       "columns not pruned:\n" + p.take(800))
   }
 
+  test("graft-kv scan carries a pushed LIMIT in its plan") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec_kv").toString
+    graft.operators.Scans.scanKvModel(spark, sf)
+      .write.format("graft-kv").option("path", dir).mode("append").save()
+    val p = spark.read.format("graft-kv").load(dir).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedLimit: 5"), "limit not pushed into the kv scan:\n" + p.take(800))
+  }
+
+  test("kv_stats_pushdown plans a stats-only scan (no data-file read)") {
+    val p = plan("kv_stats_pushdown")
+    assert(p.contains("PushedAggregates: [count, min, max]"),
+      "aggregates not pushed into the kv scan:\n" + p.take(800))
+  }
+
   test("sort+limit plans as TakeOrderedAndProject, not a global sort") {
     assert(plan("sort_multikey_limit").contains("TakeOrderedAndProject"))
   }
