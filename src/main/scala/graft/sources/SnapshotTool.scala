@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI dispatch over the snapshot lifecycle — the reference utility's
+  * user-facing surface (SURVEY.md §2.A R8: a Hadoop `Tool`-style main
+  * with action flags; §3.1: parse flags → dispatch on action). A user
+  * of the reference drives create/export/restore/delete/list from a
+  * command line; this gives the Spark engine the same entry point:
+  *
+  *   create  --root R --name N --source <parquet cells dir>
+  *   export  --root R --name N --dest <second root>
+  *   restore --root R --name N [--out <parquet dir>]
+  *   delete  --root R --name N
+  *   list    --root R
+  *
+  * `run` returns a process exit code and is the unit under test; `main`
+  * only forwards. Every data-touching action (create's write, export's
+  * copy+verify, restore's checksum pass) runs as Spark jobs via
+  * [[KvSnapshots]] — the CLI adds dispatch, not execution.
+  */
+object SnapshotTool {
+
+  private final case class CliError(msg: String) extends RuntimeException(msg)
+
+  def run(spark: SparkSession, args: Seq[String]): Int =
+    try {
+      val (action, rest) = args match {
+        case a +: r => (a, r)
+        case _ => throw CliError("missing action")
+      }
+      if (rest.size % 2 != 0) throw CliError("flags must come in --key value pairs")
+      val flags = rest.grouped(2).map {
+        case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+        case other => throw CliError(s"malformed flag pair: ${other.mkString(" ")}")
+      }.toMap
+      def need(k: String): String =
+        flags.getOrElse(k, throw CliError(s"$action requires --$k"))
+      action match {
+        case "create" =>
+          KvSnapshots.create(spark.read.parquet(need("source")), need("root"), need("name"))
+          ok(s"created snapshot ${need("name")}")
+        case "export" =>
+          KvSnapshots.export(spark, need("root"), need("dest"), need("name"))
+          ok(s"exported snapshot ${need("name")} to ${need("dest")}")
+        case "restore" =>
+          val df = KvSnapshots.restore(spark, need("root"), need("name"))
+          flags.get("out") match {
+            case Some(out) => df.write.mode("overwrite").parquet(out)
+            case None => () // verification-only restore: checksums ran
+          }
+          ok(s"restored snapshot ${need("name")} (${df.count()} cells)")
+        case "delete" =>
+          KvSnapshots.delete(need("root"), need("name"))
+          ok(s"deleted snapshot ${need("name")}")
+        case "list" =>
+          KvSnapshots.list(need("root")).foreach(println)
+          0
+        case other => throw CliError(s"unknown action: $other")
+      }
+    } catch {
+      case CliError(m) => usage(m)
+      // lifecycle violations (missing/duplicate snapshot, failed
+      // verification) exit nonzero with the reason, not a stack trace
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); 1
+    }
+
+  private def ok(msg: String): Int = { println(msg); 0 }
+
+  private def usage(err: String): Int = {
+    System.err.println(
+      s"""error: $err
+         |usage: SnapshotTool <create|export|restore|delete|list> [--flag value ...]
+         |  create  --root R --name N --source <parquet cells dir>
+         |  export  --root R --name N --dest <second root>
+         |  restore --root R --name N [--out <parquet dir>]
+         |  delete  --root R --name N
+         |  list    --root R""".stripMargin)
+    2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = run(spark, args.toIndexedSeq)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

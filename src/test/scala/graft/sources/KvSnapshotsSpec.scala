@@ -178,6 +178,27 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(KvSnapshots.restore(spark, dest, "empty").count() == 0)
   }
 
+  test("the SnapshotTool CLI drives the full lifecycle end-to-end") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    val cellsDir = freshRoot() + "/cells"
+    val outDir = freshRoot() + "/out"
+    cells.write.parquet(cellsDir)
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    assert(cli("create", "--root", src, "--name", "s1", "--source", cellsDir) == 0)
+    assert(cli("list", "--root", src) == 0)
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest) == 0)
+    assert(cli("delete", "--root", src, "--name", "s1") == 0)
+    assert(cli("restore", "--root", dest, "--name", "s1", "--out", outDir) == 0)
+    val out = spark.read.parquet(outDir)
+    assert(out.exceptAll(cells).count() == 0 && cells.exceptAll(out).count() == 0)
+    // error surface: bad usage exits 2, lifecycle violations exit 1
+    assert(cli("frobnicate") == 2)
+    assert(cli("create", "--root", src) == 2)
+    assert(cli("restore", "--root", src, "--name", "s1") == 1) // deleted at source
+    assert(cli("delete", "--root", src, "--name", "s1") == 1)
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
