@@ -196,8 +196,17 @@ object KvSnapshots {
     * optimization, not part of the snapshot's logical content), so the
     * export is restorable even after the base is deleted at the source.
     * The per-file stats index rides along so rowkey-range scan pruning
-    * keeps working at the destination. */
-  def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String): Unit = {
+    * keeps working at the destination.
+    *
+    * `mappers` is the reference's `-mappers N` knob (SURVEY.md §2.A R7:
+    * size-balanced file groups across N copy mappers): files are
+    * LPT-packed by manifest byte size into `mappers` bins — largest file
+    * to the least-loaded bin — so one giant file cannot straggle a
+    * partition that also drew many small ones. Bin id is the partition
+    * key; the packing is O(files log mappers) driver metadata work. */
+  def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String,
+      mappers: Int = 32): Unit = {
+    require(mappers > 0, s"mappers must be positive, got $mappers")
     val entries = parseManifest(srcRoot, name)
     require(!Files.exists(snapDir(destRoot, name)),
       s"snapshot $name already exists at export destination")
@@ -206,11 +215,13 @@ object KvSnapshots {
     Files.createDirectories(destData)
     if (entries.nonEmpty) {
       import spark.implicits._
+      val nBins = math.min(entries.size, mappers)
+      val binOf = packBins(entries.map(e => (e.file, e.bytes)), nBins)
       val jobs = entries.map(e => (srcData.resolve(e.file).toString,
-        destData.resolve(e.file).toString, e.md5, e.bytes))
+        destData.resolve(e.file).toString, e.md5, e.bytes, binOf(e.file)))
       val bad = spark.createDataset(jobs)
-        .repartition(math.min(jobs.size, 32))
-        .map { case (src, dest, wantMd5, wantBytes) =>
+        .repartition(nBins, org.apache.spark.sql.functions.col("_5")) // co-locate each size-balanced bin
+        .map { case (src, dest, wantMd5, wantBytes, _) =>
           val gotMd5 = copyDigesting(src, dest)
           if (gotMd5 == wantMd5 && Files.size(Paths.get(dest)) == wantBytes) ""
           else Paths.get(src).getFileName.toString
@@ -226,6 +237,20 @@ object KvSnapshots {
     if (Files.exists(srcIdx))
       Files.copy(srcIdx, destData.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
     commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)))
+  }
+
+  /** Longest-processing-time bin packing: files sorted by size
+    * descending, each assigned to the currently least-loaded bin (ties
+    * to the lowest bin id, so the packing is deterministic). Classic
+    * 4/3-approximation of optimal makespan — the balanced-group
+    * assignment the reference's export job does across its mappers. */
+  private[sources] def packBins(files: Seq[(String, Long)], nBins: Int): Map[String, Int] = {
+    val loads = new Array[Long](nBins)
+    files.sortBy { case (f, bytes) => (-bytes, f) }.map { case (f, bytes) =>
+      val bin = loads.indices.minBy(i => (loads(i), i))
+      loads(bin) += bytes
+      f -> bin
+    }.toMap
   }
 
   /** Executor-side: copy src → dest via temp file + atomic move,

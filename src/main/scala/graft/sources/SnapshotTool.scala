@@ -41,7 +41,11 @@ object SnapshotTool {
           KvSnapshots.create(spark.read.parquet(need("source")), need("root"), need("name"))
           ok(s"created snapshot ${need("name")}")
         case "export" =>
-          KvSnapshots.export(spark, need("root"), need("dest"), need("name"))
+          // the reference's -mappers N copy-parallelism knob (§2.A R7)
+          val mappers = flags.get("mappers").map { m =>
+            m.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --mappers: $m"))
+          }.getOrElse(32)
+          KvSnapshots.export(spark, need("root"), need("dest"), need("name"), mappers)
           ok(s"exported snapshot ${need("name")} to ${need("dest")}")
         case "restore" =>
           val df = KvSnapshots.restore(spark, need("root"), need("name"))
@@ -73,7 +77,7 @@ object SnapshotTool {
       s"""error: $err
          |usage: SnapshotTool <create|export|restore|delete|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir>
-         |  export  --root R --name N --dest <second root>
+         |  export  --root R --name N --dest <second root> [--mappers N]
          |  restore --root R --name N [--out <parquet dir>]
          |  delete  --root R --name N
          |  list    --root R""".stripMargin)

@@ -178,6 +178,22 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(KvSnapshots.restore(spark, dest, "empty").count() == 0)
   }
 
+  test("export bin-packing is deterministic, complete, and size-balanced") {
+    val files = (1 to 20).map(i => (s"f$i", i * 100L))
+    val bins = KvSnapshots.packBins(files, 4)
+    assert(bins.keySet == files.map(_._1).toSet)
+    assert(bins.values.forall(b => b >= 0 && b < 4))
+    val sizes = files.toMap
+    val loads = bins.toSeq.groupBy(_._2).map { case (b, fs) => b -> fs.map(f => sizes(f._1)).sum }
+    assert(loads.values.max.toDouble / loads.values.min <= 1.5, s"unbalanced: $loads")
+    assert(KvSnapshots.packBins(files, 4) == bins, "packing must be deterministic")
+    // LPT property: a dominant file gets a bin to itself — small files
+    // pile onto the OTHER bins instead of queueing behind the giant
+    val skewed = ("giant", 1000000L) +: files
+    val sb = KvSnapshots.packBins(skewed, 4)
+    assert(skewed.count { case (f, _) => sb(f) == sb("giant") } == 1)
+  }
+
   test("the SnapshotTool CLI drives the full lifecycle end-to-end") {
     val src = freshRoot()
     val dest = freshRoot()
@@ -187,7 +203,7 @@ class KvSnapshotsSpec extends SparkSpec {
     def cli(args: String*): Int = SnapshotTool.run(spark, args)
     assert(cli("create", "--root", src, "--name", "s1", "--source", cellsDir) == 0)
     assert(cli("list", "--root", src) == 0)
-    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest) == 0)
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest, "--mappers", "2") == 0)
     assert(cli("delete", "--root", src, "--name", "s1") == 0)
     assert(cli("restore", "--root", dest, "--name", "s1", "--out", outDir) == 0)
     val out = spark.read.parquet(outDir)
