@@ -16,22 +16,24 @@ import graft.sources.Tables._
   */
 object Sources {
 
-  private def scratch(sfDir: String, name: String): String =
-    s"/tmp/graft_export/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
-
-  /** Per-process tag for the snapshot roots (mirror of TimeSeries.runTag):
+  /** Per-process tag on EVERY scratch dir (mirror of TimeSeries.runTag):
     * two concurrent JVMs on the same sfDir — the exact bench+verify
-    * scenario — must not race on create/delete of the same named
-    * snapshots. The tagged roots are deleted on JVM exit so /tmp does
-    * not accumulate across runs. */
+    * scenario — must not race on any write-then-read dir (one JVM's
+    * overwrite mid-flight while the other reads back). The tagged root
+    * is deleted on JVM exit so /tmp does not accumulate across runs. */
   private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
 
+  private def scratch(sfDir: String, name: String): String = {
+    val root = s"/tmp/graft_export/$procTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$procTag")
+    s"$root/$name"
+  }
+
   private def snapshotRoot(sfDir: String, name: String): String = {
-    val root = scratch(sfDir, s"${name}_$procTag")
+    val root = scratch(sfDir, name)
     // full-tree wipe (not list()-based): also removes UNCOMMITTED
-    // manifest-less dirs a crashed prior run may have left
+    // manifest-less dirs a crashed prior IN-PROCESS run may have left
     graft.util.Scratch.deleteTree(root)
-    graft.util.Scratch.deleteOnExit(root)
     root
   }
 
