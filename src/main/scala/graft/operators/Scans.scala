@@ -82,8 +82,14 @@ object Scans {
   /** Snapshot-export emulation (SURVEY.md §2.A R2+R6): partitioned write
     * to a scratch dir, read back, return the per-partition manifest. The
     * read-back count doubles as copy verification. */
+  /** Per-process tag (mirror of Sources.procTag): concurrent JVMs on
+    * the same sfDir must not overwrite this dir mid-read-back. */
+  private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   def exportManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dest = s"/tmp/graft_export/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/lineitem"
+    val root = s"/tmp/graft_export/$procTag"
+    graft.util.Scratch.deleteOnExit(root)
+    val dest = s"$root/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/lineitem"
     lineitem(spark, sfDir)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(dest)
     spark.read.parquet(dest)

@@ -217,11 +217,16 @@ class KvScanBuilder(path: String)
     * aggregate the real scan. Complete pushdown: the index is exact. */
   private var aggStats: Option[Seq[String]] = None
 
+  // one metadata read per builder: Spark calls supportCompletePushDown
+  // AND pushAggregation during planning — don't re-list per call
+  private lazy val indexCoversAllFiles: Boolean = {
+    val meta = KvMeta.read(path)
+    KvFormat.dataFiles(path).forall(f => meta.contains(f.getFileName.toString))
+  }
+
   private def plannable(agg: Aggregation): Option[Seq[String]] = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
-    val meta = KvMeta.read(path)
-    if (!KvFormat.dataFiles(path).forall(f => meta.contains(f.getFileName.toString)))
-      return None
+    if (!indexCoversAllFiles) return None
     def rowkeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case nr: NamedReference => nr.fieldNames.sameElements(Array("rowkey"))

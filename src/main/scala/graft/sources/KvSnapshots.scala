@@ -208,24 +208,34 @@ object KvSnapshots {
       mappers: Int = 32): Unit = {
     require(mappers > 0, s"mappers must be positive, got $mappers")
     val entries = parseManifest(srcRoot, name)
-    require(!Files.exists(snapDir(destRoot, name)),
-      s"snapshot $name already exists at export destination")
+    if (Files.exists(snapDir(destRoot, name))) {
+      require(!Files.exists(manifest(destRoot, name)),
+        s"snapshot $name already exists at export destination")
+      // a manifest-less dest dir is the leftover of a crashed or failed
+      // export: invisible to list(), unrestorable. Clear it so retries
+      // work — the uncommitted-is-invisible rule cuts both ways
+      graft.util.Scratch.deleteTree(snapDir(destRoot, name).toString)
+    }
     val srcData = dataDir(srcRoot, name)
     val destData = dataDir(destRoot, name)
     Files.createDirectories(destData)
     if (entries.nonEmpty) {
-      import spark.implicits._
       val nBins = math.min(entries.size, mappers)
       val binOf = packBins(entries.map(e => (e.file, e.bytes)), nBins)
-      val jobs = entries.map(e => (srcData.resolve(e.file).toString,
-        destData.resolve(e.file).toString, e.md5, e.bytes, binOf(e.file)))
-      val bad = spark.createDataset(jobs)
-        .repartition(nBins, org.apache.spark.sql.functions.col("_5")) // co-locate each size-balanced bin
-        .map { case (src, dest, wantMd5, wantBytes, _) =>
+      // one RDD element per bin with numSlices = nBins: a POSITIONAL
+      // bijection bin → task. (A hash repartition on the bin id would
+      // routinely collide two bins into one task and leave another
+      // empty, silently defeating the size balancing.)
+      val binned: Seq[Seq[(String, String, String, Long)]] =
+        (0 until nBins).map(b => entries.filter(e => binOf(e.file) == b)
+          .map(e => (srcData.resolve(e.file).toString,
+            destData.resolve(e.file).toString, e.md5, e.bytes)))
+      val bad = spark.sparkContext.parallelize(binned, nBins)
+        .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes) =>
           val gotMd5 = copyDigesting(src, dest)
           if (gotMd5 == wantMd5 && Files.size(Paths.get(dest)) == wantBytes) ""
           else Paths.get(src).getFileName.toString
-        }
+        })
         .filter(_.nonEmpty)
         .collect() // only the names of corrupt copies come back
       require(bad.isEmpty,

@@ -64,9 +64,11 @@ object SnapshotTool {
       }
     } catch {
       case CliError(m) => usage(m)
-      // lifecycle violations (missing/duplicate snapshot, failed
-      // verification) exit nonzero with the reason, not a stack trace
-      case e: IllegalArgumentException =>
+      // ANY operation failure — lifecycle violation (IAE), corrupt
+      // manifest (sys.error's RuntimeException), unreadable source
+      // (AnalysisException), IO — exits 1 with the reason, never a
+      // stack trace: this is a CLI, not a library surface
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"error: ${e.getMessage}"); 1
     }
 

@@ -12,6 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class KvConnectorSpec extends AnyFunSuite {
 
+  /** Write one committed .kv file of (k, "q", "v") cells into `dir`. */
+  private def mkFile(dir: String, keys: Seq[Long]): KvFileMeta = {
+    val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
+    keys.foreach(r => w.write(
+      InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
+    (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
+  }
+
   test("filters with null literals are not accepted for pushdown") {
     assert(!KvFilterEval.supports(EqualTo("rowkey", null)))
     assert(!KvFilterEval.supports(In("rowkey", Array(1L, null))))
@@ -72,13 +80,7 @@ class KvConnectorSpec extends AnyFunSuite {
 
   test("rowkey-range scan plans only the files whose [min,max] overlap") {
     val dir = Files.createTempDirectory("kvspec").toString
-    def mkFile(keys: Seq[Long]): KvFileMeta = {
-      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
-      keys.foreach(r => w.write(
-        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
-      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
-    }
-    val metas = Seq(mkFile(1L to 10L), mkFile(11L to 20L), mkFile(21L to 30L))
+    val metas = Seq(mkFile(dir, 1L to 10L), mkFile(dir, 11L to 20L), mkFile(dir, 21L to 30L))
     new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
     assert(KvFormat.dataFiles(dir).size == 3)
     def planned(filters: Filter*): Int =
@@ -96,13 +98,7 @@ class KvConnectorSpec extends AnyFunSuite {
 
   test("pushed limit stops each partition reader after n surviving cells") {
     val dir = Files.createTempDirectory("kvspec_limit").toString
-    def mkFile(keys: Seq[Long]): KvFileMeta = {
-      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
-      keys.foreach(r => w.write(
-        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
-      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
-    }
-    val metas = Seq(mkFile(1L to 100L), mkFile(101L to 200L))
+    val metas = Seq(mkFile(dir, 1L to 100L), mkFile(dir, 101L to 200L))
     new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
     def drain(scan: KvScan): Long = {
       KvReadStats.reset()
@@ -133,13 +129,7 @@ class KvConnectorSpec extends AnyFunSuite {
 
   test("count/min/max push down to the stats index — zero data bytes read") {
     val dir = Files.createTempDirectory("kvspec_agg").toString
-    def mkFile(keys: Seq[Long]): KvFileMeta = {
-      val w = new KvDataWriter(dir, keys.head.toInt, keys.head)
-      keys.foreach(r => w.write(
-        InternalRow(r, UTF8String.fromString("q"), UTF8String.fromString("v"))))
-      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
-    }
-    val metas = Seq(mkFile(5L to 104L), mkFile(200L to 299L))
+    val metas = Seq(mkFile(dir, 5L to 104L), mkFile(dir, 200L to 299L))
     new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
     val spark = graft.TestSpark.spark
     import org.apache.spark.sql.functions._

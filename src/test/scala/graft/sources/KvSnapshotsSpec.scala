@@ -143,6 +143,23 @@ class KvSnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KvSnapshots.restore(spark, dest, "s1") }
   }
 
+  test("export retries after a crash leftover at the destination") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells, src, "s1")
+    // a crashed export leaves an uncommitted (manifest-less) dest dir;
+    // a retry must clear it and proceed, not be bricked forever on
+    // "already exists" for a snapshot list() can't even see
+    Files.createDirectories(Paths.get(dest, "s1", "data"))
+    Files.writeString(Paths.get(dest, "s1", "data", "part-junk.kv"), "1\tq\tpartial\n")
+    KvSnapshots.export(spark, src, dest, "s1")
+    assert(KvSnapshots.list(dest) == Seq("s1"))
+    val r = KvSnapshots.restore(spark, dest, "s1") // junk gone: no unmanifested files
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+    // a COMMITTED destination snapshot is still immutable
+    intercept[IllegalArgumentException] { KvSnapshots.export(spark, src, dest, "s1") }
+  }
+
   test("exporting an incremental snapshot materializes shared files as full copies") {
     val src = freshRoot()
     val dest = freshRoot()
@@ -213,6 +230,12 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(cli("create", "--root", src) == 2)
     assert(cli("restore", "--root", src, "--name", "s1") == 1) // deleted at source
     assert(cli("delete", "--root", src, "--name", "s1") == 1)
+    // NON-IAE failures also exit 1 with a reason, never a stack trace:
+    // a corrupt manifest surfaces via sys.error (RuntimeException)
+    Files.writeString(Paths.get(dest, "s1", "MANIFEST.json"), """{"n_files": 99}""")
+    assert(cli("restore", "--root", dest, "--name", "s1") == 1)
+    // and an unreadable --source (AnalysisException) on create
+    assert(cli("create", "--root", src, "--name", "s9", "--source", "/nonexistent") == 1)
   }
 
   test("delete removes the snapshot; deleting a missing name fails loudly") {
