@@ -48,7 +48,14 @@ object Bench {
       // blocking: removal must COMPLETE before the next key's t0, or the
       // async cleanup would execute inside the next timed section
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val pinned = spark.sparkContext.getPersistentRDDs.values
+      pinned.foreach(_.unpersist(blocking = true))
+      // Damp cross-key GC debt (r5 driver run: llm_dedup_near 3.5→5.6 s
+      // with unchanged code): a block-pinning key leaves a tenured heap
+      // the NEXT key pays to collect inside its timed section. Collect
+      // it here, untimed, but only when blocks were actually pinned —
+      // an unconditional gc per key would tax the wall ~98×.
+      if (pinned.nonEmpty) System.gc()
       (name, t, ok)
     }
     val failed = results.collect { case (n, _, false) => n }
