@@ -42,6 +42,7 @@ object KvFormat {
     StructField("value", StringType)))
 
   val SEP = "\t"
+  val SUFFIX = ".kv"
 
   def dataFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
@@ -49,7 +50,7 @@ object KvFormat {
     else {
       val s = Files.list(p)
       try s.collect(Collectors.toList[Path]).asScala.toSeq
-        .filter(f => f.getFileName.toString.endsWith(".kv"))
+        .filter(f => f.getFileName.toString.endsWith(SUFFIX))
         .sortBy(_.toString)
       finally s.close()
     }

@@ -36,6 +36,11 @@ object KvSnapshots {
   final case class SnapEntry(file: String, bytes: Long, md5: String, cells: Long,
       sharedFrom: Option[String])
 
+  /** Outcome of an `export`: how many files were actually copied vs
+    * skipped because the destination already held verified bytes (the
+    * resume path). copied + skipped = manifest file count on success. */
+  final case class ExportStats(copied: Int, skipped: Int)
+
   private def snapDir(root: String, name: String): Path = Paths.get(root, name)
   private def dataDir(root: String, name: String): Path = Paths.get(root, name, "data")
   private def manifest(root: String, name: String): Path =
@@ -203,23 +208,39 @@ object KvSnapshots {
     * LPT-packed by manifest byte size into `mappers` bins — largest file
     * to the least-loaded bin — so one giant file cannot straggle a
     * partition that also drew many small ones. Bin id is the partition
-    * key; the packing is O(files log mappers) driver metadata work. */
+    * key; the packing is O(files log mappers) driver metadata work.
+    *
+    * RESUMABLE (SURVEY.md §2.A R2 — HBase's ExportSnapshot skips files
+    * already at the destination with matching checksum): a manifest-less
+    * dest dir left by a crashed export is NOT wiped. Each copy task
+    * first digest-reads any existing dest file and skips the copy when
+    * its (md5, bytes) already verify — published dest files are always
+    * complete (temp-file + atomic move), so the only states are
+    * verified-skip, corrupt-recopy, or missing-copy. A restart therefore
+    * re-reads what survived but re-COPIES only what's missing — at
+    * 100 TB the difference between an hour and a week. Returns
+    * (copied, skipped) counts so callers and tests can observe resume
+    * behavior. */
   def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String,
-      mappers: Int = 32): Unit = {
+      mappers: Int = 32): ExportStats = {
     require(mappers > 0, s"mappers must be positive, got $mappers")
     val entries = parseManifest(srcRoot, name)
-    if (Files.exists(snapDir(destRoot, name))) {
-      require(!Files.exists(manifest(destRoot, name)),
-        s"snapshot $name already exists at export destination")
-      // a manifest-less dest dir is the leftover of a crashed or failed
-      // export: invisible to list(), unrestorable. Clear it so retries
-      // work — the uncommitted-is-invisible rule cuts both ways
-      graft.util.Scratch.deleteTree(snapDir(destRoot, name).toString)
-    }
+    require(!Files.exists(manifest(destRoot, name)),
+      s"snapshot $name already exists at export destination")
     val srcData = dataDir(srcRoot, name)
     val destData = dataDir(destRoot, name)
     Files.createDirectories(destData)
-    if (entries.nonEmpty) {
+    // Stray files a committed dest must not contain: crashed-task temp
+    // files, and data files not in the manifest (would trip restore's
+    // unmanifested-file check). Name-level driver work, no data read.
+    val expected = entries.map(_.file).toSet
+    val stray = Files.list(destData)
+    try stray.iterator().asScala
+      .filter(p => { val n = p.getFileName.toString
+        (n.endsWith(".tmp") || (n.endsWith(KvFormat.SUFFIX) && !expected(n))) })
+      .foreach(Files.delete)
+    finally stray.close()
+    val stats = if (entries.isEmpty) ExportStats(0, 0) else {
       val nBins = math.min(entries.size, mappers)
       val binOf = packBins(entries.map(e => (e.file, e.bytes)), nBins)
       // one RDD element per bin with numSlices = nBins: a POSITIONAL
@@ -230,16 +251,25 @@ object KvSnapshots {
         (0 until nBins).map(b => entries.filter(e => binOf(e.file) == b)
           .map(e => (srcData.resolve(e.file).toString,
             destData.resolve(e.file).toString, e.md5, e.bytes)))
-      val bad = spark.sparkContext.parallelize(binned, nBins)
+      // per-file outcome: 'c' copied+verified, 's' skipped (dest already
+      // verifies), or the file name on checksum failure
+      val outcomes = spark.sparkContext.parallelize(binned, nBins)
         .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes) =>
-          val gotMd5 = copyDigesting(src, dest)
-          if (gotMd5 == wantMd5 && Files.size(Paths.get(dest)) == wantBytes) ""
-          else Paths.get(src).getFileName.toString
+          val destP = Paths.get(dest)
+          val survives = Files.exists(destP) && Files.size(destP) == wantBytes &&
+            KvMeta.md5HexOf(dest) == wantMd5
+          if (survives) "s"
+          else {
+            val gotMd5 = copyDigesting(src, dest)
+            if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) "c"
+            else Paths.get(src).getFileName.toString
+          }
         })
-        .filter(_.nonEmpty)
-        .collect() // only the names of corrupt copies come back
+        .collect() // one tag (or corrupt-file name) per file
+      val bad = outcomes.filter(o => o != "c" && o != "s")
       require(bad.isEmpty,
         s"export $name: ${bad.mkString(", ")} failed checksum verification at destination")
+      ExportStats(copied = outcomes.count(_ == "c"), skipped = outcomes.count(_ == "s"))
     }
     // metadata sidecar (tiny, driver-side): preserves min/max rowkey
     // bounds so the destination store prunes files like the source did
@@ -247,6 +277,7 @@ object KvSnapshots {
     if (Files.exists(srcIdx))
       Files.copy(srcIdx, destData.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
     commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)))
+    stats
   }
 
   /** Longest-processing-time bin packing: files sorted by size

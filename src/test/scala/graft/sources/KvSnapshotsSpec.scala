@@ -160,6 +160,29 @@ class KvSnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KvSnapshots.export(spark, src, dest, "s1") }
   }
 
+  test("a re-export after a partial copy skips verified files and copies only the rest") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(6, col("qualifier")).sortWithinPartitions("rowkey", "qualifier")
+    KvSnapshots.create(layout(cells), src, "s1")
+    val full = KvSnapshots.export(spark, src, dest, "s1")
+    val nFiles = KvSnapshots.parseManifest(src, "s1").size
+    assert(full == KvSnapshots.ExportStats(copied = nFiles, skipped = 0))
+    // simulate a crash mid-copy: the manifest never landed and two of
+    // the copied files are gone; one survivor is silently corrupted
+    Files.delete(Paths.get(dest, "s1", "MANIFEST.json"))
+    val destFiles = KvFormat.dataFiles(Paths.get(dest, "s1", "data").toString)
+    Files.delete(destFiles(0))
+    Files.delete(destFiles(1))
+    Files.writeString(destFiles(2), "1\tq\tcorrupt\n")
+    val resumed = KvSnapshots.export(spark, src, dest, "s1")
+    // 2 missing + 1 corrupt re-copied; every untouched survivor skipped
+    assert(resumed == KvSnapshots.ExportStats(copied = 3, skipped = nFiles - 3))
+    val r = KvSnapshots.restore(spark, dest, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+  }
+
   test("exporting an incremental snapshot materializes shared files as full copies") {
     val src = freshRoot()
     val dest = freshRoot()
