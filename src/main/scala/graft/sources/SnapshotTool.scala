@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   * of the reference drives create/export/restore/delete/list from a
   * command line; this gives the Spark engine the same entry point:
   *
-  *   create  --root R --name N --source <parquet cells dir>
-  *   export  --root R --name N --dest <second root>
+  *   create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
+  *   export  --root R --name N --dest <second root> [--mappers N]
   *   restore --root R --name N [--out <parquet dir>]
+  *   verify  --root R --name N
   *   delete  --root R --name N
+  *   cleanup --root R --before EPOCH_SEC
   *   list    --root R
   *
   * `run` returns a process exit code and is the unit under test; `main`
@@ -36,9 +38,13 @@ object SnapshotTool {
       }.toMap
       def need(k: String): String =
         flags.getOrElse(k, throw CliError(s"$action requires --$k"))
+      def longFlag(k: String): Option[Long] = flags.get(k).map { v =>
+        v.toLongOption.getOrElse(throw CliError(s"bad --$k: $v"))
+      }
       action match {
         case "create" =>
-          KvSnapshots.create(spark.read.parquet(need("source")), need("root"), need("name"))
+          KvSnapshots.create(spark.read.parquet(need("source")), need("root"), need("name"),
+            longFlag("created-at"))
           ok(s"created snapshot ${need("name")}")
         case "export" =>
           // the reference's -mappers N copy-parallelism knob (§2.A R7)
@@ -54,9 +60,18 @@ object SnapshotTool {
             case None => () // verification-only restore: checksums ran
           }
           ok(s"restored snapshot ${need("name")} (${df.count()} cells)")
+        case "verify" =>
+          // the reference's post-copy check (§2.A R6) as its own action:
+          // "is this snapshot intact, right now" without restoring it
+          KvSnapshots.verify(spark, need("root"), need("name"))
+          ok(s"verified snapshot ${need("name")}")
         case "delete" =>
           KvSnapshots.delete(need("root"), need("name"))
           ok(s"deleted snapshot ${need("name")}")
+        case "cleanup" =>
+          val before = longFlag("before").getOrElse(throw CliError("cleanup requires --before"))
+          val gone = KvSnapshots.cleanup(need("root"), before)
+          ok(s"deleted ${gone.size} snapshot(s): ${gone.mkString(", ")}")
         case "list" =>
           KvSnapshots.list(need("root")).foreach(println)
           0
@@ -77,11 +92,13 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|restore|delete|list> [--flag value ...]
-         |  create  --root R --name N --source <parquet cells dir>
+         |usage: SnapshotTool <create|export|restore|verify|delete|cleanup|list> [--flag value ...]
+         |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N]
          |  restore --root R --name N [--out <parquet dir>]
+         |  verify  --root R --name N
          |  delete  --root R --name N
+         |  cleanup --root R --before EPOCH_SEC
          |  list    --root R""".stripMargin)
     2
   }

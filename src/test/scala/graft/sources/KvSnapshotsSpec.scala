@@ -261,6 +261,48 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(cli("create", "--root", src, "--name", "s9", "--source", "/nonexistent") == 1)
   }
 
+  test("the verify CLI action passes an intact snapshot and fails a tampered one") {
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "s1")
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    assert(cli("verify", "--root", root, "--name", "s1") == 0)
+    assert(cli("verify", "--root", root, "--name", "missing") == 1)
+    // same-size tamper: only the distributed checksum pass can catch it
+    val f = KvFormat.dataFiles(Paths.get(root, "s1", "data").toString).head
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(f, bytes)
+    assert(cli("verify", "--root", root, "--name", "s1") == 1)
+  }
+
+  test("created_at is injected, survives export, and drives TTL cleanup") {
+    val root = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells, root, "old", createdAt = Some(1000L))
+    KvSnapshots.create(cells, root, "new", createdAt = Some(2000L))
+    KvSnapshots.create(cells, root, "unstamped")
+    assert(KvSnapshots.createdAt(root, "old").contains(1000L))
+    assert(KvSnapshots.createdAt(root, "unstamped").isEmpty)
+    // the stamp is part of the snapshot's identity: export carries it
+    KvSnapshots.export(spark, root, dest, "old")
+    assert(KvSnapshots.createdAt(dest, "old").contains(1000L))
+    // cutoff is injected — expiry is reproducible, no wall clock read.
+    // Unstamped snapshots have no age and are never eligible.
+    assert(KvSnapshots.cleanup(root, before = 1500L) == Seq("old"))
+    assert(KvSnapshots.list(root) == Seq("new", "unstamped"))
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    assert(cli("cleanup", "--root", root, "--before", "3000") == 0)
+    assert(KvSnapshots.list(root) == Seq("unstamped"))
+    assert(cli("cleanup", "--root", root, "--before", "oops") == 2)
+    // a stamped create through the CLI is cleanup-eligible end-to-end
+    val cellsDir = freshRoot() + "/cells"
+    cells.write.parquet(cellsDir)
+    assert(cli("create", "--root", root, "--name", "cli1", "--source", cellsDir,
+      "--created-at", "500") == 0)
+    assert(cli("cleanup", "--root", root, "--before", "501") == 0)
+    assert(KvSnapshots.list(root) == Seq("unstamped"))
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
