@@ -204,6 +204,46 @@ object Sources {
   /** Exported-restored cells must equal the source cells. */
   val kvSnapshotExportOracle: String = Scans.scanKvModelOracle
 
+  /** Streaming ingestion into the cell store — the reference's
+    * operational WRITE path (SURVEY.md §2.A R1: rows arrive
+    * continuously, snapshots are cut from the live store): the model
+    * cells arrive as a file stream in ≥2 micro-batches, each batch
+    * lands in the graft-kv store via foreachBatch (every batch is its
+    * own committed set of .kv files + stats-index entries — the
+    * connector's two-phase task commit makes each micro-batch atomic),
+    * a named snapshot is cut from the live store, and the verifying
+    * restore is returned. The oracle checks the full loop is lossless:
+    * restored == the cells that were streamed in. At scale this is
+    * readStream-from-Kafka-or-landing-zone → kv append → snapshot, with
+    * per-batch commit as the exactly-once unit. */
+  def kvStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = snapshotRoot(sfDir, "kv_ingest_stage")
+    val store = snapshotRoot(sfDir, "kv_ingest_store") + "/cells"
+    val snapRoot = snapshotRoot(sfDir, "kv_ingest_snap")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    // two staged files → two micro-batches under maxFilesPerTrigger=1
+    cells.filter(col("rowkey") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
+    cells.filter(col("rowkey") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graft-kv").option("path", store).mode("append").save()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.streams.resetTerminated() // same sink hygiene as TimeSeries
+    require(graft.sources.KvFormat.dataFiles(store).size >= 2,
+      "ingestion did not commit at least one file set per micro-batch")
+    graft.sources.KvSnapshots.create(
+      spark.read.format("graft-kv").load(store), snapRoot, "ingested")
+    graft.sources.KvSnapshots.restore(spark, snapRoot, "ingested")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** Stream-ingested, snapshotted, restored cells == the source cells. */
+  val kvStreamIngestOracle: String = Scans.scanKvModelOracle
+
   /** Restored v2 must equal the modified frame. */
   val kvSnapshotIncrementalOracle: String =
     """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
@@ -262,6 +302,7 @@ object Sources {
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
+    "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
@@ -273,6 +314,7 @@ object Sources {
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,
+    "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }
