@@ -118,6 +118,31 @@ object Sources {
     """SELECT 3 * COUNT(*) AS n_cells, MIN(s_suppkey) AS min_rowkey,
       |  MAX(s_suppkey) AS max_rowkey FROM supplier""".stripMargin
 
+  /** Grouped-count aggregate pushdown on the graft-kv store: GROUP BY
+    * qualifier + COUNT(*) — the HBase "how many cells per column
+    * qualifier" cardinality question — answered entirely from the
+    * write-time per-qualifier breakdown in the stats index
+    * (`.file_meta.tsv` column 7), zero data bytes read. At 100 TB the
+    * index fold is O(files × qualifiers) driver metadata vs a full
+    * store scan + shuffle. KvConnectorSpec proves zero-read via the
+    * reader counters and the old-format fallback; PlanSpec pins the
+    * grouped stats scan; this key grades the VALUES. */
+  def kvStatsByQualifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "supplier_kv_qstats")
+    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
+    Scans.scanKvModel(spark, sfDir)
+      .write.format("graft-kv").option("path", dest).mode("append").save()
+    spark.read.format("graft-kv").load(dest)
+      .groupBy("qualifier").count()
+      .orderBy("qualifier")
+  }
+
+  /** Each of the model's 3 qualifiers appears once per supplier row. */
+  val kvStatsByQualifierOracle: String =
+    """SELECT q AS qualifier, CAST(COUNT(*) AS BIGINT) AS count
+      |FROM supplier, (VALUES ('acctbal'), ('name'), ('nationkey')) t(q)
+      |GROUP BY q ORDER BY q""".stripMargin
+
   /** Full snapshot lifecycle on the graft-kv store (SURVEY.md §2.A
     * R1/R4/R5 — the reference's raison d'être): CREATE a named immutable
     * snapshot of the model cells, create + DELETE a second snapshot
@@ -299,6 +324,7 @@ object Sources {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_kv_connector" -> (sourceKvConnector _),
     "kv_stats_pushdown" -> (kvStatsPushdown _),
+    "kv_stats_by_qualifier" -> (kvStatsByQualifier _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
@@ -311,6 +337,7 @@ object Sources {
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
     "source_kv_connector" -> sourceKvConnectorOracle,
     "kv_stats_pushdown" -> kvStatsPushdownOracle,
+    "kv_stats_by_qualifier" -> kvStatsByQualifierOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,

@@ -67,10 +67,32 @@ object KvFormat {
   * snapshot manifest is assembled from these entries without touching
   * data bytes again. */
 case class KvFileMeta(file: String, bytes: Long, md5: String, cells: Long,
-    minKey: Long, maxKey: Long)
+    minKey: Long, maxKey: Long, qualCells: Map[String, Long] = Map.empty) {
+  /** The per-qualifier breakdown is present and consistent — old-format
+    * index lines (written before the 7th column existed) have no
+    * breakdown, and a grouped-count pushdown must refuse them. */
+  def qualifiersCovered: Boolean = qualCells.values.sum == cells
+}
 
 object KvMeta {
   val FILE = ".file_meta.tsv"
+
+  // Qualifier names inside the index's breakdown column are URL-encoded:
+  // the store already forbids tab/newline in qualifiers, but ',' and '='
+  // are legal cell content and are this column's own separators.
+  private def encQ(q: String): String =
+    java.net.URLEncoder.encode(q, StandardCharsets.UTF_8)
+  private def decQ(q: String): String =
+    java.net.URLDecoder.decode(q, StandardCharsets.UTF_8)
+
+  private[sources] def encodeQuals(quals: Map[String, Long]): String =
+    quals.toSeq.sortBy(_._1).map { case (q, n) => s"${encQ(q)}=$n" }.mkString(",")
+  private[sources] def decodeQuals(s: String): Map[String, Long] =
+    if (s.isEmpty) Map.empty
+    else s.split(",").iterator.map { kv =>
+      val i = kv.lastIndexOf('=')
+      decQ(kv.substring(0, i)) -> kv.substring(i + 1).toLong
+    }.toMap
 
   /** The committed per-file index for a kv dir; files without an entry
     * (e.g. hand-written fixtures) simply have no stats. */
@@ -80,8 +102,9 @@ object KvMeta {
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty)
       .map { l =>
-        val a = l.split("\t", 6)
-        KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong)
+        val a = l.split("\t", 7)
+        KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong,
+          if (a.length >= 7) decodeQuals(a(6)) else Map.empty)
       }
       // last entry per filename wins (append-mode jobs merge on commit)
       .map(m => m.file -> m).toMap
@@ -95,7 +118,7 @@ object KvMeta {
     val merged = (read(dir) ++ entries.map(m => m.file -> m).toMap)
       .filter { case (f, _) => Files.exists(Paths.get(dir, f)) }
     val text = merged.values.toSeq.sortBy(_.file)
-      .map(m => s"${m.file}\t${m.bytes}\t${m.md5}\t${m.cells}\t${m.minKey}\t${m.maxKey}")
+      .map(m => s"${m.file}\t${m.bytes}\t${m.md5}\t${m.cells}\t${m.minKey}\t${m.maxKey}\t${encodeQuals(m.qualCells)}")
       .mkString("", "\n", "\n")
     val tmp = Paths.get(dir, s"$FILE.tmp")
     Files.writeString(tmp, text, StandardCharsets.UTF_8)
@@ -210,87 +233,137 @@ class KvScanBuilder(path: String)
     * default): n per file, Spark still applies the global limit. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  /** COUNT(*) / MIN(rowkey) / MAX(rowkey) with no grouping and no
-    * filters are answered from the write-time stats index — O(files)
-    * driver metadata, ZERO data bytes read (the parquet-footer-count
-    * move). Sound only when every data file has a committed stats entry
-    * (hand-written fixtures don't) — otherwise refuse and let Spark
-    * aggregate the real scan. Complete pushdown: the index is exact. */
-  private var aggStats: Option[Seq[String]] = None
+  /** COUNT(*) / MIN(rowkey) / MAX(rowkey) with no grouping, and
+    * GROUP BY qualifier + COUNT(*) (the HBase column-qualifier
+    * cardinality question), with no filters, are answered from the
+    * write-time stats index — O(files × qualifiers) driver metadata,
+    * ZERO data bytes read (the parquet-footer-count move). Sound only
+    * when every data file has a committed stats entry (hand-written
+    * fixtures don't) — and for the grouped form only when every entry
+    * carries the per-qualifier breakdown (old-format index lines don't)
+    * — otherwise refuse and let Spark aggregate the real scan.
+    * Complete pushdown: the index is exact. */
+  private var aggPlan: Option[KvAggPlan] = None
 
   // one metadata read per builder: Spark calls supportCompletePushDown
   // AND pushAggregation during planning — don't re-list per call
-  private lazy val indexCoversAllFiles: Boolean = {
+  private lazy val planCoverage: (Boolean, Boolean) = {
     val meta = KvMeta.read(path)
-    KvFormat.dataFiles(path).forall(f => meta.contains(f.getFileName.toString))
+    val files = KvFormat.dataFiles(path).map(_.getFileName.toString)
+    val allFiles = files.forall(meta.contains)
+    val allQuals = allFiles && files.forall(f => meta(f).qualifiersCovered)
+    (allFiles, allQuals)
   }
 
-  private def plannable(agg: Aggregation): Option[Seq[String]] = {
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
-    if (!indexCoversAllFiles) return None
-    def rowkeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case nr: NamedReference => nr.fieldNames.sameElements(Array("rowkey"))
-        case _ => false
-      }
-    val stats = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some("count")
-      case m: Min if rowkeyRef(m.column) => Some("min")
-      case m: Max if rowkeyRef(m.column) => Some("max")
+  private def namedRef(e: org.apache.spark.sql.connector.expressions.Expression,
+      col: String): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array(col))
+    case _ => false
+  }
+
+  private def plannable(agg: Aggregation): Option[KvAggPlan] = {
+    if (pushed.nonEmpty || limit.nonEmpty) return None
+    agg.groupByExpressions.toSeq match {
+      case Seq() =>
+        if (!planCoverage._1) return None
+        val stats = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some("count")
+          case m: Min if namedRef(m.column, "rowkey") => Some("min")
+          case m: Max if namedRef(m.column, "rowkey") => Some("max")
+          case _ => None
+        }
+        if (stats.nonEmpty && stats.forall(_.isDefined))
+          Some(KvAggPlan(byQualifier = false, stats.map(_.get)))
+        else None
+      case Seq(g) if namedRef(g, "qualifier") =>
+        // per-qualifier COUNT(*) from the index's breakdown column
+        if (!planCoverage._2) return None
+        val counts = agg.aggregateExpressions.toSeq.forall {
+          case _: CountStar => true
+          case _ => false
+        }
+        if (counts && agg.aggregateExpressions.nonEmpty)
+          Some(KvAggPlan(byQualifier = true,
+            agg.aggregateExpressions.toSeq.map(_ => "count")))
+        else None
       case _ => None
     }
-    if (stats.nonEmpty && stats.forall(_.isDefined)) Some(stats.map(_.get)) else None
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = plannable(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggStats = plannable(agg)
-    aggStats.isDefined
+    aggPlan = plannable(agg)
+    aggPlan.isDefined
   }
 
-  override def build(): Scan = aggStats match {
-    case Some(stats) => new KvStatsScan(path, stats)
+  override def build(): Scan = aggPlan match {
+    case Some(plan) => new KvStatsScan(path, plan)
     case None => new KvScan(path, required, pushed, limit)
   }
 }
 
-/** The aggregate-pushdown scan: one partition, one row, values straight
-  * from the committed `.file_meta.tsv`. MIN/MAX of an empty store are
-  * null (matching SQL aggregate semantics); COUNT is 0. */
-class KvStatsScan(path: String, stats: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = StructType(stats.zipWithIndex.map {
-    case (s, i) => StructField(s"${s}_$i", LongType, nullable = s != "count")
-  })
+private[sources] case class KvAggPlan(byQualifier: Boolean, stats: Seq[String])
+
+/** The aggregate-pushdown scan: one partition whose rows come straight
+  * from the committed `.file_meta.tsv` — global (one row; MIN/MAX of an
+  * empty store are null, matching SQL aggregate semantics; COUNT is 0)
+  * or grouped by qualifier (one row per qualifier, sorted). */
+class KvStatsScan(path: String, plan: KvAggPlan) extends Scan with Batch {
+  private val aggFields = plan.stats.zipWithIndex.map {
+    case (s, i) => StructField(s"${s}_$i", LongType,
+      nullable = s != "count" && !plan.byQualifier)
+  }
+  override def readSchema(): StructType =
+    if (plan.byQualifier)
+      StructType(StructField("qualifier", StringType, nullable = false) +: aggFields)
+    else StructType(aggFields)
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-kv $path, PushedAggregates: [${stats.mkString(", ")}] (stats-index only, no data read)"
+  override def description(): String = {
+    val shape = if (plan.byQualifier) "group by qualifier: " else ""
+    s"graft-kv $path, PushedAggregates: [$shape${plan.stats.mkString(", ")}] (stats-index only, no data read)"
+  }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvStatsPartition(computeRow()))
-  // driver-side O(files) metadata fold; the row travels inside the
-  // partition. Restricted to files that still EXIST — a stale index
-  // entry for a file deleted outside the connector must not be counted
-  private def computeRow(): Array[Option[Long]] = {
-    val files = KvFormat.dataFiles(path).map(_.getFileName.toString).toSet
-    val metas = KvMeta.read(path).collect { case (f, m) if files(f) => m }.toSeq
-    stats.map {
-      case "count" => Some(metas.map(_.cells).sum)
-      case "min" => if (metas.isEmpty) None else Some(metas.map(_.minKey).min)
-      case "max" => if (metas.isEmpty) None else Some(metas.map(_.maxKey).max)
-    }.toArray
+    Array(KvStatsPartition(computeRows()))
+  // Driver-side O(files × qualifiers) metadata fold; the rows travel
+  // inside the partition. The file listing is re-taken here, so
+  // plan-time coverage is re-checked: a data file that appeared between
+  // planning and execution WITHOUT a stats entry must fail loudly, not
+  // be silently undercounted (entries for files deleted outside the
+  // connector are still skipped — they no longer hold cells).
+  private def computeRows(): Array[Array[Any]] = {
+    val meta = KvMeta.read(path)
+    val metas = KvFormat.dataFiles(path).map(_.getFileName.toString).map { f =>
+      meta.getOrElse(f, sys.error(
+        s"graft-kv $path: data file $f has no stats-index entry — " +
+          "cannot answer a pushed aggregate from the index"))
+    }
+    if (plan.byQualifier) {
+      metas.foreach(m => require(m.qualifiersCovered,
+        s"graft-kv $path: ${m.file} lacks the per-qualifier breakdown — " +
+          "cannot answer a grouped count from the index"))
+      metas.flatMap(_.qualCells).groupMapReduce(_._1)(_._2)(_ + _)
+        .toSeq.sortBy(_._1)
+        .map { case (q, n) =>
+          (UTF8String.fromString(q) +: plan.stats.map(_ => Long.box(n))).toArray[Any]
+        }.toArray
+    } else Array(plan.stats.map {
+      case "count" => Long.box(metas.map(_.cells).sum)
+      case "min" => if (metas.isEmpty) null else Long.box(metas.map(_.minKey).min)
+      case "max" => if (metas.isEmpty) null else Long.box(metas.map(_.maxKey).max)
+    }.toArray[Any])
   }
   override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory
 }
 
-case class KvStatsPartition(values: Array[Option[Long]]) extends InputPartition
+case class KvStatsPartition(rows: Array[Array[Any]]) extends InputPartition
 
 object KvStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val values = partition.asInstanceOf[KvStatsPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(values.toIndexedSeq.map(_.map(Long.box).orNull))
+      private val rows = partition.asInstanceOf[KvStatsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toIndexedSeq)
       override def close(): Unit = ()
     }
 }
@@ -507,6 +580,10 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
   private var cells = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
+  // per-qualifier cell counts for the grouped-count pushdown; bounded by
+  // the store's qualifier cardinality (HBase column-qualifier scale:
+  // small per family), not by cell count
+  private val qualCounts = scala.collection.mutable.Map.empty[String, Long]
 
   override def write(row: InternalRow): Unit = {
     // the format is one cell per line, tab-separated: reject rather than
@@ -521,6 +598,7 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     out.write(s"$r${KvFormat.SEP}$q${KvFormat.SEP}$v")
     out.newLine()
     cells += 1
+    qualCounts.updateWith(q)(c => Some(c.getOrElse(0L) + 1))
     if (r < minKey) minKey = r
     if (r > maxKey) maxKey = r
   }
@@ -531,7 +609,7 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       val md5 = digest.digest().map("%02x".format(_)).mkString
       KvCommitMessage(Some(KvFileMeta(
-        dest.getFileName.toString, bytes, md5, cells, minKey, maxKey)))
+        dest.getFileName.toString, bytes, md5, cells, minKey, maxKey, qualCounts.toMap)))
     }
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }

@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
       "aggregates not pushed into the kv scan:\n" + p.take(800))
   }
 
+  test("kv_stats_by_qualifier plans a grouped stats-only scan (no data-file read)") {
+    val p = plan("kv_stats_by_qualifier")
+    assert(p.contains("PushedAggregates: [group by qualifier: count]"),
+      "grouped count not pushed into the kv scan:\n" + p.take(800))
+  }
+
   test("sort+limit plans as TakeOrderedAndProject, not a global sort") {
     assert(plan("sort_multikey_limit").contains("TakeOrderedAndProject"))
   }

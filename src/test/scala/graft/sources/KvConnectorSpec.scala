@@ -152,6 +152,64 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(KvReadStats.cellsEmitted.get() > 0L, "incomplete stats index must fall back to scanning")
   }
 
+  test("group-by-qualifier count pushes down to the stats index — zero data bytes read") {
+    val dir = Files.createTempDirectory("kvspec_qagg").toString
+    def mk(part: Int, cells: Seq[(Long, String)]): KvFileMeta = {
+      val w = new KvDataWriter(dir, part, part.toLong)
+      cells.foreach { case (r, q) =>
+        w.write(InternalRow(r, UTF8String.fromString(q), UTF8String.fromString("v")))
+      }
+      (w.commit(): @unchecked) match { case KvCommitMessage(Some(m)) => m }
+    }
+    // qualifier "c,=x" exercises the breakdown column's own separators
+    val m1 = mk(0, Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    val m2 = mk(1, Seq((4L, "b"), (5L, "c,=x"), (6L, "a")))
+    new KvBatchWrite(dir).commit(Array(KvCommitMessage(Some(m1)), KvCommitMessage(Some(m2))))
+    val spark = graft.TestSpark.spark
+    val df = spark.read.format("graft-kv").load(dir)
+    def grouped() = df.groupBy("qualifier").count().orderBy("qualifier").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    KvReadStats.reset()
+    assert(grouped() == Seq(("a", 3L), ("b", 2L), ("c,=x", 1L)))
+    assert(KvReadStats.cellsEmitted.get() == 0L,
+      s"grouped count not answered from stats: ${KvReadStats.cellsEmitted.get()} cells read")
+    assert(df.groupBy("qualifier").count().queryExecution.executedPlan.toString
+      .contains("group by qualifier"), "plan does not show the grouped stats scan")
+    // an old-format index (6 columns, no qualifier breakdown) is
+    // refused: same answer via a real scan, never a silent wrong one
+    val idx = Paths.get(dir, KvMeta.FILE)
+    Files.writeString(idx, Files.readAllLines(idx).stream()
+      .map[String](l => l.split("\t", 7).take(6).mkString("\t"))
+      .reduce("", (a, b) => if (a.isEmpty) b else a + "\n" + b) + "\n")
+    KvReadStats.reset()
+    assert(grouped() == Seq(("a", 3L), ("b", 2L), ("c,=x", 1L)))
+    assert(KvReadStats.cellsEmitted.get() > 0L,
+      "breakdown-less index must fall back to scanning")
+    // the global count path is UNAFFECTED by the missing breakdown
+    KvReadStats.reset()
+    import org.apache.spark.sql.functions._
+    assert(df.agg(count(lit(1))).collect().head.getLong(0) == 6L)
+    assert(KvReadStats.cellsEmitted.get() == 0L)
+  }
+
+  test("a file that appears after planning without a stats entry fails loudly") {
+    val dir = Files.createTempDirectory("kvspec_toctou").toString
+    val m = mkFile(dir, 1L to 10L)
+    new KvBatchWrite(dir).commit(Array(KvCommitMessage(Some(m))))
+    val scan = new KvStatsScan(dir, KvAggPlan(byQualifier = false, Seq("count")))
+    // TOCTOU: the store grows between plan-time coverage check and
+    // execution — silent undercount would be wrong; it must throw
+    Files.writeString(Paths.get(dir, "late.kv"), "99\tq\tv\n")
+    val e = intercept[RuntimeException] { scan.planInputPartitions() }
+    assert(e.getMessage.contains("no stats-index entry"))
+  }
+
+  test("qualifier breakdown encoding roundtrips separator and unicode names") {
+    val quals = Map("plain" -> 3L, "c,=x" -> 1L, "sp ace" -> 2L, "%25" -> 4L, "日本" -> 5L)
+    assert(KvMeta.decodeQuals(KvMeta.encodeQuals(quals)) == quals)
+    assert(KvMeta.decodeQuals("") == Map.empty[String, Long])
+  }
+
   test("pushed string comparison follows UTF8 byte order, not UTF-16") {
     // U+1F600 (surrogate pair D83D DE00) vs U+FFFF: UTF-16 compareTo says
     // the emoji sorts BELOW, UTF-8 byte order says ABOVE — the reader
