@@ -253,6 +253,13 @@ object LlmVector {
     * the cache survives block-manager cleanup because it holds no RDD
     * state. The corpus-side long format is NOT cached — each search
     * honestly re-reads the corpus. */
+  // PRECONDITION: the data under an sfDir is immutable for the life of
+  // this process (true for the benchmark corpus — TESTDATA.md fixtures
+  // are generated once). If a dir's contents were regenerated in-process
+  // the cached model would be stale vs a fresh oracle; a mutable-corpus
+  // deployment would key this by a cheap data fingerprint (file
+  // sizes/mtimes) instead. getOrElseUpdate may also train twice under a
+  // concurrent first call — benign (same deterministic model wins).
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 

@@ -79,13 +79,13 @@ object Scans {
       |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
       |ORDER BY rowkey, qualifier""".stripMargin
 
-  /** Snapshot-export emulation (SURVEY.md §2.A R2+R6): partitioned write
-    * to a scratch dir, read back, return the per-partition manifest. The
-    * read-back count doubles as copy verification. */
   /** Per-process tag (mirror of Sources.procTag): concurrent JVMs on
     * the same sfDir must not overwrite this dir mid-read-back. */
   private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Snapshot-export emulation (SURVEY.md §2.A R2+R6): partitioned write
+    * to a scratch dir, read back, return the per-partition manifest. The
+    * read-back count doubles as copy verification. */
   def exportManifest(spark: SparkSession, sfDir: String): DataFrame = {
     val root = s"/tmp/graft_export/$procTag"
     graft.util.Scratch.deleteOnExit(root)

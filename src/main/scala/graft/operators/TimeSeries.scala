@@ -66,8 +66,15 @@ object TimeSeries {
     * restored afterwards (the batch plan around the sink is unaffected:
     * it runs on the frame returned here).
     */
+  /** Serializes the shuffle-partition override below: the conf is
+    * SESSION-global, so two concurrent runToMemory calls (parallel suite
+    * execution) could interleave set/restore and either run batch work
+    * at 4 partitions or persist the temporary value as the "restored"
+    * one. Queries on the returned frame run outside the lock. */
+  private val runLock = new Object
+
   private def runToMemory(df: DataFrame, sink: String, mode: String,
-      shufflePartitions: Int = 4): DataFrame = {
+      shufflePartitions: Int = 4): DataFrame = runLock.synchronized {
     val spark = df.sparkSession
     val name = s"${sink}_$runTag"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

@@ -101,30 +101,30 @@ class KvConnectorSpec extends AnyFunSuite {
     val metas = Seq(mkFile(dir, 1L to 100L), mkFile(dir, 101L to 200L))
     new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
     def drain(scan: KvScan): Long = {
-      KvReadStats.reset()
+      KvReadStats.reset(dir)
       scan.planInputPartitions().foreach { p =>
         val r = scan.createReaderFactory().createReader(p)
         try while (r.next()) { r.get(); () } finally r.close()
       }
-      KvReadStats.cellsEmitted.get()
+      KvReadStats.forDir(dir).cellsEmitted.get()
     }
     // no limit: the full 200 cells stream out
     assert(drain(new KvScan(dir, KvFormat.schema, Array.empty)) == 200L)
     // limit 5: each of the 2 files stops after 5 cells — 10 emitted, not 200,
     // and the reader stops READING too (≤ 5+1 lines per file, not 100)
     assert(drain(new KvScan(dir, KvFormat.schema, Array.empty, Some(5))) == 10L)
-    assert(KvReadStats.linesRead.get() <= 12L)
+    assert(KvReadStats.forDir(dir).linesRead.get() <= 12L)
     // limit composes with a pushed filter: 5 SURVIVING cells per file
     val filtered = new KvScan(dir, KvFormat.schema,
       Array[Filter](GreaterThan("rowkey", 50L)), Some(5))
     assert(drain(filtered) == 10L)
     // the end-to-end DataFrame path actually pushes the limit
     val spark = graft.TestSpark.spark
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     val got = spark.read.format("graft-kv").load(dir).limit(5).collect()
     assert(got.length == 5)
-    assert(KvReadStats.cellsEmitted.get() <= 10L, // ≤ n per file, NOT the full store
-      s"limit not pushed: ${KvReadStats.cellsEmitted.get()} cells emitted")
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() <= 10L, // ≤ n per file, NOT the full store
+      s"limit not pushed: ${KvReadStats.forDir(dir).cellsEmitted.get()} cells emitted")
   }
 
   test("count/min/max push down to the stats index — zero data bytes read") {
@@ -134,22 +134,22 @@ class KvConnectorSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     import org.apache.spark.sql.functions._
     val df = spark.read.format("graft-kv").load(dir)
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     val row = df.agg(count(lit(1)).as("n"), min("rowkey").as("mn"), max("rowkey").as("mx"))
       .collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 5L, 299L)))
-    assert(KvReadStats.cellsEmitted.get() == 0L,
-      s"aggregate not answered from stats: ${KvReadStats.cellsEmitted.get()} cells were read")
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() == 0L,
+      s"aggregate not answered from stats: ${KvReadStats.forDir(dir).cellsEmitted.get()} cells were read")
     // a filter makes metadata counts unsound → real scan, same answer shape
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     val filtered = df.filter(col("rowkey") > 100).agg(count(lit(1))).collect().head.getLong(0)
     assert(filtered == 104L) // 101..104 from file 1 + all 100 of file 2
-    assert(KvReadStats.cellsEmitted.get() > 0L, "filtered count must read data")
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() > 0L, "filtered count must read data")
     // an un-indexed file (hand-written fixture) makes stats incomplete → real scan
     Files.writeString(Paths.get(dir, "extra.kv"), "999\tq\tv\n")
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     assert(df.agg(count(lit(1))).collect().head.getLong(0) == 201L)
-    assert(KvReadStats.cellsEmitted.get() > 0L, "incomplete stats index must fall back to scanning")
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() > 0L, "incomplete stats index must fall back to scanning")
   }
 
   test("group-by-qualifier count pushes down to the stats index — zero data bytes read") {
@@ -169,10 +169,10 @@ class KvConnectorSpec extends AnyFunSuite {
     val df = spark.read.format("graft-kv").load(dir)
     def grouped() = df.groupBy("qualifier").count().orderBy("qualifier").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     assert(grouped() == Seq(("a", 3L), ("b", 2L), ("c,=x", 1L)))
-    assert(KvReadStats.cellsEmitted.get() == 0L,
-      s"grouped count not answered from stats: ${KvReadStats.cellsEmitted.get()} cells read")
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() == 0L,
+      s"grouped count not answered from stats: ${KvReadStats.forDir(dir).cellsEmitted.get()} cells read")
     assert(df.groupBy("qualifier").count().queryExecution.executedPlan.toString
       .contains("group by qualifier"), "plan does not show the grouped stats scan")
     // an old-format index (6 columns, no qualifier breakdown) is
@@ -181,15 +181,15 @@ class KvConnectorSpec extends AnyFunSuite {
     Files.writeString(idx, Files.readAllLines(idx).stream()
       .map[String](l => l.split("\t", 7).take(6).mkString("\t"))
       .reduce("", (a, b) => if (a.isEmpty) b else a + "\n" + b) + "\n")
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     assert(grouped() == Seq(("a", 3L), ("b", 2L), ("c,=x", 1L)))
-    assert(KvReadStats.cellsEmitted.get() > 0L,
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() > 0L,
       "breakdown-less index must fall back to scanning")
     // the global count path is UNAFFECTED by the missing breakdown
-    KvReadStats.reset()
+    KvReadStats.reset(dir)
     import org.apache.spark.sql.functions._
     assert(df.agg(count(lit(1))).collect().head.getLong(0) == 6L)
-    assert(KvReadStats.cellsEmitted.get() == 0L)
+    assert(KvReadStats.forDir(dir).cellsEmitted.get() == 0L)
   }
 
   test("a file that appears after planning without a stats entry fails loudly") {
