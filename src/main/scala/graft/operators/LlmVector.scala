@@ -309,7 +309,14 @@ object LlmVector {
 
   /** The 5 Lloyd iterations unrolled as a CTE chain — same init, same
     * rounding, same tie-breaks as the Spark side. */
-  val llmAnnIvfKmeansOracle: String = {
+  /** The SHARED WITH-prologue of every IVF oracle: the exploded corpus
+    * (ex), the unrolled deterministic k-means chain (cent0..cent5 +
+    * final assignment cells0), the nprobe=2 probe list for the query
+    * set, and the cell-tagged corpus/query sides (e, qp). DuckDB
+    * ignores unused CTEs, so oracles that need only a subset still
+    * share the single definition — the quantizer chain cannot diverge
+    * between the kmeans, probe2, and recall keys. */
+  private lazy val ivfOracleProlog: String = {
     def assignCtes(centCte: String, name: String): String =
       s"""d_$name AS (
          |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
@@ -325,7 +332,7 @@ object LlmVector {
          |  SELECT c_id, pos, ROUND(AVG(v), 6) AS c
          |  FROM ex JOIN a$i USING (vec_id) GROUP BY c_id, pos)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
        |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
        |cent0 AS (
@@ -333,9 +340,24 @@ object LlmVector {
        |  FROM ex WHERE vec_id < $IvfK),
        |$iterCtes,
        |${assignCtes(s"cent$IvfIters", "cells0")},
+       |probes AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
+       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 2),
        |e AS (
        |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
-       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id)
+       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
+       |qp AS (
+       |  SELECT emb.vec_id, emb.embedding, probes.cell
+       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id)""".stripMargin
+  }
+
+  /** The 5 Lloyd iterations + assignment/probe CTEs come from the SHARED
+    * [[ivfOracleProlog]] — one definition so the three IVF oracles
+    * (kmeans, probe2, recall) cannot diverge on the quantizer chain. */
+  val llmAnnIvfKmeansOracle: String =
+    s"""WITH $ivfOracleProlog
        |SELECT q_id, neighbor_id, cell, cos_sim, rn FROM (
        |  SELECT q_id, neighbor_id, cell, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
@@ -345,7 +367,6 @@ object LlmVector {
        |    FROM e q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id
        |    WHERE q.vec_id < 30))
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-  }
 
   /** IVF MULTI-PROBE (nprobe = 2): same trained k-means quantizer as
     * `llm_ann_ivf_kmeans`, but each query searches its TWO nearest cells
@@ -392,41 +413,9 @@ object LlmVector {
 
   /** Same unrolled CTE chain; the probe CTE re-reads the FINAL
     * assignment distances (d_cells0) keeping rn <= 2 for the queries. */
-  val llmAnnIvfProbe2Oracle: String = {
-    def assignCtes(centCte: String, name: String): String =
-      s"""d_$name AS (
-         |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
-         |  FROM ex JOIN $centCte c USING (pos) GROUP BY ex.vec_id, c.c_id),
-         |$name AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
-         |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-         |    FROM d_$name) WHERE rn = 1)""".stripMargin
-    val iterCtes = (1 to IvfIters).map { i =>
-      assignCtes(s"cent${i - 1}", s"a$i") + s""",
-         |cent$i AS (
-         |  SELECT c_id, pos, ROUND(AVG(v), 6) AS c
-         |  FROM ex JOIN a$i USING (vec_id) GROUP BY c_id, pos)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ex AS (
-       |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
-       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
-       |cent0 AS (
-       |  SELECT CAST(vec_id AS INT) AS c_id, pos, ROUND(v, 6) AS c
-       |  FROM ex WHERE vec_id < $IvfK),
-       |$iterCtes,
-       |${assignCtes(s"cent$IvfIters", "cells0")},
-       |probes AS (
-       |  SELECT vec_id, c_id AS cell FROM (
-       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 2),
-       |e AS (
-       |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
-       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
-       |qp AS (
-       |  SELECT emb.vec_id, emb.embedding, probes.cell
-       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id)
+  /** Same shared prologue; the query side is qp (nprobe=2 fan-out). */
+  val llmAnnIvfProbe2Oracle: String =
+    s"""WITH $ivfOracleProlog
        |SELECT q_id, neighbor_id, cell, cos_sim, rn FROM (
        |  SELECT q_id, neighbor_id, cell, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
@@ -435,7 +424,6 @@ object LlmVector {
        |      ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
        |    FROM qp q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id))
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-  }
 
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction for serving/storing a 100 TB embedding corpus
@@ -520,47 +508,16 @@ object LlmVector {
 
   /** The shared kmeans CTE chain + exact/nprobe1/nprobe2 top-3 lists,
     * reduced to per-method hit counts. */
+  /** Shared prologue + exact/nprobe1/nprobe2 top-3 lists, reduced to
+    * per-method hit counts. */
   val llmAnnRecallOracle: String = {
-    def assignCtes(centCte: String, name: String): String =
-      s"""d_$name AS (
-         |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
-         |  FROM ex JOIN $centCte c USING (pos) GROUP BY ex.vec_id, c.c_id),
-         |$name AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
-         |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-         |    FROM d_$name) WHERE rn = 1)""".stripMargin
-    val iterCtes = (1 to IvfIters).map { i =>
-      assignCtes(s"cent${i - 1}", s"a$i") + s""",
-         |cent$i AS (
-         |  SELECT c_id, pos, ROUND(AVG(v), 6) AS c
-         |  FROM ex JOIN a$i USING (vec_id) GROUP BY c_id, pos)""".stripMargin
-    }.mkString(",\n")
     def top3(candCte: String, name: String): String =
       s"""$name AS (
          |  SELECT q_id, neighbor_id FROM (
          |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
          |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
          |    FROM $candCte) WHERE rn <= 3)""".stripMargin
-    s"""WITH ex AS (
-       |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
-       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
-       |cent0 AS (
-       |  SELECT CAST(vec_id AS INT) AS c_id, pos, ROUND(v, 6) AS c
-       |  FROM ex WHERE vec_id < $IvfK),
-       |$iterCtes,
-       |${assignCtes(s"cent$IvfIters", "cells0")},
-       |probes AS (
-       |  SELECT vec_id, c_id AS cell FROM (
-       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 2),
-       |e AS (
-       |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
-       |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
-       |qp AS (
-       |  SELECT emb.vec_id, emb.embedding, probes.cell
-       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id),
+    s"""WITH $ivfOracleProlog,
        |exact_c AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
        |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim

@@ -37,6 +37,17 @@ object Sources {
     root
   }
 
+  /** Shared prelude of the graft-kv keys: a fresh per-process store of
+    * the model cells (stale .kv files from a prior in-process run
+    * cleared first), written through the connector and read back. */
+  private def freshKvStore(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val dest = scratch(sfDir, name)
+    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
+    Scans.scanKvModel(spark, sfDir)
+      .write.format("graft-kv").option("path", dest).mode("append").save()
+    spark.read.format("graft-kv").load(dest)
+  }
+
   /** Parquet → CSV (header) → read back with explicit schema; returns
     * the read-back rows so the oracle checks full fidelity. */
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -80,12 +91,7 @@ object Sources {
     * PlanSpec asserts both actually reach the scan. Oracle reads the
     * same cells straight from the parquet source. */
   def sourceKvConnector(spark: SparkSession, sfDir: String): DataFrame = {
-    val dest = scratch(sfDir, "supplier_kv")
-    // fresh snapshot: clear prior .kv files (the connector appends)
-    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
-    Scans.scanKvModel(spark, sfDir)
-      .write.format("graft-kv").option("path", dest).mode("append").save()
-    spark.read.format("graft-kv").load(dest)
+    freshKvStore(spark, sfDir, "supplier_kv")
       .filter(col("qualifier") === "acctbal" && col("rowkey") <= 500)
       .select("rowkey", "value")
       .orderBy("rowkey")
@@ -104,11 +110,7 @@ object Sources {
     * KvConnectorSpec proves the zero-read claim via the reader
     * counters; this key grades the VALUES against the source table. */
   def kvStatsPushdown(spark: SparkSession, sfDir: String): DataFrame = {
-    val dest = scratch(sfDir, "supplier_kv_stats")
-    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
-    Scans.scanKvModel(spark, sfDir)
-      .write.format("graft-kv").option("path", dest).mode("append").save()
-    spark.read.format("graft-kv").load(dest)
+    freshKvStore(spark, sfDir, "supplier_kv_stats")
       .agg(count(lit(1)).as("n_cells"),
         min(col("rowkey")).as("min_rowkey"),
         max(col("rowkey")).as("max_rowkey"))
@@ -128,11 +130,7 @@ object Sources {
     * reader counters and the old-format fallback; PlanSpec pins the
     * grouped stats scan; this key grades the VALUES. */
   def kvStatsByQualifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val dest = scratch(sfDir, "supplier_kv_qstats")
-    graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
-    Scans.scanKvModel(spark, sfDir)
-      .write.format("graft-kv").option("path", dest).mode("append").save()
-    spark.read.format("graft-kv").load(dest)
+    freshKvStore(spark, sfDir, "supplier_kv_qstats")
       .groupBy("qualifier").count()
       .orderBy("qualifier")
   }

@@ -91,6 +91,10 @@ object KvMeta {
     if (s.isEmpty) Map.empty
     else s.split(",").iterator.map { kv =>
       val i = kv.lastIndexOf('=')
+      // corrupt stores fail DIAGNOSABLY (same rule as the cell reader):
+      // a token without '=' must not surface as a bare
+      // StringIndexOutOfBounds from deep inside planning
+      require(i > 0, s"malformed qualifier-count token '$kv'")
       decQ(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap
 
@@ -101,10 +105,15 @@ object KvMeta {
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty)
-      .map { l =>
-        val a = l.split("\t", 7)
-        KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong,
-          if (a.length >= 7) decodeQuals(a(6)) else Map.empty)
+      .zipWithIndex.map { case (l, ln) =>
+        try {
+          val a = l.split("\t", 7)
+          KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong,
+            if (a.length >= 7) decodeQuals(a(6)) else Map.empty)
+        } catch {
+          case e: RuntimeException => throw new java.io.IOException(
+            s"graft-kv: corrupt stats index at $dir/$FILE:${ln + 1} — ${e.getMessage}", e)
+        }
       }
       // last entry per filename wins (append-mode jobs merge on commit)
       .map(m => m.file -> m).toMap

@@ -265,16 +265,22 @@ object KvSnapshots {
       // bijection bin → task. (A hash repartition on the bin id would
       // routinely collide two bins into one task and leave another
       // empty, silently defeating the size balancing.)
-      val binned: Seq[Seq[(String, String, String, Long)]] =
+      // Which dest files predate THIS export call is decided once, on
+      // the driver: a task retry must not re-observe files published by
+      // its own failed attempt and tag them "skipped" — only files that
+      // survived from a PREVIOUS export count as resumed.
+      val preExisting = entries.map(_.file)
+        .filter(f => Files.exists(destData.resolve(f))).toSet
+      val binned: Seq[Seq[(String, String, String, Long, Boolean)]] =
         (0 until nBins).map(b => entries.filter(e => binOf(e.file) == b)
           .map(e => (srcData.resolve(e.file).toString,
-            destData.resolve(e.file).toString, e.md5, e.bytes)))
+            destData.resolve(e.file).toString, e.md5, e.bytes, preExisting(e.file))))
       // per-file outcome: 'c' copied+verified, 's' skipped (dest already
       // verifies), or the file name on checksum failure
       val outcomes = spark.sparkContext.parallelize(binned, nBins)
-        .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes) =>
+        .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes, pre) =>
           val destP = Paths.get(dest)
-          val survives = Files.exists(destP) && Files.size(destP) == wantBytes &&
+          val survives = pre && Files.exists(destP) && Files.size(destP) == wantBytes &&
             KvMeta.md5HexOf(dest) == wantMd5
           if (survives) "s"
           else {
