@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
   *   export  --root R --name N --dest <second root> [--mappers N]
+  *   import  --root R --name N --from <second root> [--mappers N]
   *   restore --root R --name N [--out <parquet dir>]
   *   verify  --root R --name N
   *   delete  --root R --name N
@@ -46,13 +47,20 @@ object SnapshotTool {
           KvSnapshots.create(spark.read.parquet(need("source")), need("root"), need("name"),
             longFlag("created-at"))
           ok(s"created snapshot ${need("name")}")
-        case "export" =>
-          // the reference's -mappers N copy-parallelism knob (§2.A R7)
+        case "export" | "import" =>
+          // the reference's -mappers N copy-parallelism knob (§2.A R7).
+          // import (§2.A R3) IS export with the roots reversed — the
+          // copy+verify machinery is direction-agnostic: the snapshot
+          // comes FROM --from INTO --root (the local store root).
           val mappers = flags.get("mappers").map { m =>
             m.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --mappers: $m"))
           }.getOrElse(32)
-          KvSnapshots.export(spark, need("root"), need("dest"), need("name"), mappers)
-          ok(s"exported snapshot ${need("name")} to ${need("dest")}")
+          val (src, dst) =
+            if (action == "export") (need("root"), need("dest"))
+            else (need("from"), need("root"))
+          val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers)
+          ok(s"${action}ed snapshot ${need("name")} to $dst " +
+            s"(${stats.copied} copied, ${stats.skipped} already verified)")
         case "restore" =>
           val df = KvSnapshots.restore(spark, need("root"), need("name"))
           flags.get("out") match {
@@ -92,9 +100,10 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|restore|verify|delete|cleanup|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|delete|cleanup|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N]
+         |  import  --root R --name N --from <second root> [--mappers N]
          |  restore --root R --name N [--out <parquet dir>]
          |  verify  --root R --name N
          |  delete  --root R --name N

@@ -261,6 +261,23 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(cli("create", "--root", src, "--name", "s9", "--source", "/nonexistent") == 1)
   }
 
+  test("the import CLI action is export with the roots reversed (round-trip)") {
+    val local = freshRoot()
+    val remote = freshRoot()
+    val cellsDir = freshRoot() + "/cells"
+    cells.write.parquet(cellsDir)
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    assert(cli("create", "--root", local, "--name", "s1", "--source", cellsDir) == 0)
+    assert(cli("export", "--root", local, "--name", "s1", "--dest", remote) == 0)
+    assert(cli("delete", "--root", local, "--name", "s1") == 0)
+    // disaster recovery: pull the snapshot back from the remote root
+    assert(cli("import", "--root", local, "--name", "s1", "--from", remote, "--mappers", "2") == 0)
+    val r = KvSnapshots.restore(spark, local, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+    assert(cli("import", "--root", local, "--name", "s1", "--from", remote) == 1) // exists
+    assert(cli("import", "--root", local, "--name", "s1") == 2) // missing --from
+  }
+
   test("the verify CLI action passes an intact snapshot and fails a tampered one") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
