@@ -81,7 +81,13 @@ object SnapshotTool {
           val gone = KvSnapshots.cleanup(need("root"), before)
           ok(s"deleted ${gone.size} snapshot(s): ${gone.mkString(", ")}")
         case "list" =>
-          KvSnapshots.list(need("root")).foreach(println)
+          // stamped snapshots list their created_at so a cleanup cutoff
+          // can be chosen from the listing alone
+          val root = need("root")
+          KvSnapshots.list(root).foreach { n =>
+            val stamp = KvSnapshots.createdAt(root, n).map(t => s"\t$t").getOrElse("")
+            println(s"$n$stamp")
+          }
           0
         case other => throw CliError(s"unknown action: $other")
       }
