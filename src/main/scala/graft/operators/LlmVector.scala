@@ -296,18 +296,26 @@ object LlmVector {
   private def ivfSearch(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfK, s"nprobe must be in [1, $IvfK], got $nprobe")
     val (ex, cent) = kmeansState(spark, sfDir)
-    val cells = assignCells(ex, cent).withColumnRenamed("c_id", "cell")
+    // ONE materialization of every (vector, centroid) distance: the
+    // storage assignment (rn = 1, all vectors) and the query probes
+    // (rn <= nprobe, query set) are windows over the SAME rows — a
+    // query's own cell is its first probe BY CONSTRUCTION, not merely
+    // because two independently-summed r6 roundings agree. This is
+    // exactly the oracle's shape (cells0 and probes both read the
+    // single d_cells0 CTE).
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+    val ranked = ex.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "c_id")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .localCheckpoint() // n×k tiny rows; pins one materialization for both consumers
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
       .join(cells, Seq("vec_id"))
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
-    val probes = ex.filter(col("vec_id") < 30)
-      .join(broadcast(cent), Seq("pos"))
-      .groupBy("vec_id", "c_id")
-      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
+    val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= nprobe)
       .select(col("vec_id"), col("c_id").as("cell"))
     val q = embeddings(spark, sfDir)
       .filter(col("vec_id") < 30)

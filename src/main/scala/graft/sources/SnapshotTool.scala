@@ -82,10 +82,14 @@ object SnapshotTool {
           ok(s"deleted ${gone.size} snapshot(s): ${gone.mkString(", ")}")
         case "list" =>
           // stamped snapshots list their created_at so a cleanup cutoff
-          // can be chosen from the listing alone
+          // can be chosen from the listing alone. The per-name stamp
+          // read is best-effort: a snapshot deleted concurrently (or a
+          // corrupt manifest) lists without a stamp — `list` stays the
+          // never-fails directory scan it always was
           val root = need("root")
           KvSnapshots.list(root).foreach { n =>
-            val stamp = KvSnapshots.createdAt(root, n).map(t => s"\t$t").getOrElse("")
+            val stamp = scala.util.Try(KvSnapshots.createdAt(root, n))
+              .toOption.flatten.map(t => s"\t$t").getOrElse("")
             println(s"$n$stamp")
           }
           0
