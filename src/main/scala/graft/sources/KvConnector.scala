@@ -93,8 +93,12 @@ object KvMeta {
       val i = kv.lastIndexOf('=')
       // corrupt stores fail DIAGNOSABLY (same rule as the cell reader):
       // a token without '=' must not surface as a bare
-      // StringIndexOutOfBounds from deep inside planning
-      require(i > 0, s"malformed qualifier-count token '$kv'")
+      // StringIndexOutOfBounds from deep inside planning. i == 0 is
+      // LEGAL: the empty qualifier name (allowed by the writer, like
+      // HBase's empty column qualifier) URL-encodes to "" and its
+      // token is '=N' — rejecting it would poison every later read of
+      // a store holding one legally-written empty-qualifier cell.
+      require(i >= 0, s"malformed qualifier-count token '$kv'")
       decQ(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap
 

@@ -208,6 +208,31 @@ class KvConnectorSpec extends AnyFunSuite {
     val quals = Map("plain" -> 3L, "c,=x" -> 1L, "sp ace" -> 2L, "%25" -> 4L, "日本" -> 5L)
     assert(KvMeta.decodeQuals(KvMeta.encodeQuals(quals)) == quals)
     assert(KvMeta.decodeQuals("") == Map.empty[String, Long])
+    // the EMPTY qualifier name is legal store content (HBase's empty
+    // column qualifier); its token is '=N' and must round-trip, alone
+    // and mixed with named qualifiers
+    assert(KvMeta.decodeQuals(KvMeta.encodeQuals(Map("" -> 7L))) == Map("" -> 7L))
+    val mixed = Map("" -> 2L, "q" -> 5L)
+    assert(KvMeta.decodeQuals(KvMeta.encodeQuals(mixed)) == mixed)
+    // a token with NO '=' at all is still corrupt
+    intercept[IllegalArgumentException] { KvMeta.decodeQuals("noequals") }
+  }
+
+  test("a store holding an empty-qualifier cell stays readable and appendable") {
+    val dir = Files.createTempDirectory("kvspec_emptyq").toString
+    val w = new KvDataWriter(dir, 0, 0L)
+    w.write(InternalRow(1L, UTF8String.fromString(""), UTF8String.fromString("v1")))
+    w.write(InternalRow(2L, UTF8String.fromString("q"), UTF8String.fromString("v2")))
+    new KvBatchWrite(dir).commit(Array(w.commit()))
+    // the bug: decodeQuals rejected the '=N' token, so EVERY later read
+    // of the stats index (appends merge via read; agg planning reads it)
+    // threw "corrupt stats index" after one legally-written cell
+    val metas = KvMeta.read(dir)
+    assert(metas.values.map(_.qualCells).reduce(_ ++ _) == Map("" -> 1L, "q" -> 1L))
+    val w2 = new KvDataWriter(dir, 1, 1L)
+    w2.write(InternalRow(3L, UTF8String.fromString(""), UTF8String.fromString("v3")))
+    new KvBatchWrite(dir).commit(Array(w2.commit()))
+    assert(KvMeta.read(dir).values.flatMap(_.qualCells.get("")).sum == 2L)
   }
 
   test("pushed string comparison follows UTF8 byte order, not UTF-16") {
