@@ -293,22 +293,39 @@ object LlmVector {
     * keeping rn <= nprobe — become its (cell) join keys, and the top-k
     * window ranks across all probed cells together. nprobe=1 is exactly
     * "search your own cell" (the argmin IS the storage assignment). */
+  /** ONE materialization of every (vector, centroid) distance ranking:
+    * the storage assignment (rn = 1, all vectors) and the query probes
+    * (rn <= nprobe, query set) are windows over the SAME rows — a
+    * query's own cell is its first probe BY CONSTRUCTION, not merely
+    * because two independently-summed r6 roundings agree. This is
+    * exactly the oracle's shape (cells0 and probes both read the
+    * single d_cells0 CTE).
+    *
+    * Memoized per (session, sfDir) alongside the centroid model: the
+    * ranking IS the built IVF index (which inverted list each vector
+    * lives in, plus each vector's probe order), and an index is built
+    * once then served to every search — without this, the recall key's
+    * two searches (nprobe = 1 and 2) each re-ran the identical n×k
+    * ranking job. Keyed by session (not just sfDir like centCache)
+    * because the checkpointed RDD is owned by a SparkContext; same
+    * immutable-sfDir precondition as centCache. */
+  private val rankedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def ivfRanking(spark: SparkSession, sfDir: String): DataFrame =
+    rankedCache.getOrElseUpdate((spark, sfDir), {
+      val (ex, cent) = kmeansState(spark, sfDir)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+      ex.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "c_id")
+        .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+        .withColumn("rn", row_number().over(wAssign))
+        .localCheckpoint() // n×k tiny rows; one materialization serves every search
+    })
+
   private def ivfSearch(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfK, s"nprobe must be in [1, $IvfK], got $nprobe")
-    val (ex, cent) = kmeansState(spark, sfDir)
-    // ONE materialization of every (vector, centroid) distance: the
-    // storage assignment (rn = 1, all vectors) and the query probes
-    // (rn <= nprobe, query set) are windows over the SAME rows — a
-    // query's own cell is its first probe BY CONSTRUCTION, not merely
-    // because two independently-summed r6 roundings agree. This is
-    // exactly the oracle's shape (cells0 and probes both read the
-    // single d_cells0 CTE).
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
-    val ranked = ex.join(broadcast(cent), Seq("pos"))
-      .groupBy("vec_id", "c_id")
-      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .localCheckpoint() // n×k tiny rows; pins one materialization for both consumers
+    val ranked = ivfRanking(spark, sfDir)
     val cells = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
     val e = embeddings(spark, sfDir)
