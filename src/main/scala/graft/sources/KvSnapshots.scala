@@ -154,6 +154,12 @@ object KvSnapshots {
         Option(m.group(5)))).toSeq
     require(entries.size == nFiles,
       s"snapshot $name has a corrupt manifest (${entries.size} entries, n_files=$nFiles)")
+    // import reads manifests written OUTSIDE this process: a crafted
+    // file name must not traverse out of the data dir when resolved
+    // (e.g. "../x"), nor smuggle a fake top-level line via an embedded
+    // newline. Our own writer only ever emits part-<p>-<t>.kv.
+    entries.foreach(e => require(e.file.matches("[A-Za-z0-9._-]+") && !e.file.startsWith("."),
+      s"snapshot $name has a corrupt manifest (illegal file name '${e.file}')"))
     entries
   }
 
@@ -307,7 +313,11 @@ object KvSnapshots {
     stats
   }
 
-  private val CreatedRe = """"created_at": (\d+)""".r
+  // Anchored to the exact top-level line commitManifest emits: a
+  // created_at-looking substring inside a quoted value elsewhere in the
+  // manifest must not read as the snapshot's age stamp (it would make
+  // an intended-unstamped snapshot eligible for TTL cleanup DELETION).
+  private val CreatedRe = """(?m)^  "created_at": (\d+),$""".r
 
   /** The snapshot's injected age stamp (epoch seconds), if it has one. */
   def createdAt(root: String, name: String): Option[Long] = {

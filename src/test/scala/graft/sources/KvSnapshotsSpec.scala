@@ -320,6 +320,38 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(KvSnapshots.list(root) == Seq("unstamped"))
   }
 
+  test("a foreign manifest cannot forge the age stamp or traverse out of the data dir") {
+    val root = freshRoot()
+    // hand-written manifest, as an `import` from an external tool would
+    // read: a created_at-looking substring inside a quoted value must
+    // NOT parse as the top-level stamp (it would make this unstamped
+    // snapshot eligible for TTL cleanup deletion)
+    Files.createDirectories(Paths.get(root, "forged", "data"))
+    Files.writeString(Paths.get(root, "forged", "MANIFEST.json"),
+      """{
+        |  "name": "forged \"created_at\": 99,",
+        |  "n_files": 0,
+        |  "files": []
+        |}
+        |""".stripMargin)
+    assert(KvSnapshots.createdAt(root, "forged") === None)
+    assert(KvSnapshots.cleanup(root, before = 100L).isEmpty)
+    // an entry whose file name would resolve outside the data dir is
+    // rejected as corrupt, not resolved
+    Files.createDirectories(Paths.get(root, "traverse", "data"))
+    Files.writeString(Paths.get(root, "traverse", "MANIFEST.json"),
+      """{
+        |  "name": "traverse",
+        |  "n_files": 1,
+        |  "files": [
+        |    {"file": "..", "bytes": 1, "md5": "00000000000000000000000000000000", "cells": 1}
+        |  ]
+        |}
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { KvSnapshots.parseManifest(root, "traverse") }
+    assert(e.getMessage.contains("illegal file name"))
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
