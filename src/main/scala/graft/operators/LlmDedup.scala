@@ -304,6 +304,108 @@ object LlmDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** MinHash ESTIMATION ACCURACY as a measured, graded curve (the same
+    * move as `llm_ann_recall` for IVF): for every LSH band candidate
+    * pair among the distinct-text reps, emit the signature-agreement
+    * estimate Ĵ = |{i : mᵢ(a) = mᵢ(b)}| / 8 next to the exact shingle
+    * Jaccard and the absolute error — turning "MinHash approximates
+    * Jaccard" from a property-test boolean into a per-pair number the
+    * driver hash-checks. Estimation runs on candidates only (two band
+    * equi-joins, never all-pairs), so at 100 TB this is the same
+    * O(docs·bands) shuffle shape as the dedup key itself; the exact-J
+    * column is the verification pass dedup already pays. Reps only:
+    * identical texts have identical signatures, so duplicate pairs
+    * measure as Ĵ = J = 1 and would only pad the curve. */
+  def llmMinhashJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select("doc_id", "text")
+    val reps = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val repDocs = docs.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sh = shinglesOf(repDocs).localCheckpoint() // feeds sig, counts, and both intersection joins
+    val sig = sh.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("sh")))).as("m0"),
+        (1 to 7).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+    val banded = sig
+      .withColumn("b0", md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))))
+      .withColumn("b1", md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))
+      .select("doc_id", "b0", "b1")
+    def bandPairs(band: String): DataFrame =
+      banded.as("x").join(banded.as("y"),
+          col(s"x.$band") === col(s"y.$band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
+    val sigAs = (side: String, alias: String) =>
+      sig.select(col("doc_id").as(side) +: (0 to 7).map(i => col(s"m$i").as(s"$alias$i")): _*)
+    val est = cand
+      .join(sigAs("doc_a", "x"), Seq("doc_a"))
+      .join(sigAs("doc_b", "y"), Seq("doc_b"))
+      .withColumn("j_est",
+        (0 to 7).map(i => (col(s"x$i") === col(s"y$i")).cast("int")).reduce(_ + _) / lit(8.0))
+      .select("doc_a", "doc_b", "j_est")
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // a band collision means the argmin shingle under that band's hash
+    // is SHARED, so every candidate pair has inter >= 1 — the inner
+    // intersection join drops nothing (and the oracle joins identically)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", r6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))))
+      .withColumn("abs_err", r6(abs(col("j_est") - col("jaccard"))))
+      .select("doc_a", "doc_b", "j_est", "jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val llmMinhashJaccardOracle: String = {
+    val mins = (0 to 7).map(i =>
+      s"MIN(CASE WHEN k = $i THEN h END) AS m$i").mkString(",\n|    ")
+    val agree = (0 to 7).map(i => s"CAST(x.m$i = y.m$i AS INT)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+       |sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id IN (SELECT doc_id FROM reps)),
+       |hashes AS (
+       |  SELECT doc_id, sh, k, md5(CAST(k AS VARCHAR) || ':' || sh) AS h
+       |  FROM sh CROSS JOIN range(0, 8) seeds(k)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, md5(m0 || m1 || m2 || m3) AS b0, md5(m4 || m5 || m6 || m7) AS b1 FROM sig),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id
+       |  FROM banded x JOIN banded y ON x.b1 = y.b1 AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, ($agree) / 8.0 AS j_est
+       |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = doc_a
+       |  JOIN sh b ON b.doc_id = doc_b AND a.sh = b.sh
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, e.j_est,
+       |  ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS jaccard,
+       |  ROUND(ABS(e.j_est - ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6)), 6) AS abs_err
+       |FROM inter i
+       |JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       |JOIN n na ON i.doc_a = na.doc_id
+       |JOIN n nb ON i.doc_b = nb.doc_id
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
+  }
+
   /** Connected components over an undirected pair list via alternating
     * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — O(log n) rounds regardless
@@ -488,6 +590,7 @@ object LlmDedup {
     "llm_dedup_near" -> (llmDedupNear _),
     "llm_dedup_near_prefix" -> (llmDedupNearPrefix _),
     "llm_dedup_minhash" -> (llmDedupMinhash _),
+    "llm_minhash_jaccard" -> (llmMinhashJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_embed" -> (llmDedupEmbed _))
@@ -497,6 +600,7 @@ object LlmDedup {
     "llm_dedup_near" -> llmDedupNearOracle,
     "llm_dedup_near_prefix" -> llmDedupNearPrefixOracle,
     "llm_dedup_minhash" -> llmDedupMinhashOracle,
+    "llm_minhash_jaccard" -> llmMinhashJaccardOracle,
     "llm_dedup_clusters" -> llmDedupClustersOracle,
     "llm_dedup_simhash" -> llmDedupSimhashOracle,
     "llm_dedup_embed" -> llmDedupEmbedOracle)

@@ -201,6 +201,38 @@ object Sources {
       .orderBy("rowkey", "qualifier")
   }
 
+  /** Standalone snapshot VERIFY as a graded key (SURVEY.md §2.A R6 —
+    * the reference's post-copy verification, already a CLI action and a
+    * restore precondition, here graded on its own): create a snapshot
+    * under a FIXED qualifier-partitioned layout, run the distributed
+    * verify pass (existence + size driver-side, md5 re-read one Spark
+    * task per file), and return the verification report — file and
+    * cell totals from the verified manifest. The qualifier layout makes
+    * the file count a data-independent constant (one file per occupied
+    * hash bucket of the 3 qualifier names — buckets depend only on the
+    * fixed strings, never on sf), so the report is oracle-checkable;
+    * cell totals come from the manifest the verify pass just proved
+    * matches the bytes on disk. Tamper DETECTION (verify must fail) is
+    * pinned in KvSnapshotsSpec — a graded key can only grade success. */
+  def kvSnapshotVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapshotRoot(sfDir, "kv_snap_verify")
+    val cells = Scans.scanKvModel(spark, sfDir)
+      .repartition(8, col("qualifier")).sortWithinPartitions("rowkey", "qualifier")
+    graft.sources.KvSnapshots.create(cells, root, "model_v1")
+    graft.sources.KvSnapshots.verify(spark, root, "model_v1")
+    val entries = graft.sources.KvSnapshots.parseManifest(root, "model_v1")
+    import spark.implicits._
+    Seq((entries.size.toLong, entries.map(_.cells).sum))
+      .toDF("n_files", "n_cells")
+  }
+
+  /** The 3 qualifier names hash to 3 distinct murmur3 buckets mod 8
+    * (checked empirically; depends only on the fixed strings) → 3 data
+    * files at every sf. Cells = 3 per supplier row. */
+  val kvSnapshotVerifyOracle: String =
+    """SELECT CAST(3 AS BIGINT) AS n_files, CAST(3 * COUNT(*) AS BIGINT) AS n_cells
+      |FROM supplier""".stripMargin
+
   /** Snapshot EXPORT between stores (SURVEY.md §2.A R2/R3 — the
     * reference's literal workflow: export a snapshot to another storage
     * root, restore it there): create model_v1 at a source root, EXPORT
@@ -326,6 +358,7 @@ object Sources {
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
+    "kv_snapshot_verify" -> (kvSnapshotVerify _),
     "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
@@ -339,6 +372,7 @@ object Sources {
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,
+    "kv_snapshot_verify" -> kvSnapshotVerifyOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)

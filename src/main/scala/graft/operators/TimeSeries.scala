@@ -236,6 +236,37 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** STREAM-STATIC JOIN — the enrichment shape every streaming pipeline
+    * runs (events arriving from a stream, dimension table at rest): the
+    * staged event stream inner-joins the static customer dimension on
+    * user_id, then aggregates revenue per (market segment, event type)
+    * in complete mode. The static side is broadcast — a stream-static
+    * join is STATELESS (each micro-batch joins against the dimension as
+    * of that trigger; nothing carries across triggers), so at 100 TB
+    * this costs one broadcast per executor and zero state store, which
+    * is why enrichment belongs on the stream rather than as a later
+    * batch join. The oracle is the plain batch join + aggregate: for a
+    * deterministic static side they are equal by construction.
+    */
+  def tsStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = stagedEventStream(spark, sfDir, "streamjoin", 1)
+      .join(broadcast(cust), Seq("user_id")) // stream-static: stateless per micro-batch
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    runToMemory(agg, "graft_ts_stream_join", "complete")
+      .select("segment", "event_type", "n", "sum_value")
+      .orderBy("segment", "event_type")
+  }
+
+  val tsStreamJoinOracle: String =
+    """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin
+
   val tsStatefulStreamOracle: String =
     """SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -331,6 +362,7 @@ object TimeSeries {
     "ts_dedup_watermark" -> (tsDedupWatermark _),
     "ts_dedup_stream" -> (tsDedupStream _),
     "ts_stateful_stream" -> (tsStatefulStream _),
+    "ts_stream_join" -> (tsStreamJoin _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
@@ -343,5 +375,6 @@ object TimeSeries {
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,
     "ts_dedup_stream" -> tsDedupWatermarkOracle,
     "ts_stateful_stream" -> tsStatefulStreamOracle,
+    "ts_stream_join" -> tsStreamJoinOracle,
     "ts_late_data" -> tsLateDataOracle)
 }

@@ -131,11 +131,50 @@ class OperatorSpec extends SparkSpec {
     assert(j.nonEmpty)
     assert(j.forall(r => r.getAs[Double]("c2") >= r.getAs[Double]("c1")))
   }
+
+  test("minhash jaccard estimates are calibrated against the exact values") {
+    val curve = run("llm_minhash_jaccard").collect()
+    assert(curve.nonEmpty)
+    curve.foreach { r =>
+      val (est, exact, err) = (r.getAs[Double]("j_est"),
+        r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))
+      // estimates are eighths in [0, 1]; the error column is consistent
+      assert(est >= 0.0 && est <= 1.0 && math.round(est * 8) == est * 8)
+      assert(exact > 0.0 && exact <= 1.0)
+      assert(math.abs(err - math.abs(est - exact)) < 1e-6)
+    }
+    // 8 hashes estimate J within 3/8 on every band candidate here —
+    // deterministic on the fixed corpus; a miss means the signature or
+    // shingle algebra diverged, not bad luck
+    assert(curve.map(_.getAs[Double]("abs_err")).max <= 0.375)
+  }
+
+  test("snapshot verify report counts files and cells of the verified manifest") {
+    val report = run("kv_snapshot_verify").collect()
+    assert(report.length == 1)
+    val nSupp = graft.sources.Tables.supplier(spark, sf).count()
+    assert(report.head.getAs[Long]("n_files") == 3L)
+    assert(report.head.getAs[Long]("n_cells") == 3L * nSupp)
+  }
 }
 
 /** Streaming/batch equivalence as a test (also runnable standalone via
   * `runMain graft.streaming.StreamingDemo`). */
 class StreamingSpec extends SparkSpec {
+  test("stream-static join equals the batch join") {
+    val streamed = run("ts_stream_join")
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(cust, Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.sources.Tables.dec(col("value")))
+          .cast("decimal(18,2)").cast("double").as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming pipelines agree with batch operators on sf0.001") {
     val failures = graft.streaming.StreamingDemo.run(spark, sf)
     assert(failures.isEmpty, failures.mkString("; "))
