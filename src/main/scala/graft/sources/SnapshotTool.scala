@@ -9,10 +9,11 @@ import org.apache.spark.sql.SparkSession
   * command line; this gives the Spark engine the same entry point:
   *
   *   create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-  *   export  --root R --name N --dest <second root> [--mappers N]
-  *   import  --root R --name N --from <second root> [--mappers N]
+  *   export  --root R --name N --dest <second root> [--mappers N] [--overwrite true]
+  *   import  --root R --name N --from <second root> [--mappers N] [--overwrite true]
   *   restore --root R --name N [--out <parquet dir>]
   *   verify  --root R --name N
+  *   info    --root R --name N
   *   delete  --root R --name N
   *   cleanup --root R --before EPOCH_SEC
   *   list    --root R
@@ -58,9 +59,34 @@ object SnapshotTool {
           val (src, dst) =
             if (action == "export") (need("root"), need("dest"))
             else (need("from"), need("root"))
+          // the reference's -overwrite knob: replace a COMMITTED dest
+          // snapshot of the same name instead of refusing. Distinct from
+          // resume (which only ever fills in a manifest-less dest):
+          // overwrite deletes the committed snapshot, then re-exports.
+          val overwrite = flags.get("overwrite").map {
+            case "true" => true
+            case "false" => false
+            case v => throw CliError(s"bad --overwrite: $v (true|false)")
+          }.getOrElse(false)
+          if (overwrite &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json")))
+            KvSnapshots.delete(dst, need("name"))
           val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")
+        case "info" =>
+          // manifest summary without touching data bytes: what the
+          // reference's snapshot-description output shows (name, age,
+          // file/cell/byte totals, incremental sharing)
+          val (root, name) = (need("root"), need("name"))
+          val entries = KvSnapshots.parseManifest(root, name)
+          println(s"name\t$name")
+          KvSnapshots.createdAt(root, name).foreach(t => println(s"created_at\t$t"))
+          println(s"n_files\t${entries.size}")
+          println(s"n_cells\t${entries.map(_.cells).sum}")
+          println(s"bytes\t${entries.map(_.bytes).sum}")
+          println(s"shared_files\t${entries.count(_.sharedFrom.isDefined)}")
+          0
         case "restore" =>
           val df = KvSnapshots.restore(spark, need("root"), need("name"))
           flags.get("out") match {
@@ -110,12 +136,13 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|delete|cleanup|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-         |  export  --root R --name N --dest <second root> [--mappers N]
-         |  import  --root R --name N --from <second root> [--mappers N]
+         |  export  --root R --name N --dest <second root> [--mappers N] [--overwrite true]
+         |  import  --root R --name N --from <second root> [--mappers N] [--overwrite true]
          |  restore --root R --name N [--out <parquet dir>]
          |  verify  --root R --name N
+         |  info    --root R --name N
          |  delete  --root R --name N
          |  cleanup --root R --before EPOCH_SEC
          |  list    --root R""".stripMargin)

@@ -292,6 +292,29 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(cli("verify", "--root", root, "--name", "s1") == 1)
   }
 
+  test("the info CLI action summarizes the manifest; --overwrite replaces a committed export") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    KvSnapshots.create(cells, src, "s1", createdAt = Some(1234L))
+    assert(cli("info", "--root", src, "--name", "s1") == 0)
+    assert(cli("info", "--root", src, "--name", "missing") == 1)
+    // a committed dest refuses a plain re-export (immutability)...
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest) == 0)
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest) == 1)
+    // ...and --overwrite replaces it: recreate s1 at the source with
+    // different content, overwrite-export, dest restores the NEW cells
+    KvSnapshots.delete(src, "s1")
+    val fewer = cells.filter(col("rowkey") <= 3)
+    KvSnapshots.create(fewer, src, "s1")
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest,
+      "--overwrite", "true") == 0)
+    val r = KvSnapshots.restore(spark, dest, "s1")
+    assert(r.exceptAll(fewer).count() == 0 && fewer.exceptAll(r).count() == 0)
+    assert(cli("export", "--root", src, "--name", "s1", "--dest", dest,
+      "--overwrite", "maybe") == 2) // bad boolean is a usage error
+  }
+
   test("created_at is injected, survives export, and drives TTL cleanup") {
     val root = freshRoot()
     val dest = freshRoot()
