@@ -323,7 +323,84 @@ object LlmText {
       |WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Benchmark DECONTAMINATION (the Brown et al. / GPT-3 appendix move:
+    * drop training documents sharing an n-gram with the eval set):
+    * doc_id % 50 == 0 plays the held-out benchmark, everything else is
+    * the training corpus; a training doc is contaminated iff it shares
+    * ≥1 distinct 4-gram with any eval doc, and the key returns the
+    * SURVIVING corpus metadata — the artifact a pipeline ships.
+    *
+    * Scale shape: gram extraction is a stateless explode; the eval
+    * gram set is distinct-collapsed and typically tiny next to the
+    * corpus (benchmarks are), so the semi join broadcasts — at 100 TB
+    * this is one scan of the corpus plus one broadcast, never an
+    * all-pairs comparison. Real pipelines use 8–13-grams; 4 here only
+    * because the synthetic vocabulary is small (rate stays non-trivial). */
+  def llmDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val grams = docs.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-4), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3), ' ', element_at(t,i+4)))")))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Docs with < 4 tokens have no grams, cannot be contaminated, and
+    * survive — both sides agree by construction. */
+  val llmDecontaminateOracle: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] || ' ' || t[k+2] || ' ' || t[k+3] AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       range(1, 10000) r(k)
+      |  WHERE k + 3 <= len(t)),
+      |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE doc_id % 50 != 0 AND g IN (SELECT g FROM e))
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII SCRUB — redact emails and phone numbers before training. The
+    * synthetic corpus contains no PII, so each doc is first tainted
+    * with DETERMINISTIC doc_id-derived contact info (no real data, no
+    * randomness), then scrubbed with generic patterns: the graded
+    * output proves the patterns catch what they should and touch
+    * nothing else. Pure per-row regexp work — stateless, shuffle-free,
+    * whole-stage-codegen at any scale. */
+  def llmPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val tainted = documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    tainted.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?\\d{1,2}-\\d{3}-\\d{4}", "<PHONE>").as("text"))
+      .orderBy("doc_id")
+  }
+
+  val llmPiiScrubOracle: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> (llmDecontaminate _),
+    "llm_pii_scrub" -> (llmPiiScrub _),
     "llm_pack_chunks" -> (llmPackChunks _),
     "llm_sample_stratified" -> (llmSampleStratified _),
     "llm_curation" -> (llmCuration _),
@@ -336,6 +413,8 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_decontaminate" -> llmDecontaminateOracle,
+    "llm_pii_scrub" -> llmPiiScrubOracle,
     "llm_pack_chunks" -> llmPackChunksOracle,
     "llm_sample_stratified" -> llmSampleStratifiedOracle,
     "llm_curation" -> llmCurationOracle,

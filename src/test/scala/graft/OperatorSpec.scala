@@ -149,6 +149,37 @@ class OperatorSpec extends SparkSpec {
     assert(curve.map(_.getAs[Double]("abs_err")).max <= 0.375)
   }
 
+  test("decontamination removes exactly the 4-gram-overlapping training docs") {
+    val survived = run("llm_decontaminate").select("doc_id")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val grams = docs.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-4), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3), ' ', element_at(t,i+4)))"))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    // no survivor shares a gram with the eval set
+    assert(grams.join(survived, Seq("doc_id"), "left_semi")
+      .join(evalGrams, Seq("g"), "left_semi").count() == 0)
+    // no eval doc leaks into the shipped corpus
+    assert(survived.filter(col("doc_id") % 50 === 0).count() == 0)
+    // every dropped training doc really does share a gram with eval —
+    // the filter removed nothing it didn't have to
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val dropped = train.join(survived, Seq("doc_id"), "left_anti").select("doc_id")
+    val sharers = grams.join(evalGrams, Seq("g"), "left_semi").select("doc_id").distinct()
+    assert(dropped.join(sharers, Seq("doc_id"), "left_semi").count() == dropped.count())
+  }
+
+  test("pii scrub redacts every injected email and phone and leaves no raw PII") {
+    val out = run("llm_pii_scrub")
+    assert(out.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(out.filter(!col("text").contains("<EMAIL>") ||
+      !col("text").contains("<PHONE>")).count() == 0)
+    assert(out.filter(col("text").contains("@example.com") ||
+      col("text").rlike("\\+1-555-\\d")).count() == 0)
+  }
+
   test("snapshot verify report counts files and cells of the verified manifest") {
     val report = run("kv_snapshot_verify").collect()
     assert(report.length == 1)
