@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("decontamination broadcasts the eval gram set into a semi join") {
+    // the 100 TB shape: corpus scan + broadcast semi join — a shuffled
+    // semi join here would move the whole corpus's grams
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval gram semi join is not broadcast:\n" + p.take(800))
+  }
+
   test("no plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { k =>
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")
