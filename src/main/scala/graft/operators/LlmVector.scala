@@ -476,6 +476,128 @@ object LlmVector {
       |      FROM embeddings)
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540
+    * — the published recipe for pruning web-scale corpora by embedding
+    * similarity): cluster the embeddings with the SAME trained k-means
+    * coarse quantizer the IVF family uses, then compare pairs ONLY
+    * within a cluster — cosine ≥ 0.4 pairs are semantic duplicates and
+    * the larger vec_id is the drop candidate. This is the scale-safe
+    * sibling of the brute-force `llm_dedup_embed` (declared quadratic
+    * baseline): candidate generation is an equi-join on the cell id, so
+    * at 100 TB the cell is the shuffle/bucketing key and each inverted
+    * list is compared independently — O(Σ cell²) ≪ O(n²), tunable by k.
+    * Output is the in-cell duplicate pair list (cell, vec_a, vec_b,
+    * cos_sim); `llm_dedup_clusters` is the downstream resolution step
+    * when transitive closure is needed.
+    */
+  def llmSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    // threshold INSIDE the join condition (the llm_dedup_embed lesson):
+    // Catalyst evaluates it during the cell equi-join probe, so
+    // non-duplicate pairs never materialize
+    val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), cos.as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Shared IVF prologue (same quantizer chain as the search keys — the
+    * clusters SemDeDup prunes within ARE the IVF cells) + the in-cell
+    * pair join. */
+  val llmSemdedupOracle: String =
+    s"""WITH $ivfOracleProlog
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** TWO-STAGE RETRIEVAL (quantize-then-rerank — the standard serving
+    * recipe behind int8/PQ vector indexes): stage 1 scores every
+    * candidate with the CHEAP int8-quantized dot product (the
+    * `llm_embed_quantize` codes: exact integer arithmetic × the two
+    * per-vector scales) and keeps the top-20 per query; stage 2 reranks
+    * only those 20 with the exact float cosine and emits the top-5. At
+    * 100 TB stage 1 streams 4×-compressed codes (the memory-bandwidth
+    * win that makes the scan affordable) and stage 2 touches 20 full
+    * vectors per query instead of the corpus.
+    *
+    * Determinism: the int dot is an exact BIGINT sum in both engines;
+    * the coarse score multiplies it by the two scales in a fixed order
+    * ((dot × q_scale) × c_scale) and is r6-rounded with a vec_id
+    * tie-break before the top-20 cut, so both engines cut identically;
+    * the rerank reuses the proven exact-cosine algebra.
+    */
+  def llmAnnRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val qz = embeddings(spark, sfDir)
+      .withColumn("scale", expr(
+        "aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / 127"))
+      .withColumn("qvec", expr(
+        "transform(embedding, x -> if(scale = cast(0 as double), 0, cast(floor(cast(x as double) / scale + 0.5d) as int)))"))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("qvec"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    val q = qz.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("scale").as("q_scale"), col("qvec").as("q_qvec"), col("nrm").as("q_nrm"))
+    val wCoarse = Window.partitionBy("q_id").orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(qz, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"),
+        r6(expr(
+          """aggregate(zip_with(q_qvec, qvec, (x, y) -> cast(x as bigint) * cast(y as bigint)),
+            | cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
+          * col("q_scale") * col("scale")).as("coarse"))
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= 20)
+      .select(col("q_id"), col("neighbor_id"), col("coarse"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Same two stages in SQL: int8 codes + exact BIGINT dot for the
+    * top-20 cut, exact cosine for the final top-5. */
+  val llmAnnRerankOracle: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+       |      ELSE CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS qvec
+       |  FROM (SELECT vec_id, embedding,
+       |          CAST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE) / 127 AS scale
+       |        FROM embeddings)),
+       |coarse AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS q_emb, c.embedding AS c_emb,
+       |    ROUND(CAST(list_sum(list_transform(list_zip(q.qvec, c.qvec),
+       |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE)
+       |      * q.scale * c.scale, 6) AS coarse
+       |  FROM qz q JOIN qz c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20),
+       |top20 AS (
+       |  SELECT q_id, neighbor_id, coarse, q_emb, c_emb FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY coarse DESC, neighbor_id ASC) AS crn
+       |    FROM coarse) WHERE crn <= 20)
+       |SELECT q_id, neighbor_id, coarse, cos_sim, rn FROM (
+       |  SELECT q_id, neighbor_id, coarse,
+       |    ROUND(${cosineSql("q_emb", "c_emb")}, 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY ROUND(${cosineSql("q_emb", "c_emb")}, 6) DESC,
+       |        neighbor_id ASC) AS rn
+       |  FROM top20)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** ANN quality as a GRADED NUMBER: recall@3 of the IVF searches
     * (nprobe=1 `llm_ann_ivf_kmeans`, nprobe=2 `llm_ann_ivf_probe2`)
     * against the exact brute-force top-3 over the same query set
@@ -562,6 +684,8 @@ object LlmVector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_quantize" -> (llmEmbedQuantize _),
+    "llm_semdedup" -> (llmSemdedup _),
+    "llm_ann_rerank" -> (llmAnnRerank _),
     "llm_ann_recall" -> (llmAnnRecall _),
     "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
     "llm_ann_lsh" -> (llmAnnLsh _),
@@ -572,6 +696,8 @@ object LlmVector {
 
   val oracle: Map[String, String] = Map(
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,
+    "llm_semdedup" -> llmSemdedupOracle,
+    "llm_ann_rerank" -> llmAnnRerankOracle,
     "llm_ann_recall" -> llmAnnRecallOracle,
     "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
     "llm_ann_lsh" -> llmAnnLshOracle,

@@ -307,6 +307,99 @@ object Sources {
       |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
       |ORDER BY rowkey, qualifier""".stripMargin
 
+  /** MAJOR COMPACTION of the graft-kv store as a graded key (the HBase
+    * compaction analog — SURVEY.md §2.A: streaming ingest commits one
+    * file set per micro-batch, so the 100 TB store's scan cost and
+    * min/max pruning decay until the small files are rewritten): the
+    * model cells arrive as SIX separate append jobs (≥6 file sets with
+    * overlapping rowkey ranges — the worst pruning case), compaction
+    * rewrites them into ≤2 rowkey-range-partitioned sorted files via
+    * one distributed pass + directory swap, and the key returns the
+    * post-compaction store. The oracle checks the rewrite is lossless;
+    * the file-count and range-disjointness invariants are asserted
+    * in-line (and pinned with the reader counters in KvConnectorSpec).
+    */
+  def kvCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = snapshotRoot(sfDir, "kv_compact_store")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    // the small-files problem, simulated: one committed file set per
+    // "micro-batch" (rowkey stripes → every file overlaps every other)
+    (0 until 6).foreach { i =>
+      cells.filter(col("rowkey") % 6 === i).coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    val before = graft.sources.KvFormat.dataFiles(store).size
+    require(before >= 6, s"store should hold >= 6 files pre-compaction, has $before")
+    val stats = graft.sources.KvCompaction.compact(spark, store, targetFiles = 2)
+    require(stats.filesAfter <= 2 && stats.filesAfter < stats.filesBefore,
+      s"compaction did not shrink the store: $stats")
+    // range partitioning must leave files disjoint in rowkey order —
+    // this is what restores min/max file pruning
+    val ranges = graft.sources.KvMeta.read(store).values.toSeq
+      .sortBy(_.minKey).map(m => (m.minKey, m.maxKey))
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => require(hi <= lo,
+        s"compacted files overlap in rowkey: $ranges")
+      case _ => ()
+    }
+    spark.read.format("graft-kv").load(store).orderBy("rowkey", "qualifier")
+  }
+
+  /** Compacted cells must equal the source cells. */
+  val kvCompactOracle: String = Scans.scanKvModelOracle
+
+  /** SNAPSHOT DIFF / changefeed as a graded key (the CDC question
+    * between two point-in-time snapshots): snapshot v1 of the model
+    * cells, snapshot v2 of a frame with all three change kinds applied
+    * (values rewritten for rowkey%3 acctbal cells, name cells removed
+    * for rowkey%5, a new `flag` qualifier added for rowkey%7), then
+    * `KvSnapshots.diff` — both sides checksum-verified, one full-outer
+    * join on the cell key — returns exactly the divergent cells
+    * classified added/removed/changed. The oracle rebuilds both cell
+    * sets in SQL and mirrors the diff. */
+  def kvSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapshotRoot(sfDir, "kv_snap_diff")
+    val v1 = Scans.scanKvModel(spark, sfDir)
+    val v2 = v1
+      .filter(!(col("qualifier") === "name" && col("rowkey") % 5 === 0))
+      .withColumn("value",
+        when(col("qualifier") === "acctbal" && col("rowkey") % 3 === 0,
+          concat(col("value"), lit("#adj"))).otherwise(col("value")))
+      .unionByName(
+        v1.filter(col("qualifier") === "name" && col("rowkey") % 7 === 0)
+          .select(col("rowkey"), lit("flag").as("qualifier"),
+            concat(lit("f"), col("rowkey").cast("string")).as("value")))
+    graft.sources.KvSnapshots.create(v1, root, "model_v1")
+    graft.sources.KvSnapshots.create(v2, root, "model_v2")
+    graft.sources.KvSnapshots.diff(spark, root, "model_v1", "model_v2")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  val kvSnapshotDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier),
+      |v2 AS (
+      |  SELECT rowkey, qualifier,
+      |    CASE WHEN qualifier = 'acctbal' AND rowkey % 3 = 0 THEN value || '#adj'
+      |         ELSE value END AS value
+      |  FROM v1 WHERE NOT (qualifier = 'name' AND rowkey % 5 = 0)
+      |  UNION ALL
+      |  SELECT rowkey, 'flag', 'f' || CAST(rowkey AS VARCHAR)
+      |  FROM v1 WHERE qualifier = 'name' AND rowkey % 7 = 0)
+      |SELECT COALESCE(a.rowkey, b.rowkey) AS rowkey,
+      |  COALESCE(a.qualifier, b.qualifier) AS qualifier,
+      |  CASE WHEN a.value IS NULL THEN 'added'
+      |       WHEN b.value IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change,
+      |  a.value AS old_value, b.value AS new_value
+      |FROM v1 a FULL OUTER JOIN v2 b
+      |  ON a.rowkey = b.rowkey AND a.qualifier = b.qualifier
+      |WHERE a.value IS NULL OR b.value IS NULL OR a.value != b.value
+      |ORDER BY rowkey, qualifier""".stripMargin
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -359,6 +452,8 @@ object Sources {
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
     "kv_snapshot_verify" -> (kvSnapshotVerify _),
+    "kv_snapshot_diff" -> (kvSnapshotDiff _),
+    "kv_compact" -> (kvCompact _),
     "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
@@ -373,6 +468,8 @@ object Sources {
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,
     "kv_snapshot_verify" -> kvSnapshotVerifyOracle,
+    "kv_snapshot_diff" -> kvSnapshotDiffOracle,
+    "kv_compact" -> kvCompactOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)

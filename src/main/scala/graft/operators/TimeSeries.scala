@@ -261,6 +261,51 @@ object TimeSeries {
       .orderBy("segment", "event_type")
   }
 
+  /** STREAM-STREAM JOIN — the last big Structured Streaming surface
+    * (beyond windowed agg / session / dedup / arbitrary state /
+    * stream-static): clicks and purchases arrive as TWO independent
+    * file streams (each fed in micro-batches), and each purchase joins
+    * the same user's clicks from the PRECEDING HOUR. Both sides carry a
+    * watermark and the join condition carries the event-time bound —
+    * the canonical shape under which Spark can evict buffered rows once
+    * the watermark passes `click_ts + 1h`. The watermark delay here
+    * (120 days) exceeds the fixture's whole time span, so no state is
+    * evicted and the append-mode result provably equals the batch join
+    * (the oracle); at scale the SAME plan runs with a minutes-delay
+    * watermark and bounded state — only the retention knob changes,
+    * never the join logic. Per-side state shuffles by user_id, exactly
+    * like the batch shuffle join.
+    */
+  def tsStreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // two independent staged sources — honest two-stream topology, each
+    // with its own micro-batch schedule
+    val clicks = stagedEventStream(spark, sfDir, "ssj_clicks", 1)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "120 days")
+    val purchases = stagedEventStream(spark, sfDir, "ssj_purchases", 1)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "120 days")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+    runToMemory(joined, "graft_ts_ss_join", "append")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val tsStreamStreamJoinOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  DATE_DIFF('microsecond', c.ts, p.ts) AS gap_us
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val tsStreamJoinOracle: String =
     """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -363,6 +408,7 @@ object TimeSeries {
     "ts_dedup_stream" -> (tsDedupStream _),
     "ts_stateful_stream" -> (tsStatefulStream _),
     "ts_stream_join" -> (tsStreamJoin _),
+    "ts_stream_stream_join" -> (tsStreamStreamJoin _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
@@ -376,5 +422,6 @@ object TimeSeries {
     "ts_dedup_stream" -> tsDedupWatermarkOracle,
     "ts_stateful_stream" -> tsStatefulStreamOracle,
     "ts_stream_join" -> tsStreamJoinOracle,
+    "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
     "ts_late_data" -> tsLateDataOracle)
 }

@@ -206,6 +206,35 @@ object KvSnapshots {
     spark.read.format("graft-kv").load(dataDir(root, name).toString)
   }
 
+  /** CHANGEFEED between two committed snapshots — "what changed from a
+    * to b?", the question HBase answers with replication/CDC streams
+    * and that a snapshot store can answer from its immutable file sets
+    * directly. Cell identity is (rowkey, qualifier); the diff is one
+    * full-outer shuffle join on that key classifying each divergent
+    * cell as `added` (only in b), `removed` (only in a), or `changed`
+    * (both, different value); unchanged cells are dropped in the same
+    * pass. At 100 TB both sides shuffle by the cell key once — and when
+    * both snapshots were written rowkey-range-partitioned (the
+    * compacted layout), a sort-merge join over co-located ranges does
+    * it without re-shuffling. Both snapshots are checksum-verified
+    * before the diff (a diff against rotted bytes is worse than none).
+    */
+  def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val av = restore(spark, root, a)
+      .select(col("rowkey"), col("qualifier"), col("value").as("old_value"))
+    val bv = restore(spark, root, b)
+      .select(col("rowkey"), col("qualifier"), col("value").as("new_value"))
+    av.join(bv, Seq("rowkey", "qualifier"), "full_outer")
+      .withColumn("change",
+        when(col("old_value").isNull, "added")
+          .when(col("new_value").isNull, "removed")
+          .when(col("old_value") =!= col("new_value"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select("rowkey", "qualifier", "change", "old_value", "new_value")
+  }
+
   /** EXPORT a committed snapshot to a second root — the reference
     * utility's namesake operation (SURVEY.md §2.A R2/R3: copy a
     * snapshot between storage systems, then restore it there).

@@ -85,6 +85,24 @@ class PlanSpec extends SparkSpec {
       "eval gram semi join is not broadcast:\n" + p.take(800))
   }
 
+  test("semdedup candidates come from a cell equi-join, not a nested loop") {
+    // the whole point of SemDeDup vs llm_dedup_embed: candidate
+    // generation must hash/merge-join on the quantizer cell id — a
+    // nested-loop here would be the quadratic scan it exists to avoid
+    val p = plan("llm_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "semdedup pair join degenerated to a nested loop:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "no equi join on the cell id:\n" + p.take(800))
+  }
+
+  test("snapshot diff plans one full-outer merge join on the cell key") {
+    val p = plan("kv_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff lost its full-outer join:\n" + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "diff join shape regressed:\n" + p.take(800))
+  }
+
   test("no plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { k =>
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")

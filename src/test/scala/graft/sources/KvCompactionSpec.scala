@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Store-maintenance invariants of graft-kv major compaction that the
+  * row-shaped `kv_compact` oracle can't express: file-count reduction,
+  * range disjointness, stats-index consistency (pruning and pushdown
+  * keep working on the compacted store), and failure modes.
+  */
+class KvCompactionSpec extends SparkSpec {
+
+  private def freshStore(): String =
+    Files.createTempDirectory("kv_compaction_spec").resolve("cells").toString
+
+  private def cells =
+    graft.operators.Scans.scanKvModel(spark, sf)
+
+  /** Write the model cells as n separate single-file appends — every
+    * file overlaps every other in rowkey (the worst pruning case). */
+  private def fragmented(store: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      cells.filter(col("rowkey") % n === i).coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+
+  test("compaction shrinks the file count and preserves every cell") {
+    val store = freshStore()
+    fragmented(store, 5)
+    assert(KvFormat.dataFiles(store).size >= 5)
+    val stats = KvCompaction.compact(spark, store, targetFiles = 2)
+    assert(stats.filesBefore >= 5 && stats.filesAfter <= 2)
+    val after = spark.read.format("graft-kv").load(store)
+    assert(after.exceptAll(cells).count() == 0 && cells.exceptAll(after).count() == 0)
+  }
+
+  test("compacted files are rowkey-disjoint, so range pruning plans fewer files") {
+    val store = freshStore()
+    fragmented(store, 4)
+    // pre-compaction: a MID-RANGE point lookup must open every file
+    // (the stripes all cover the middle; edge keys would be pruned by
+    // min/max even on the fragmented store)
+    KvReadStats.reset(store)
+    val bounds = cells.agg(min(col("rowkey")), max(col("rowkey"))).collect().head
+    val key = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    spark.read.format("graft-kv").load(store)
+      .filter(col("rowkey") === key).count()
+    val linesBefore = KvReadStats.forDir(store).linesRead.get()
+    KvCompaction.compact(spark, store, targetFiles = 4)
+    val metas = KvMeta.read(store).values.toSeq.sortBy(_.minKey)
+    metas.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey <= b.minKey,
+        s"files overlap: ${a.file}[${a.minKey},${a.maxKey}] vs ${b.file}[${b.minKey},${b.maxKey}]")
+      case _ => ()
+    }
+    // post-compaction: the same lookup reads only the covering file's
+    // lines — strictly fewer than the scan-everything cost before
+    KvReadStats.reset(store)
+    spark.read.format("graft-kv").load(store)
+      .filter(col("rowkey") === key).count()
+    val linesAfter = KvReadStats.forDir(store).linesRead.get()
+    assert(linesAfter < linesBefore,
+      s"range pruning did not improve: $linesAfter lines vs $linesBefore before")
+  }
+
+  test("the stats index survives compaction: aggregate pushdown still answers zero-read") {
+    val store = freshStore()
+    fragmented(store, 3)
+    KvCompaction.compact(spark, store, targetFiles = 1)
+    KvReadStats.reset(store)
+    val row = spark.read.format("graft-kv").load(store)
+      .agg(count(lit(1)), min(col("rowkey")), max(col("rowkey"))).collect().head
+    assert(KvReadStats.forDir(store).linesRead.get() == 0,
+      "post-compaction stats pushdown read data bytes")
+    assert(row.getLong(0) == cells.count())
+  }
+
+  test("compacting an empty store fails loudly; bad targetFiles is rejected") {
+    val store = freshStore()
+    intercept[IllegalArgumentException] { KvCompaction.compact(spark, store, 2) }
+    fragmented(store, 2)
+    intercept[IllegalArgumentException] { KvCompaction.compact(spark, store, 0) }
+  }
+
+  test("a failed rewrite leaves the live store untouched (swap happens last)") {
+    val store = freshStore()
+    fragmented(store, 3)
+    val before = KvFormat.dataFiles(store).map(_.getFileName.toString)
+    // poison the rewrite: a malformed cell makes the tmp-dir rewrite
+    // job fail while reading — long before any swap touches the store
+    Files.writeString(java.nio.file.Paths.get(store, "poison.kv"), "1\tq\tv\n")
+    val poisoned = java.nio.file.Paths.get(store, "zz-bad.kv")
+    Files.writeString(poisoned, "bad\tq\tv\n") // bad rowkey -> read fails
+    intercept[Exception] { KvCompaction.compact(spark, store, 2) }
+    Files.delete(poisoned)
+    val after = KvFormat.dataFiles(store).map(_.getFileName.toString)
+    assert(after.contains("poison.kv") && before.forall(after.contains),
+      "failed compaction mutated the live store")
+  }
+}

@@ -375,6 +375,37 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("illegal file name"))
   }
 
+  test("diff classifies added/removed/changed and drops unchanged cells") {
+    val root = freshRoot()
+    import spark.implicits._
+    val v1 = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "a", "z"))
+      .toDF("rowkey", "qualifier", "value")
+    val v2 = Seq((1L, "a", "x"), (2L, "a", "Y2"), (4L, "b", "new"))
+      .toDF("rowkey", "qualifier", "value")
+    KvSnapshots.create(v1, root, "v1")
+    KvSnapshots.create(v2, root, "v2")
+    val d = KvSnapshots.diff(spark, root, "v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(d == Set(
+      (2L, "a", "changed", "y", "Y2"),
+      (3L, "a", "removed", "z", null),
+      (4L, "b", "added", null, "new")))
+    // diff is direction-sensitive: reversed, added and removed swap
+    val rev = KvSnapshots.diff(spark, root, "v2", "v1")
+    assert(rev.filter(col("change") === "added").count() == 1)
+    assert(rev.filter(col("change") === "removed").count() == 1)
+  }
+
+  test("diff refuses a tampered side (verify runs before the join)") {
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "v1")
+    KvSnapshots.create(cells, root, "v2")
+    val f = KvFormat.dataFiles(Paths.get(root, "v2", "data").toString).head
+    Files.write(f, "9\tq\tv\n".getBytes, StandardOpenOption.APPEND)
+    intercept[IllegalArgumentException] { KvSnapshots.diff(spark, root, "v1", "v2") }
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
