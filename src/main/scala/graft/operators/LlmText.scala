@@ -323,6 +323,89 @@ object LlmText {
       |WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** REPEATED-SPAN detection (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" move, arXiv:2107.06499:
+    * exact substring duplication is rampant in web corpora, and the
+    * suffix-array pass that finds repeated ~50-token spans is its own
+    * dedup step beyond whole-document matching): every 8-token window
+    * (stride 1) of every document, grouped; spans appearing in ≥2
+    * DISTINCT documents are the cross-document boilerplate a pipeline
+    * masks or cuts. Returns the top 50 spans by document reach.
+    *
+    * Scale shape — the distributed stand-in for a suffix array: one
+    * stateless explode (L windows per doc) + ONE shuffle keyed by the
+    * span, + TakeOrderedAndProject for the report. At 100 TB the group
+    * key would be xxhash64(span) (8 bytes instead of the text) with the
+    * span text resolved for the tiny surviving set; the exact-string
+    * key here keeps the oracle transparent. 8-token windows only
+    * because the synthetic vocabulary is small; real passes use ~50. */
+  def llmDedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(t)-8),
+          |  i -> concat_ws(' ', slice(t, i+1, 8)))""".stripMargin)).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span").asc)
+      .limit(50)
+
+  /** The offset generator mirrors Spark's `sequence(0, size(t)-8)`
+    * exactly (per-row list range, no fixed cap), so the oracle holds at
+    * any document length. */
+  val llmDedupSpansOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |s AS (SELECT doc_id,
+      |        array_to_string(tok[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS span
+      |      FROM (SELECT doc_id, tok, unnest(range(0, len(tok) - 7)) AS i
+      |            FROM t WHERE len(tok) >= 8))
+      |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      |FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occ DESC, span ASC LIMIT 50""".stripMargin
+
+  /** DATASET MIXING (the Pile / DoReMi-style pre-training step: each
+    * source contributes at its own target rate, not its natural share):
+    * per-source keep-rates are assigned from the source number
+    * (10% / 25% / 40% / 55% cycling by src mod 4 — a stand-in for
+    * externally-chosen mixture weights), membership is decided by
+    * thresholding a salted md5 of the doc id against the rate mapped
+    * onto the first 6 hex digits — deterministic, shuffle-free,
+    * re-runs byte-identically (the `llm_sample_stratified` primitive,
+    * generalized to per-group rates). Returns the per-source audit:
+    * corpus share before/after and the achieved rate in exact ppm
+    * (integer division — no cross-engine double rounding). */
+  def llmDatasetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .withColumn("src_num", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      // membership: hash6 / 16^6 < rate_ppm / 1e6, cross-multiplied to
+      // exact integer arithmetic (hash6 < 2^24, so both products fit a
+      // long with room to spare)
+      .withColumn("rate_ppm",
+        (lit(100000) + (col("src_num") % 4) * 150000).cast("long"))
+      .withColumn("hash6",
+        conv(substring(md5(concat(lit("mix2:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long"))
+      .withColumn("kept", (col("hash6") * 1000000L < col("rate_ppm") * 16777216L).cast("int"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("achieved_ppm", expr("(1000000 * n_kept) div n_total"))
+      .orderBy("source")
+  }
+
+  val llmDatasetMixOracle: String =
+    """SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  (1000000 * CAST(SUM(kept) AS BIGINT)) // COUNT(*) AS achieved_ppm
+      |FROM (
+      |  SELECT source,
+      |    CASE WHEN ('0x' || substr(md5('mix2:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT * 1000000
+      |           < CAST(100000 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) * 150000 AS BIGINT) * 16777216
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Benchmark DECONTAMINATION (the Brown et al. / GPT-3 appendix move:
     * drop training documents sharing an n-gram with the eval set):
     * doc_id % 50 == 0 plays the held-out benchmark, everything else is
@@ -403,6 +486,8 @@ object LlmText {
     "llm_pii_scrub" -> (llmPiiScrub _),
     "llm_pack_chunks" -> (llmPackChunks _),
     "llm_sample_stratified" -> (llmSampleStratified _),
+    "llm_dedup_spans" -> (llmDedupSpans _),
+    "llm_dataset_mix" -> (llmDatasetMix _),
     "llm_curation" -> (llmCuration _),
     "llm_text_stats" -> (llmTextStats _),
     "llm_tfidf_top" -> (llmTfidfTop _),
@@ -417,6 +502,8 @@ object LlmText {
     "llm_pii_scrub" -> llmPiiScrubOracle,
     "llm_pack_chunks" -> llmPackChunksOracle,
     "llm_sample_stratified" -> llmSampleStratifiedOracle,
+    "llm_dedup_spans" -> llmDedupSpansOracle,
+    "llm_dataset_mix" -> llmDatasetMixOracle,
     "llm_curation" -> llmCurationOracle,
     "llm_text_stats" -> llmTextStatsOracle,
     "llm_tfidf_top" -> llmTfidfTopOracle,

@@ -312,16 +312,34 @@ object LlmVector {
   private val rankedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** The cached ranking is backed by localCheckpoint BLOCKS, which any
+    * session-level hygiene pass (`spark.catalog.clearCache()` + blanket
+    * `unpersist` — exactly what Bench runs between keys) can evict; a
+    * localCheckpoint cannot recompute once its blocks are gone
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). So the cache SELF-HEALS like
+    * any serving index whose storage was evicted: a cheap one-partition
+    * probe validates the blocks on each access, and a dead entry is
+    * rebuilt instead of served. Within one key's execution the entry
+    * stays hot (consumers like the recall key still share a single
+    * materialization); across keys reuse survives exactly as long as
+    * nobody evicted the blocks. */
+  private def isAlive(df: DataFrame): Boolean =
+    try { df.take(1); true } catch { case scala.util.control.NonFatal(_) => false }
+
   private def ivfRanking(spark: SparkSession, sfDir: String): DataFrame =
-    rankedCache.getOrElseUpdate((spark, sfDir), {
-      val (ex, cent) = kmeansState(spark, sfDir)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
-      ex.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "c_id")
-        .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-        .withColumn("rn", row_number().over(wAssign))
-        .localCheckpoint() // n×k tiny rows; one materialization serves every search
-    })
+    rankedCache.synchronized {
+      rankedCache.get((spark, sfDir)).filter(isAlive).getOrElse {
+        val (ex, cent) = kmeansState(spark, sfDir)
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+        val ranked = ex.join(broadcast(cent), Seq("pos"))
+          .groupBy("vec_id", "c_id")
+          .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+          .withColumn("rn", row_number().over(wAssign))
+          .localCheckpoint() // n×k tiny rows; one materialization serves every search
+        rankedCache.put((spark, sfDir), ranked)
+        ranked
+      }
+    }
 
   private def ivfSearch(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfK, s"nprobe must be in [1, $IvfK], got $nprobe")

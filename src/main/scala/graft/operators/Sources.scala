@@ -120,6 +120,40 @@ object Sources {
     """SELECT 3 * COUNT(*) AS n_cells, MIN(s_suppkey) AS min_rowkey,
       |  MAX(s_suppkey) AS max_rowkey FROM supplier""".stripMargin
 
+  /** BLOOM-PRUNED POINT LOOKUP on the graft-kv store (the HBase
+    * HFile-bloom move): the model cells land as THREE overlapping
+    * rowkey stripes (every file's [min,max] covers every key — range
+    * pruning alone can't skip anything), then a `rowkey IN (1, 2, 7)`
+    * lookup runs through the v2 scan, where each file's write-time
+    * 256-bit rowkey bloom decides whether it can hold any probed key.
+    * At 100 TB a point probe opens the files that might contain the
+    * key instead of every range-overlapping one — the difference
+    * between O(stripes) opens and O(hits + ε) opens. This key grades
+    * the VALUES (bloom pruning must never lose a present key);
+    * KvConnectorSpec proves the skipping itself via reader counters. */
+  def kvBloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = scratch(sfDir, "supplier_kv_bloom")
+    graft.sources.KvFormat.dataFiles(store).foreach(java.nio.file.Files.delete)
+    val cells = Scans.scanKvModel(spark, sfDir)
+    (0 until 3).foreach { i =>
+      cells.filter(col("rowkey") % 3 === i).coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    spark.read.format("graft-kv").load(store)
+      .filter(col("rowkey").isin(1, 2, 7))
+      .orderBy("rowkey", "qualifier")
+  }
+
+  val kvBloomLookupOracle: String =
+    """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value
+      |FROM supplier WHERE s_suppkey IN (1, 2, 7)
+      |UNION ALL SELECT s_suppkey, 'name', s_name
+      |FROM supplier WHERE s_suppkey IN (1, 2, 7)
+      |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR)
+      |FROM supplier WHERE s_suppkey IN (1, 2, 7)
+      |ORDER BY rowkey, qualifier""".stripMargin
+
   /** Grouped-count aggregate pushdown on the graft-kv store: GROUP BY
     * qualifier + COUNT(*) — the HBase "how many cells per column
     * qualifier" cardinality question — answered entirely from the
@@ -448,6 +482,7 @@ object Sources {
     "source_kv_connector" -> (sourceKvConnector _),
     "kv_stats_pushdown" -> (kvStatsPushdown _),
     "kv_stats_by_qualifier" -> (kvStatsByQualifier _),
+    "kv_bloom_lookup" -> (kvBloomLookup _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
@@ -464,6 +499,7 @@ object Sources {
     "source_kv_connector" -> sourceKvConnectorOracle,
     "kv_stats_pushdown" -> kvStatsPushdownOracle,
     "kv_stats_by_qualifier" -> kvStatsByQualifierOracle,
+    "kv_bloom_lookup" -> kvBloomLookupOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,

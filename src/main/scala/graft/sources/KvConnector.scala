@@ -57,17 +57,70 @@ object KvFormat {
   }
 }
 
+/** Per-file rowkey BLOOM FILTER — the HBase HFile-bloom analog. 256
+  * bits, 2 hash functions derived from one splitmix64 mix of the rowkey
+  * (deterministic, no seed state), built by the WRITE TASK as cells
+  * stream through and carried in the stats index as 64 hex chars per
+  * file. Point lookups (`rowkey = k` / `rowkey IN (...)`) then skip
+  * files whose range covers k but whose bloom provably doesn't — at
+  * 100 TB the difference between opening every overlapping file and
+  * opening only the files that can actually hold the key. A missing
+  * bloom (old-format index lines, hand-written fixtures) never skips:
+  * pruning stays sound. False positives only cost a wasted open, never
+  * correctness — the standard bloom contract. */
+object KvBloom {
+  val Bits = 256
+  private val Words = Bits / 64
+
+  /** splitmix64 finalizer: well-mixed 64 bits from a long key. */
+  private def mix(k: Long): Long = {
+    var z = k + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def bitsOf(rowkey: Long): (Int, Int) = {
+    val h = mix(rowkey)
+    ((h & (Bits - 1)).toInt, ((h >>> 8) & (Bits - 1)).toInt)
+  }
+
+  def empty(): Array[Long] = new Array[Long](Words)
+
+  def add(words: Array[Long], rowkey: Long): Unit = {
+    val (b1, b2) = bitsOf(rowkey)
+    words(b1 >>> 6) |= 1L << (b1 & 63)
+    words(b2 >>> 6) |= 1L << (b2 & 63)
+  }
+
+  def toHex(words: Array[Long]): String = words.map(w => f"$w%016x").mkString
+
+  def mightContain(hex: String, rowkey: Long): Boolean = {
+    if (hex.length != Words * 16) return true // malformed -> never skip
+    val (b1, b2) = bitsOf(rowkey)
+    def bit(b: Int): Boolean = {
+      val w = java.lang.Long.parseUnsignedLong(hex.substring((b >>> 6) * 16, (b >>> 6) * 16 + 16), 16)
+      (w & (1L << (b & 63))) != 0
+    }
+    // ANY malformation (right length, non-hex byte) also means "never
+    // skip" — a corrupted index column must degrade to a full plan, not
+    // crash planning with a bare NumberFormatException
+    try bit(b1) && bit(b2) catch { case _: NumberFormatException => true }
+  }
+}
+
 /** Per-file statistics computed INSIDE the writing task (streaming MD5 +
-  * cell count + rowkey min/max) and carried back through the
-  * `WriterCommitMessage` — the scale rule is that checksum work rides the
-  * distributed write, never a driver re-read (O(files) driver metadata,
-  * O(data) only on executors). The job committer persists them as the
-  * `.file_meta.tsv` index next to the data, the same role HBase region
-  * metadata plays: rowkey bounds let the scan prune files, and the
-  * snapshot manifest is assembled from these entries without touching
-  * data bytes again. */
+  * cell count + rowkey min/max + rowkey bloom) and carried back through
+  * the `WriterCommitMessage` — the scale rule is that checksum work
+  * rides the distributed write, never a driver re-read (O(files) driver
+  * metadata, O(data) only on executors). The job committer persists them
+  * as the `.file_meta.tsv` index next to the data, the same role HBase
+  * region metadata plays: rowkey bounds + bloom let the scan prune
+  * files, and the snapshot manifest is assembled from these entries
+  * without touching data bytes again. */
 case class KvFileMeta(file: String, bytes: Long, md5: String, cells: Long,
-    minKey: Long, maxKey: Long, qualCells: Map[String, Long] = Map.empty) {
+    minKey: Long, maxKey: Long, qualCells: Map[String, Long] = Map.empty,
+    bloomHex: Option[String] = None) {
   /** The per-qualifier breakdown is present and consistent — old-format
     * index lines (written before the 7th column existed) have no
     * breakdown, and a grouped-count pushdown must refuse them. */
@@ -111,9 +164,12 @@ object KvMeta {
       .filter(_.nonEmpty)
       .zipWithIndex.map { case (l, ln) =>
         try {
-          val a = l.split("\t", 7)
+          val a = l.split("\t", 8)
           KvFileMeta(a(0), a(1).toLong, a(2), a(3).toLong, a(4).toLong, a(5).toLong,
-            if (a.length >= 7) decodeQuals(a(6)) else Map.empty)
+            if (a.length >= 7) decodeQuals(a(6)) else Map.empty,
+            // col 8 (r7): rowkey bloom; absent/empty (old-format lines)
+            // means "never skip" — pruning stays sound either way
+            if (a.length >= 8 && a(7).nonEmpty) Some(a(7)) else None)
         } catch {
           case e: RuntimeException => throw new java.io.IOException(
             s"graft-kv: corrupt stats index at $dir/$FILE:${ln + 1} — ${e.getMessage}", e)
@@ -131,7 +187,7 @@ object KvMeta {
     val merged = (read(dir) ++ entries.map(m => m.file -> m).toMap)
       .filter { case (f, _) => Files.exists(Paths.get(dir, f)) }
     val text = merged.values.toSeq.sortBy(_.file)
-      .map(m => s"${m.file}\t${m.bytes}\t${m.md5}\t${m.cells}\t${m.minKey}\t${m.maxKey}\t${encodeQuals(m.qualCells)}")
+      .map(m => s"${m.file}\t${m.bytes}\t${m.md5}\t${m.cells}\t${m.minKey}\t${m.maxKey}\t${encodeQuals(m.qualCells)}\t${m.bloomHex.getOrElse("")}")
       .mkString("", "\n", "\n")
     val tmp = Paths.get(dir, s"$FILE.tmp")
     Files.writeString(tmp, text, StandardCharsets.UTF_8)
@@ -187,6 +243,25 @@ object KvKeyRange {
   /** Top-level pushed filters are conjunctive. */
   def ofAll(filters: Array[Filter]): Range =
     filters.map(of).foldLeft(Full)(intersect)
+
+  /** The exact rowkey point set a filter restricts the scan to, when
+    * one exists — the bloom-pruning precondition. Only shapes that
+    * PROVABLY limit matching rows to the returned keys qualify:
+    * EqualTo/In on rowkey, disjunctions of those, and conjunctions
+    * where either side qualifies (the other conjunct can only narrow
+    * further). Anything else → None → bloom never consulted. */
+  def pointKeys(f: Filter): Option[Seq[Long]] = f match {
+    case EqualTo("rowkey", v: Number) => Some(Seq(v.longValue))
+    case In("rowkey", vs) if vs != null && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      Some(vs.toSeq.map(_.asInstanceOf[Number].longValue))
+    case And(l, r) => pointKeys(l).orElse(pointKeys(r))
+    case Or(l, r) => for { a <- pointKeys(l); b <- pointKeys(r) } yield a ++ b
+    case _ => None
+  }
+
+  /** First conjunct carrying a point set, if any (conjunctive array). */
+  def pointKeysOfAll(filters: Array[Filter]): Option[Seq[Long]] =
+    filters.iterator.map(pointKeys).collectFirst { case Some(ks) => ks }
 }
 
 class KvDataSource extends TableProvider with DataSourceRegister {
@@ -454,16 +529,25 @@ class KvScan(path: String, required: StructType, pushed: Array[Filter],
 
   /** One partition per surviving data file. Files whose committed
     * [minKey, maxKey] cannot overlap the pushed rowkey interval are
-    * skipped entirely — the HBase prune-by-region-range move; at 100 TB
-    * a point/range lookup opens a handful of files instead of the whole
-    * store. Files without index entries are always read (sound). */
+    * skipped entirely — the HBase prune-by-region-range move — and for
+    * POINT lookups (`rowkey = k` / `IN (...)`) a file additionally
+    * survives only if its write-time bloom might contain one of the
+    * keys (the HBase HFile-bloom move: a point probe into a store of
+    * overlapping-range files opens the files that can actually hold
+    * the key, not every range-overlapping one). At 100 TB both prunes
+    * are O(files) driver metadata. Files without index entries (or
+    * without a bloom — old-format lines) are always read (sound). */
   override def planInputPartitions(): Array[InputPartition] = {
     val range = KvKeyRange.ofAll(pushed)
+    val points = KvKeyRange.pointKeysOfAll(pushed)
     val meta = KvMeta.read(path)
     KvFormat.dataFiles(path)
       .filter { f =>
-        meta.get(f.getFileName.toString)
-          .forall(m => m.maxKey >= range._1 && m.minKey <= range._2)
+        meta.get(f.getFileName.toString).forall { m =>
+          m.maxKey >= range._1 && m.minKey <= range._2 &&
+            points.forall(ks => m.bloomHex.forall(hex =>
+              ks.exists(KvBloom.mightContain(hex, _))))
+        }
       }
       .map(f => KvInputPartition(f.toString)).toArray
   }
@@ -608,6 +692,9 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
   // the store's qualifier cardinality (HBase column-qualifier scale:
   // small per family), not by cell count
   private val qualCounts = scala.collection.mutable.Map.empty[String, Long]
+  // rowkey bloom for point-lookup file skipping (HBase HFile bloom):
+  // constant 32 bytes per file, built as cells stream through
+  private val bloom = KvBloom.empty()
 
   override def write(row: InternalRow): Unit = {
     // the format is one cell per line, tab-separated: reject rather than
@@ -625,6 +712,7 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     qualCounts.updateWith(q)(c => Some(c.getOrElse(0L) + 1))
     if (r < minKey) minKey = r
     if (r > maxKey) maxKey = r
+    KvBloom.add(bloom, r)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -633,7 +721,8 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       val md5 = digest.digest().map("%02x".format(_)).mkString
       KvCommitMessage(Some(KvFileMeta(
-        dest.getFileName.toString, bytes, md5, cells, minKey, maxKey, qualCounts.toMap)))
+        dest.getFileName.toString, bytes, md5, cells, minKey, maxKey, qualCounts.toMap,
+        Some(KvBloom.toHex(bloom)))))
     }
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }

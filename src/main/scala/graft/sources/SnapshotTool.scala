@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   info    --root R --name N
   *   delete  --root R --name N
   *   cleanup --root R --before EPOCH_SEC
+  *   compact --store <kv store dir> [--target N]
   *   list    --root R
   *
   * `run` returns a process exit code and is the unit under test; `main`
@@ -106,6 +107,17 @@ object SnapshotTool {
           val before = longFlag("before").getOrElse(throw CliError("cleanup requires --before"))
           val gone = KvSnapshots.cleanup(need("root"), before)
           ok(s"deleted ${gone.size} snapshot(s): ${gone.mkString(", ")}")
+        case "compact" =>
+          // store maintenance (HBase major-compaction analog): rewrite a
+          // live store's accumulated small files into --target sorted,
+          // rowkey-disjoint files. Operates on a STORE dir, not a
+          // snapshot — snapshots stay immutable by definition.
+          val target = flags.get("target").map { t =>
+            t.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --target: $t"))
+          }.getOrElse(4)
+          val stats = KvCompaction.compact(spark, need("store"), target)
+          ok(s"compacted ${need("store")}: ${stats.filesBefore} files -> " +
+            s"${stats.filesAfter} (${stats.cells} cells)")
         case "list" =>
           // stamped snapshots list their created_at so a cleanup cutoff
           // can be chosen from the listing alone. The per-name stamp
@@ -136,7 +148,7 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|compact|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N] [--overwrite true]
          |  import  --root R --name N --from <second root> [--mappers N] [--overwrite true]
@@ -145,6 +157,7 @@ object SnapshotTool {
          |  info    --root R --name N
          |  delete  --root R --name N
          |  cleanup --root R --before EPOCH_SEC
+         |  compact --store <kv store dir> [--target N]
          |  list    --root R""".stripMargin)
     2
   }

@@ -84,6 +84,15 @@ class KvCompactionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KvCompaction.compact(spark, store, 0) }
   }
 
+  test("the compact CLI action compacts a store and rejects bad flags") {
+    val store = freshStore()
+    fragmented(store, 3)
+    assert(SnapshotTool.run(spark, Seq("compact", "--store", store, "--target", "1")) == 0)
+    assert(KvFormat.dataFiles(store).size == 1)
+    assert(SnapshotTool.run(spark, Seq("compact", "--target", "1")) == 2) // missing --store
+    assert(SnapshotTool.run(spark, Seq("compact", "--store", store, "--target", "zero")) == 2)
+  }
+
   test("a failed rewrite leaves the live store untouched (swap happens last)") {
     val store = freshStore()
     fragmented(store, 3)

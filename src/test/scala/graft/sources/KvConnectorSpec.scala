@@ -90,10 +90,46 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(planned(EqualTo("rowkey", 15L)) == 1)
     assert(planned(GreaterThan("rowkey", 20L)) == 1)
     assert(planned(GreaterThanOrEqual("rowkey", 5L), LessThan("rowkey", 15L)) == 2)
-    assert(planned(In("rowkey", Array[Any](3L, 25L))) == 3) // hull keeps middle: sound, not minimal
+    // the range hull of IN(3, 25) keeps the middle file, but its bloom
+    // (which holds 11..20 only) proves neither key can be there → 2
+    assert(planned(In("rowkey", Array[Any](3L, 25L))) == 2)
     assert(planned(GreaterThan("rowkey", 100L)) == 0)
     // a predicate on another column must not prune anything
     assert(planned(EqualTo("qualifier", "q")) == 3)
+  }
+
+  test("rowkey bloom skips range-overlapping files that cannot hold the probed key") {
+    val dir = Files.createTempDirectory("kvspec_bloom").toString
+    // interleaved stripes: every file's [min,max] covers every probe, so
+    // range pruning alone can never skip — only the bloom can
+    val metas = Seq(mkFile(dir, Seq(2L, 8L, 14L, 20L)),
+      mkFile(dir, Seq(4L, 10L, 16L, 22L)), mkFile(dir, Seq(6L, 12L, 18L, 24L)))
+    new KvBatchWrite(dir).commit(metas.map(m => KvCommitMessage(Some(m))).toArray)
+    val meta = KvMeta.read(dir)
+    assert(meta.values.forall(_.bloomHex.isDefined))
+    def planned(filters: Filter*): Int =
+      new KvScan(dir, KvFormat.schema, filters.toArray).planInputPartitions().length
+    def expect(k: Long): Int = meta.values.count(m =>
+      m.minKey <= k && k <= m.maxKey && KvBloom.mightContain(m.bloomHex.get, k))
+    // present keys: the plan matches the blooms exactly and the holding
+    // file is never skipped (a bloom has no false negatives)
+    Seq(2L, 10L, 24L).foreach { k =>
+      assert(planned(EqualTo("rowkey", k)) == expect(k) && expect(k) >= 1)
+    }
+    // absent in-range keys: plan == what the blooms allow, and across a
+    // handful of probes the bloom actually skips files (deterministic
+    // on the fixed splitmix64 hash — not a probabilistic assertion)
+    val absent = Seq(3L, 5L, 7L, 9L, 11L)
+    assert(absent.map(k => planned(EqualTo("rowkey", k))) == absent.map(expect))
+    assert(absent.map(expect).sum < absent.size * 3, "bloom never skipped a file")
+    // non-point predicates never consult the bloom (a range can contain
+    // keys the bloom was never asked about): [3, 9] overlaps all three
+    // stripes, so all three files plan despite none holding 3, 5, 7, 9
+    assert(planned(GreaterThanOrEqual("rowkey", 3L), LessThanOrEqual("rowkey", 9L)) == 3)
+    // old-format index lines (no bloom column) never skip: key 7 sits
+    // inside all three [min,max] ranges, so without blooms all plan
+    KvMeta.append(dir, meta.values.map(_.copy(bloomHex = None)).toSeq)
+    assert(planned(EqualTo("rowkey", 7L)) == 3)
   }
 
   test("pushed limit stops each partition reader after n surviving cells") {
