@@ -163,15 +163,50 @@ object Multimodal {
       |WHERE (idx + 1) * 64 <= length(text) AND idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** MEDIA DEDUP BY SHARED FRAMES — the multimodal analog of document
+    * near-dup: two videos are near-identical when they share keyframes,
+    * and frame-hash matching is how media pipelines find re-encodes and
+    * clipped copies without decoding full streams. The sampled frames
+    * (same typed flatMap as `mm_frame_sample`) are grouped by their
+    * content hash; a hash held by ≥2 DISTINCT documents marks shared
+    * footage. At 100 TB this is one flatMap (no shuffle) + ONE shuffle
+    * keyed by the 16-byte frame hash — candidate generation never
+    * compares payloads pairwise, the same equi-join-only discipline as
+    * the text/vector dedup family. */
+  def mmDedupFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .flatMap(MediaCodecStub.sampleFrames)
+      .toDF()
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("frame_md5")
+  }
+
+  val mmDedupFramesOracle: String =
+    """SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_frames, MIN(doc_id) AS min_doc_id
+      |FROM (
+      |  SELECT doc_id, md5(substr(text, CAST(idx * 64 + 1 AS INT), 64)) AS frame_md5
+      |  FROM (SELECT doc_id, text FROM documents), range(0, 100) r(idx)
+      |  WHERE (idx + 1) * 64 <= length(text) AND idx % 4 = 0)
+      |GROUP BY frame_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY frame_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_resize" -> (mmResize _),
     "mm_features" -> (mmFeatures _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_dedup_frames" -> (mmDedupFrames _))
 
   val oracle: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_resize" -> mmResizeOracle,
     "mm_features" -> mmFeaturesOracle,
-    "mm_frame_sample" -> mmFrameSampleOracle)
+    "mm_frame_sample" -> mmFrameSampleOracle,
+    "mm_dedup_frames" -> mmDedupFramesOracle)
 }

@@ -82,4 +82,28 @@ object KernelProps extends Properties("graft.kernels") {
   property("float_dot is commutative and psd on the diagonal") = Prop.forAll(floatArr, floatArr) { (a, b) =>
     evalDot(a, b) == evalDot(b, a) && evalDot(a, a) >= 0.0
   }
+
+  // --- rowkey bloom: the file-skip decision is only sound if an added
+  // key can NEVER read as absent (a false negative silently loses rows;
+  // false positives merely cost a file open) ---
+  import graft.sources.KvBloom
+  private val keys = Gen.listOfN(60, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("bloom has no false negatives over its hex round-trip") =
+    Prop.forAll(keys) { ks =>
+      val words = KvBloom.empty()
+      ks.foreach(KvBloom.add(words, _))
+      val hex = KvBloom.toHex(words)
+      ks.forall(KvBloom.mightContain(hex, _))
+    }
+
+  property("bloom hex is fixed-width and malformed hex never skips") =
+    Prop.forAll(keys, Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (ks, probe) =>
+      val words = KvBloom.empty()
+      ks.foreach(KvBloom.add(words, _))
+      val hex = KvBloom.toHex(words)
+      hex.length == KvBloom.Bits / 4 &&
+        KvBloom.mightContain("", probe) && // wrong length -> never skip
+        KvBloom.mightContain("g" * hex.length, probe) // non-hex -> never skip
+    }
 }

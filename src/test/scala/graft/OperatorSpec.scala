@@ -113,6 +113,20 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("frame_md5") =!= col("h")).count() == 0)
   }
 
+  test("shared-frame dedup agrees with the frame extraction it is built on") {
+    val shared = run("mm_dedup_frames")
+    assert(shared.count() > 0)
+    val frames = run("mm_frame_sample")
+    val recount = frames.groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("nf"))
+      .filter(col("nd") >= 2)
+    // same hash set, same multiplicities — the dedup key is exactly the
+    // >=2-docs slice of the extraction
+    assert(shared.select(col("frame_md5"), col("n_docs"), col("n_frames"))
+      .exceptAll(recount.select(col("frame_md5"), col("nd"), col("nf"))).count() == 0)
+    assert(recount.count() == shared.count())
+  }
+
   test("ann-lsh neighbors always share the query's bucket") {
     val rows = run("llm_ann_lsh").collect()
     assert(rows.forall(_.getAs[String]("bucket").length == 8))
