@@ -147,7 +147,7 @@ object TimeSeries {
   def tsTumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
     // The file stream source requires a DIRECTORY (round-1 lesson): stage
     // the single events file as two splits so there are ≥2 micro-batches.
-    val agg = stagedEventStream(spark, sfDir, "tumbling", 1)
+    val agg = stagedEventStream(spark, sfDir, "events2split", 1)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -169,7 +169,7 @@ object TimeSeries {
     * shuffles by (user, session) with watermark-driven eviction.
     */
   def tsSessionStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = stagedEventStream(spark, sfDir, "session", 1)
+    val agg = stagedEventStream(spark, sfDir, "events2split", 1)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
@@ -221,7 +221,7 @@ object TimeSeries {
   def tsStatefulStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val updates = stagedEventStream(spark, sfDir, "stateful", 1)
+    val updates = stagedEventStream(spark, sfDir, "events2split", 1)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -263,7 +263,7 @@ object TimeSeries {
   def tsStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    val agg = stagedEventStream(spark, sfDir, "streamjoin", 1)
+    val agg = stagedEventStream(spark, sfDir, "events2split", 1)
       .join(broadcast(cust), Seq("user_id")) // stream-static: stateless per micro-batch
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -292,11 +292,11 @@ object TimeSeries {
     // two INDEPENDENT stream sources (each its own micro-batch
     // schedule) over one shared staged copy — the staging memo saves
     // the second write; the join topology is identical
-    val clicks = stagedEventStream(spark, sfDir, "ssjoin", 1)
+    val clicks = stagedEventStream(spark, sfDir, "events2split", 1)
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "120 days")
-    val purchases = stagedEventStream(spark, sfDir, "ssjoin", 1)
+    val purchases = stagedEventStream(spark, sfDir, "events2split", 1)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
