@@ -32,8 +32,7 @@ object LlmDedup {
     docs
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3)))")))
+      .select(col("doc_id"), explode(array_distinct(expr(LlmText.tokenWindows("t", 3))))
         .as("sh"))
 
   private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
@@ -327,6 +326,11 @@ object LlmDedup {
     val sig = sh.groupBy("doc_id")
       .agg(min(md5(concat(lit("0:"), col("sh")))).as("m0"),
         (1 to 7).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+      // one row of 8 hashes per rep doc, consumed FOUR times below (both
+      // band self-join sides + both signature-compare joins): without
+      // the checkpoint the 8-way min agg over all shingles re-runs per
+      // consumer
+      .localCheckpoint()
     val banded = sig
       .withColumn("b0", md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))))
       .withColumn("b1", md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))

@@ -75,13 +75,19 @@ object LlmText {
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 
   /** Top-50 bigram counts (with multiplicity) across the corpus. */
+  /** All n-token windows (stride 1, space-joined) of token-array column
+    * `t` — THE shared window/shingle/gram algebra: 2-gram (`llm_ngrams`),
+    * 3-gram shingles (LlmDedup), 4-gram decontamination, 8-token spans
+    * all use this one expression, so a tokenization fix lands everywhere
+    * at once. Callers guard `size(t) >= n`. */
+  private[operators] def tokenWindows(t: String, n: Int): String =
+    s"transform(sequence(0, size($t)-$n), i -> concat_ws(' ', slice($t, i+1, $n)))"
+
   def llmNgrams(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t)-2), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2)))"))
-        .as("bigram"))
+      .select(explode(expr(tokenWindows("t", 2))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
@@ -343,9 +349,7 @@ object LlmText {
     documents(spark, sfDir)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(t)-8),
-          |  i -> concat_ws(' ', slice(t, i+1, 8)))""".stripMargin)).as("span"))
+      .select(col("doc_id"), explode(expr(tokenWindows("t", 8))).as("span"))
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -423,8 +427,7 @@ object LlmText {
     val docs = documents(spark, sfDir)
     val grams = docs.withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 4)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-4), i -> concat(element_at(t,i+1), ' ', element_at(t,i+2), ' ', element_at(t,i+3), ' ', element_at(t,i+4)))")))
+      .select(col("doc_id"), explode(array_distinct(expr(tokenWindows("t", 4))))
         .as("g"))
     val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
     val contaminated = grams.filter(col("doc_id") % 50 =!= 0)

@@ -323,12 +323,20 @@ object LlmVector {
     * stays hot (consumers like the recall key still share a single
     * materialization); across keys reuse survives exactly as long as
     * nobody evicted the blocks. */
+  // count() (not take(1)) so EVERY partition's blocks are probed: a
+  // partially evicted checkpoint (one lost executor at cluster scale)
+  // must read as dead, not pass on partition 0 and die mid-key
   private def isAlive(df: DataFrame): Boolean =
-    try { df.take(1); true } catch { case scala.util.control.NonFatal(_) => false }
+    try { df.count(); true } catch { case scala.util.control.NonFatal(_) => false }
 
   private def ivfRanking(spark: SparkSession, sfDir: String): DataFrame =
     rankedCache.synchronized {
-      rankedCache.get((spark, sfDir)).filter(isAlive).getOrElse {
+      val key = (spark, sfDir)
+      rankedCache.get(key).filter { df =>
+        val alive = isAlive(df)
+        if (!alive) rankedCache.remove(key) // dead entries must not pin RDDs
+        alive
+      }.getOrElse {
         val (ex, cent) = kmeansState(spark, sfDir)
         val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
         val ranked = ex.join(broadcast(cent), Seq("pos"))

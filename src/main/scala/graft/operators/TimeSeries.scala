@@ -40,8 +40,12 @@ object TimeSeries {
       name: String, nCopies: Int): DataFrame = {
     enableNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
+    // nCopies is part of the PATH, not just the memo key: same-name
+    // calls with different copy counts must never serve each other's
+    // staged files (a 1-copy dir reused by a 2-copy consumer would
+    // silently halve its micro-batches)
     val stageDir =
-      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name-x$nCopies"
     // staging copies are per-process scratch: clean the whole tagged root
     // on JVM exit so runs don't accumulate copies of events.parquet in /tmp
     graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")

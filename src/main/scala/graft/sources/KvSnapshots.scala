@@ -404,6 +404,19 @@ object KvSnapshots {
     * leaves an invisible — not half-readable — snapshot). Hard-linked
     * shared files only drop THIS snapshot's link; the base's data is
     * untouched. */
+  /** Demote a COMMITTED snapshot to uncommitted by removing only its
+    * manifest — the overwrite-export path. The data bytes stay on disk,
+    * so a follow-up [[export]] treats the dir as a crashed-copy
+    * leftover: identical files are digest-verified and SKIPPED, changed
+    * files re-copied, strays cleaned — and crucially there is no window
+    * where the destination holds nothing (a full [[delete]] before
+    * re-export would lose the only copy if the re-export then failed). */
+  def uncommit(root: String, name: String): Unit = {
+    require(Files.exists(manifest(root, name)),
+      s"snapshot $name does not exist (no committed manifest)")
+    Files.delete(manifest(root, name))
+  }
+
   def delete(root: String, name: String): Unit = {
     val d = snapDir(root, name)
     require(Files.exists(d), s"snapshot $name does not exist")

@@ -61,9 +61,12 @@ object SnapshotTool {
             if (action == "export") (need("root"), need("dest"))
             else (need("from"), need("root"))
           // the reference's -overwrite knob: replace a COMMITTED dest
-          // snapshot of the same name instead of refusing. Distinct from
-          // resume (which only ever fills in a manifest-less dest):
-          // overwrite deletes the committed snapshot, then re-exports.
+          // snapshot of the same name instead of refusing. Implemented
+          // as UNCOMMIT (drop only the manifest) + re-export: identical
+          // bytes are digest-skipped, changed files re-copied, strays
+          // cleaned by export itself — and a re-export failure never
+          // leaves the dest emptier than before, which a full
+          // delete-then-export would (data-loss window).
           val overwrite = flags.get("overwrite").map {
             case "true" => true
             case "false" => false
@@ -71,7 +74,7 @@ object SnapshotTool {
           }.getOrElse(false)
           if (overwrite &&
               java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json")))
-            KvSnapshots.delete(dst, need("name"))
+            KvSnapshots.uncommit(dst, need("name"))
           val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")

@@ -375,6 +375,21 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("illegal file name"))
   }
 
+  test("uncommit + re-export overwrites in place, skipping identical bytes") {
+    val root = freshRoot(); val dest = freshRoot()
+    KvSnapshots.create(cells, root, "s1")
+    assert(KvSnapshots.export(spark, root, dest, "s1").copied > 0)
+    // the overwrite path: drop only the manifest — the snapshot becomes
+    // invisible but its bytes remain for the digest-skip resume
+    KvSnapshots.uncommit(dest, "s1")
+    assert(KvSnapshots.list(dest).isEmpty)
+    val again = KvSnapshots.export(spark, root, dest, "s1")
+    assert(again.copied == 0 && again.skipped > 0,
+      s"identical re-export should reuse every byte: $again")
+    assert(KvSnapshots.restore(spark, dest, "s1").count() == cells.count())
+    intercept[IllegalArgumentException] { KvSnapshots.uncommit(dest, "missing") }
+  }
+
   test("diff classifies added/removed/changed and drops unchanged cells") {
     val root = freshRoot()
     import spark.implicits._
