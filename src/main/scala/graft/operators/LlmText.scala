@@ -329,6 +329,50 @@ object LlmText {
       |WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** UNIGRAM LANGUAGE-MODEL quality score (the CCNet move, Wenzek et
+    * al. 2020: rank web documents by LM perplexity and keep the
+    * head/middle): a unigram model is fit on the corpus itself (term
+    * frequency / total tokens) and each document is scored by its mean
+    * negative log-likelihood — low = stereotypical in-distribution
+    * text, high = rare-token soup. The real pipeline swaps the unigram
+    * table for a pretrained KenLM; the dataflow is identical.
+    *
+    * Scale shape: one token explode + one groupBy builds the model; the
+    * scoring join broadcasts it (a vocab is bounded — at 100 TB you cap
+    * it at top-V with an OOV bucket, and the join stays broadcast).
+    *
+    * Determinism: ln() lands on doubles whose last-ulp may differ
+    * across libm implementations, so each token's NLL is ROUND(6)ed
+    * and cast to DECIMAL(18,6) BEFORE the per-doc sum — decimal
+    * addition is exact and associative, so partial-aggregation order
+    * cannot move the result (the same trick as the money aggregates).
+    */
+  def llmLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val totals = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(freqs), Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll6",
+        round(-log(col("tf").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll6")).cast("double") / count(lit(1)), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val llmLmScoreOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freqs AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+      |tot AS (SELECT COUNT(*) AS total FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS lm_score
+      |FROM toks JOIN freqs USING (tok), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** REPEATED-SPAN detection (the Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better" move, arXiv:2107.06499:
     * exact substring duplication is rampant in web corpora, and the
@@ -491,6 +535,7 @@ object LlmText {
     "llm_sample_stratified" -> (llmSampleStratified _),
     "llm_dedup_spans" -> (llmDedupSpans _),
     "llm_dataset_mix" -> (llmDatasetMix _),
+    "llm_lm_score" -> (llmLmScore _),
     "llm_curation" -> (llmCuration _),
     "llm_text_stats" -> (llmTextStats _),
     "llm_tfidf_top" -> (llmTfidfTop _),
@@ -507,6 +552,7 @@ object LlmText {
     "llm_sample_stratified" -> llmSampleStratifiedOracle,
     "llm_dedup_spans" -> llmDedupSpansOracle,
     "llm_dataset_mix" -> llmDatasetMixOracle,
+    "llm_lm_score" -> llmLmScoreOracle,
     "llm_curation" -> llmCurationOracle,
     "llm_text_stats" -> llmTextStatsOracle,
     "llm_tfidf_top" -> llmTfidfTopOracle,

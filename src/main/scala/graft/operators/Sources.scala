@@ -84,6 +84,28 @@ object Sources {
       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Parquet → ORC → read back (REF R2/R3 format breadth: ORC is the
+    * other columnar container a snapshot-export pipeline meets, and
+    * Spark's ORC source has the same vectorized-reader + pushdown
+    * machinery as parquet). Money survives as exact decimal through
+    * the ORC file; DOUBLE only in the final output per the
+    * comparator's type policy. */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "part_orc")
+    part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        dec(col("p_retailprice")).as("p_retailprice"))
+      .write.mode("overwrite").orc(dest)
+    spark.read.orc(dest)
+      .withColumn("p_retailprice", col("p_retailprice").cast("double"))
+      .orderBy("p_partkey")
+  }
+
+  val sourceOrcRoundtripOracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_size,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** DataSourceV2 connector roundtrip (SURVEY.md §2.A R2): supplier
     * cells written through the custom `graft-kv` v2 writer (two-phase
     * task commit), read back via the v2 scan with a pushed
@@ -479,6 +501,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_kv_connector" -> (sourceKvConnector _),
     "kv_stats_pushdown" -> (kvStatsPushdown _),
     "kv_stats_by_qualifier" -> (kvStatsByQualifier _),
@@ -496,6 +519,7 @@ object Sources {
   val oracle: Map[String, String] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
+    "source_orc_roundtrip" -> sourceOrcRoundtripOracle,
     "source_kv_connector" -> sourceKvConnectorOracle,
     "kv_stats_pushdown" -> kvStatsPushdownOracle,
     "kv_stats_by_qualifier" -> kvStatsByQualifierOracle,

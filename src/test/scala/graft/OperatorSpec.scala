@@ -113,6 +113,18 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("frame_md5") =!= col("h")).count() == 0)
   }
 
+  test("lm score is a positive mean NLL over exactly the document's tokens") {
+    val scored = run("llm_lm_score")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(scored.count() == docs.count())
+    assert(scored.filter(col("lm_score") <= 0).count() == 0)
+    // n_tokens matches the tokenizer the model was fit on
+    val expected = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_expected"))
+    assert(scored.join(expected, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("n_expected")).count() == 0)
+  }
+
   test("shared-frame dedup agrees with the frame extraction it is built on") {
     val shared = run("mm_dedup_frames")
     assert(shared.count() > 0)
