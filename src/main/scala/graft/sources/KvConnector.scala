@@ -483,9 +483,14 @@ object KvFilterEval {
   // eval would ClassCastException mid-scan (Catalyst always sends the
   // right type, but Filter is a public API — a hand-built
   // EqualTo("rowkey", "x") must fall back to Spark, not crash a task).
+  // Rowkey literals must be INTEGRAL: a hand-built Double(1.5) or
+  // BigDecimal(2^63) would silently truncate through longValue in
+  // eval/range/bloom and return wrong rows — those shapes stay with
+  // Spark post-scan instead.
   private def ok(attr: String, v: Any): Boolean = col(attr) && (v match {
     case null => false
-    case _: Number => attr == "rowkey"
+    case _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => attr == "rowkey"
     case _: String => attr != "rowkey"
     case _ => false
   })
@@ -674,8 +679,13 @@ case class KvCommitMessage(meta: Option[KvFileMeta]) extends WriterCommitMessage
   * operator already spills correctly. */
 class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val tmp = Paths.get(path, s".tmp-$partitionId-$taskId")
-  private val dest = Paths.get(path, s"part-$partitionId-$taskId.kv")
+  // (partitionId, taskId) is unique only WITHIN one Spark application —
+  // a second application appending to the same store restarts task ids
+  // at 0 and would collide on the rename. The per-process tag makes
+  // cross-application appends safe (HBase solves this with UUID-named
+  // store files for the same reason).
+  private val tmp = Paths.get(path, s".tmp-$partitionId-$taskId-${KvDataWriter.procTag}")
+  private val dest = Paths.get(path, s"part-$partitionId-$taskId-${KvDataWriter.procTag}.kv")
   private val digest = java.security.MessageDigest.getInstance("MD5")
   private var bytes = 0L
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -727,4 +737,9 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }
   override def close(): Unit = ()
+}
+
+object KvDataWriter {
+  /** Per-process disambiguator for data-file names (see constructor). */
+  private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
 }

@@ -2,8 +2,6 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -157,9 +155,16 @@ object KvSnapshots {
     // import reads manifests written OUTSIDE this process: a crafted
     // file name must not traverse out of the data dir when resolved
     // (e.g. "../x"), nor smuggle a fake top-level line via an embedded
-    // newline. Our own writer only ever emits part-<p>-<t>.kv.
-    entries.foreach(e => require(e.file.matches("[A-Za-z0-9._-]+") && !e.file.startsWith("."),
+    // newline — and it must carry the .kv suffix, because restore's
+    // scan only reads *.kv: a suffix-less entry would export and
+    // verify cleanly yet silently vanish from the restored frame.
+    // Our own writer only ever emits part-<p>-<t>-<tag>.kv.
+    entries.foreach(e => require(
+      e.file.matches("[A-Za-z0-9._-]+") && !e.file.startsWith(".") &&
+        e.file.endsWith(KvFormat.SUFFIX),
       s"snapshot $name has a corrupt manifest (illegal file name '${e.file}')"))
+    require(entries.map(_.file).distinct.size == entries.size,
+      s"snapshot $name has a corrupt manifest (duplicate file entries)")
     entries
   }
 
@@ -220,10 +225,22 @@ object KvSnapshots {
     * before the diff (a diff against rotted bytes is worse than none).
     */
   def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, when}
-    val av = restore(spark, root, a)
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    // (rowkey, qualifier) is the CELL IDENTITY the classification joins
+    // on; the store itself doesn't forbid duplicate cells (append jobs
+    // can write the same key twice), and duplicates would cross-multiply
+    // through the full-outer join into spurious "changed" rows — fail
+    // diagnosably instead of mis-reporting
+    def uniqueCells(name: String, df: DataFrame): DataFrame = {
+      val dups = df.groupBy("rowkey", "qualifier").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dups == 0,
+        s"snapshot $name holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities")
+      df
+    }
+    val av = uniqueCells(a, restore(spark, root, a))
       .select(col("rowkey"), col("qualifier"), col("value").as("old_value"))
-    val bv = restore(spark, root, b)
+    val bv = uniqueCells(b, restore(spark, root, b))
       .select(col("rowkey"), col("qualifier"), col("value").as("new_value"))
     av.join(bv, Seq("rowkey", "qualifier"), "full_outer")
       .withColumn("change",
@@ -310,31 +327,40 @@ object KvSnapshots {
         (0 until nBins).map(b => entries.filter(e => binOf(e.file) == b)
           .map(e => (srcData.resolve(e.file).toString,
             destData.resolve(e.file).toString, e.md5, e.bytes, preExisting(e.file))))
-      // per-file outcome: 'c' copied+verified, 's' skipped (dest already
-      // verifies), or the file name on checksum failure
+      // per-file outcome as a STRUCTURED (status, fileName) pair — an
+      // in-band string sentinel would collide with a manifest file
+      // literally named like the sentinel and count its checksum
+      // failure as success
       val outcomes = spark.sparkContext.parallelize(binned, nBins)
         .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes, pre) =>
           val destP = Paths.get(dest)
+          val file = Paths.get(src).getFileName.toString
           val survives = pre && Files.exists(destP) && Files.size(destP) == wantBytes &&
             KvMeta.md5HexOf(dest) == wantMd5
-          if (survives) "s"
+          if (survives) ("skipped", file)
           else {
             val gotMd5 = copyDigesting(src, dest)
-            if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) "c"
-            else Paths.get(src).getFileName.toString
+            if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) ("copied", file)
+            else ("corrupt", file)
           }
         })
-        .collect() // one tag (or corrupt-file name) per file
-      val bad = outcomes.filter(o => o != "c" && o != "s")
+        .collect() // one (status, name) per file
+      val bad = outcomes.collect { case ("corrupt", f) => f }
       require(bad.isEmpty,
         s"export $name: ${bad.mkString(", ")} failed checksum verification at destination")
-      ExportStats(copied = outcomes.count(_ == "c"), skipped = outcomes.count(_ == "s"))
+      ExportStats(copied = outcomes.count(_._1 == "copied"),
+        skipped = outcomes.count(_._1 == "skipped"))
     }
     // metadata sidecar (tiny, driver-side): preserves min/max rowkey
-    // bounds so the destination store prunes files like the source did
+    // bounds + blooms so the destination store prunes files like the
+    // source did. When the SOURCE has no index, any index already at
+    // the destination (an overwrite-export over a previous snapshot)
+    // must die with it: stale entries under reused file names would
+    // mis-prune scans and answer pushed aggregates from old counts.
     val srcIdx = srcData.resolve(KvMeta.FILE)
     if (Files.exists(srcIdx))
       Files.copy(srcIdx, destData.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(destData.resolve(KvMeta.FILE))
     // the exported snapshot is logically the SAME snapshot: its age
     // stamp (if any) travels with it rather than resetting at the dest
     commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)),
@@ -420,11 +446,10 @@ object KvSnapshots {
   def delete(root: String, name: String): Unit = {
     val d = snapDir(root, name)
     require(Files.exists(d), s"snapshot $name does not exist")
+    // manifest first (the commit mark dies before the data), then the
+    // shared hardened tree delete
     Files.deleteIfExists(manifest(root, name))
-    val s = Files.walk(d)
-    try s.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
-      .foreach(Files.delete)
-    finally s.close()
+    graft.util.Scratch.deleteTree(d.toString)
   }
 
   /** Committed snapshots under the root (manifest present), sorted. */

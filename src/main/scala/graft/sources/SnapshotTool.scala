@@ -73,8 +73,18 @@ object SnapshotTool {
             case v => throw CliError(s"bad --overwrite: $v (true|false)")
           }.getOrElse(false)
           if (overwrite &&
-              java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json")))
+              java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json"))) {
+            // uncommit is destructive to the dest's commit mark — prove
+            // the SOURCE can actually replace it first (a typo'd --from
+            // must not demote the only committed copy), and refuse a
+            // self-export (same root), which would uncommit the source
+            // it is about to read
+            require(java.nio.file.Paths.get(src).toAbsolutePath.normalize !=
+              java.nio.file.Paths.get(dst).toAbsolutePath.normalize,
+              s"source and destination roots are the same: $src")
+            KvSnapshots.parseManifest(src, need("name"))
             KvSnapshots.uncommit(dst, need("name"))
+          }
           val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")
