@@ -28,11 +28,18 @@ object KmvDistinctAgg extends Aggregator[Long, Array[Long], Long] {
   val K = 64
   val HashSpace: Long = 1L << 48
 
+  // reduce() runs per input ROW: a getInstance("MD5") there would do a
+  // JCA provider lookup + allocation per row on the aggregation hot
+  // path. MD5 digests reset after digest(), so one instance per thread
+  // serves every row that thread reduces.
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** First 48 bits of md5(decimal string of the id) — matches
     * `md5(CAST(x AS VARCHAR))`'s first 12 hex chars in both engines. */
   private def h48(id: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(java.lang.Long.toString(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Local.get().digest(
+      java.lang.Long.toString(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
   }
 

@@ -81,10 +81,6 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object VectorExprs {
-  /** Registers `float_dot` in the session's function registry so it is
-    * usable from `expr(...)`/SQL. Idempotent. (The library-install path
-    * would be a SparkSessionExtensions.injectFunction; runtime
-    * registration keeps the harness's plain sessions working.) */
   /** Shared builder with an arity check (indexing alone would silently
     * drop extra arguments). */
   private[graft] def build(exprs: Seq[Expression]): FloatDot = {
@@ -92,6 +88,10 @@ object VectorExprs {
     FloatDot(exprs(0), exprs(1))
   }
 
+  /** Registers `float_dot` in the session's function registry so it is
+    * usable from `expr(...)`/SQL. Idempotent. (The library-install path
+    * would be a SparkSessionExtensions.injectFunction; runtime
+    * registration keeps the harness's plain sessions working.) */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", build, "built-in")

@@ -36,7 +36,7 @@ object TimeSeries {
     * open it as a file-stream with the µs-truncated `ts`. Each call
     * returns its OWN readStream (an independent source with its own
     * micro-batch schedule); staging is shared per (sfDir, name). */
-  private def stagedEventStream(spark: SparkSession, sfDir: String,
+  private[graft] def stagedEventStream(spark: SparkSession, sfDir: String,
       name: String, nCopies: Int): DataFrame = {
     enableNanosAsLong(spark)
     val path = s"$sfDir/events.parquet"
@@ -89,7 +89,7 @@ object TimeSeries {
     * one. Queries on the returned frame run outside the lock. */
   private val runLock = new Object
 
-  private def runToMemory(df: DataFrame, sink: String, mode: String,
+  private[graft] def runToMemory(df: DataFrame, sink: String, mode: String,
       shufflePartitions: Int = 4): DataFrame = runLock.synchronized {
     val spark = df.sparkSession
     val name = s"${sink}_$runTag"

@@ -44,29 +44,18 @@ object StreamingDemo {
 
   /** Returns a failure description per check that did not match. */
   def run(spark: SparkSession, sfDir: String): Seq[String] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-
-    // The file stream source requires a directory: stage the events as
-    // TWO parquet files and feed them one per trigger, so stateful
-    // operators genuinely carry state across micro-batches.
-    val stageDir = s"/tmp/graft_stream_in/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    spark.read.parquet(path).repartition(2)
-      .write.mode("overwrite").parquet(stageDir)
-
-    def stream: DataFrame = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Staging, ns→µs conversion, and sink draining all come from the
+    // hardened TimeSeries/Tables helpers — one implementation, so the
+    // demo inherits their run isolation (per-process tagged /tmp dirs,
+    // deleteOnExit cleanup, sink-view drop + resetTerminated) instead
+    // of re-implementing a fixed-path copy that two concurrent runs
+    // would clobber mid-stream.
+    def stream: DataFrame =
+      graft.operators.TimeSeries.stagedEventStream(spark, sfDir, "events2split", 1)
     val batch = graft.sources.Tables.events(spark, sfDir)
 
-    def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      q.processAllAvailable()
-      q.stop()
-      spark.table(name)
-    }
+    def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+      graft.operators.TimeSeries.runToMemory(df, name, mode)
 
     val checks = Seq(
       ("tumbling_counts", {
