@@ -164,12 +164,19 @@ object Aggregations {
     // rollup().orderBy() on join lineage trips Spark's ambiguous-self-join
     // check (the grouping attrs shadow the join output); localCheckpoint-free
     // fix: route through a temp view + SQL, which resolves by name.
-    base.createOrReplaceTempView("graft_rollup_base")
-    base.sparkSession.sql(
-      """SELECT r_name, n_name, CAST(CAST(SUM(dp) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
-        |FROM graft_rollup_base
+    // The view name is PER-CALL unique (temp views are session-global:
+    // a fixed name would let a concurrent run's createOrReplaceTempView
+    // swap the data out from under this query), and dropped once the
+    // result is computed — sql() resolves the view eagerly at analysis
+    // time, so the returned frame survives the drop.
+    val view = s"graft_rollup_base_${java.util.UUID.randomUUID().toString.take(8)}"
+    base.createOrReplaceTempView(view)
+    try base.sparkSession.sql(
+      s"""SELECT r_name, n_name, CAST(CAST(SUM(dp) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM $view
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    finally base.sparkSession.catalog.dropTempView(view)
   }
 
   val aggRollupOracle: String =

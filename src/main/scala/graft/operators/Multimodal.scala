@@ -134,7 +134,9 @@ object Multimodal {
   val mmFeaturesOracle: String = {
     val bins = (0 to 7).map { j =>
       val name = if (j == 6) "r6_" else s"r$j"
-      s"ROUND(CAST(len(list_filter(codes, c -> c % 8 = $j)) AS DOUBLE) / len(codes), 6) AS $name"
+      // GREATEST(..., 1) mirrors the Spark side's max(n, 1) empty-payload
+      // guard: an empty document must yield 0.0 ratios on BOTH engines
+      s"ROUND(CAST(len(list_filter(codes, c -> c % 8 = $j)) AS DOUBLE) / GREATEST(len(codes), 1), 6) AS $name"
     }.mkString(",\n|  ")
     s"""SELECT doc_id,
        |  $bins
@@ -156,11 +158,15 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** The per-row list range mirrors the Spark side's unbounded
+    * `Iterator.range(0, payload.length / 64)` — no fixed cap, so the
+    * oracle holds at any document length. */
   val mmFrameSampleOracle: String =
     """SELECT doc_id, CAST(idx AS INT) AS frame_idx,
       |  md5(substr(text, CAST(idx * 64 + 1 AS INT), 64)) AS frame_md5
-      |FROM (SELECT doc_id, text FROM documents), range(0, 100) r(idx)
-      |WHERE (idx + 1) * 64 <= length(text) AND idx % 4 = 0
+      |FROM (SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS idx
+      |      FROM documents)
+      |WHERE idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** MEDIA DEDUP BY SHARED FRAMES — the multimodal analog of document
@@ -186,13 +192,15 @@ object Multimodal {
       .orderBy("frame_md5")
   }
 
+  /** Same cap-free per-row range as [[mmFrameSampleOracle]]. */
   val mmDedupFramesOracle: String =
     """SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs,
       |  COUNT(*) AS n_frames, MIN(doc_id) AS min_doc_id
       |FROM (
       |  SELECT doc_id, md5(substr(text, CAST(idx * 64 + 1 AS INT), 64)) AS frame_md5
-      |  FROM (SELECT doc_id, text FROM documents), range(0, 100) r(idx)
-      |  WHERE (idx + 1) * 64 <= length(text) AND idx % 4 = 0)
+      |  FROM (SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS idx
+      |        FROM documents)
+      |  WHERE idx % 4 = 0)
       |GROUP BY frame_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY frame_md5""".stripMargin
 

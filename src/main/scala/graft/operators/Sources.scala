@@ -477,7 +477,12 @@ object Sources {
     * read-back aggregate — the no-shuffle-join building block from
     * SCALE.md. The oracle checks the aggregate against the source. */
   def exportBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val table = "graft_lineitem_bucketed"
+    // the catalog table name is PER-CALL unique (the catalog is
+    // session-global: a fixed name would let a concurrent run's
+    // overwrite swap the table between this run's write and read-back),
+    // and dropped after the tiny aggregate is copied out — no catalog
+    // leak, no cross-run race
+    val table = s"graft_lineitem_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
     lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite")
@@ -486,11 +491,16 @@ object Sources {
       .sortBy("l_orderkey")
       .option("path", scratch(sfDir, "lineitem_bucketed"))
       .saveAsTable(table)
-    spark.table(table)
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"))
-      .orderBy("l_returnflag")
+    try {
+      val agg = spark.table(table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"))
+      // 3 tiny rows: copy out so the table can be dropped before return
+      val (rows, schema) = (agg.collect(), agg.schema)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("l_returnflag")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   val exportBucketedOracle: String =

@@ -49,15 +49,22 @@ object TimeSeries {
     // staging copies are per-process scratch: clean the whole tagged root
     // on JVM exit so runs don't accumulate copies of events.parquet in /tmp
     graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
-    val schema = stagedDirs.getOrElseUpdate((sfDir, name, nCopies), {
-      val src = spark.read.parquet(path)
-      if (nCopies == 1) src.repartition(2).write.mode("overwrite").parquet(stageDir)
-      else {
-        src.coalesce(1).write.mode("overwrite").parquet(stageDir)
-        (2 to nCopies).foreach(_ => src.coalesce(1).write.mode("append").parquet(stageDir))
-      }
-      src.schema
-    })
+    // staging is a SIDE-EFFECTING write: TrieMap.getOrElseUpdate may run
+    // its thunk in two contending threads (benign for the value caches,
+    // NOT for two overwrite jobs racing on one directory — parallel
+    // suites can start two streaming keys at once), so the whole
+    // check-and-stage is serialized
+    val schema = stagedDirs.synchronized {
+      stagedDirs.getOrElseUpdate((sfDir, name, nCopies), {
+        val src = spark.read.parquet(path)
+        if (nCopies == 1) src.repartition(2).write.mode("overwrite").parquet(stageDir)
+        else {
+          src.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          (2 to nCopies).foreach(_ => src.coalesce(1).write.mode("append").parquet(stageDir))
+        }
+        src.schema
+      })
+    }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
