@@ -40,6 +40,16 @@ class EntrySpec extends SparkSpec {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle keys without query impl: $extra")
   }
+  test("every query is oracle-checked and the count matches SURVEY §2.B") {
+    // the full-bar invariant since round 3: no rows-only keys — every
+    // declared key gets the hash-match oracle gate
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"query keys without an oracle: $unchecked")
+    // SURVEY §2.B's "Count: N keys" line must track this number — a new
+    // key without a doc update (or vice versa) fails here, on purpose
+    assert(SparkEntry.queries.size == 117,
+      s"SparkEntry.queries.size == ${SparkEntry.queries.size}; update SURVEY §2.B's count line and this pin together")
+  }
 }
 
 class AggregationSpec extends SparkSpec {
