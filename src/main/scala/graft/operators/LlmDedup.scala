@@ -38,14 +38,13 @@ object LlmDedup {
   private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     shinglesOf(documents(spark, sfDir))
 
-  /** NOTE: the range(1, 10000) bound caps oracle-side shingle positions
-    * at 10k tokens per document — far above the data contract's maximum
-    * (~100 tokens, FIXTURES.md); raise it if document length ever grows. */
+  /** Per-row list range (`unnest(range(1, len(t) - 1))` ⇔ k + 2 ≤
+    * len(t); empty below 3 tokens) — cap-free, mirroring the unbounded
+    * Spark side at any document length. */
   private[operators] val shinglesSql: String =
     """SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] || ' ' || t[k+2] AS sh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |     range(1, 10000) r(k)
-      |WHERE k + 2 <= len(t)""".stripMargin
+      |FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS k
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     * joins each side's shingle set, counts the intersection, and keeps

@@ -93,10 +93,11 @@ object LlmText {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(50)
 
+  /** Cap-free per-row range (k = 1 .. len-1 ⇔ k + 1 ≤ len). */
   val llmNgramsOracle: String =
     """SELECT t[k] || ' ' || t[k+1] AS bigram, COUNT(*) AS cnt
-      |FROM (SELECT string_split(text, ' ') AS t FROM documents), range(1, 10000) r(k)
-      |WHERE k + 1 <= len(t)
+      |FROM (SELECT t, unnest(range(1, len(t))) AS k
+      |      FROM (SELECT string_split(text, ' ') AS t FROM documents))
       |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin
 
   /** Character-n-gram-heuristic language ID: the 'e'-frequency and mean
@@ -106,7 +107,10 @@ object LlmText {
     documents(spark, sfDir)
       .withColumn("len_c", length(col("text")))
       .withColumn("n_e", col("len_c") - length(regexp_replace(col("text"), "e", "")))
-      .withColumn("e_ratio_e6", expr("(1000000 * cast(n_e as bigint)) div len_c"))
+      // greatest(len, 1): empty text scores ratio 0 on BOTH engines —
+      // unguarded, Spark's integer `div 0` yields NULL while DuckDB's
+      // `// 0` throws, a latent parity break
+      .withColumn("e_ratio_e6", expr("(1000000 * cast(n_e as bigint)) div greatest(len_c, 1)"))
       .withColumn("pred_lang",
         when(col("e_ratio_e6") >= 100000, "en")
           .when(col("e_ratio_e6") >= 80000, "de")
@@ -125,7 +129,7 @@ object LlmText {
       |         ELSE 'zh' END AS pred_lang
       |  FROM (SELECT doc_id, lang,
       |          (1000000 * CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT))
-      |            // length(text) AS e_ratio_e6
+      |            // GREATEST(length(text), 1) AS e_ratio_e6
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
@@ -488,9 +492,8 @@ object LlmText {
   val llmDecontaminateOracle: String =
     """WITH g AS (
       |  SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] || ' ' || t[k+2] || ' ' || t[k+3] AS g
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |       range(1, 10000) r(k)
-      |  WHERE k + 3 <= len(t)),
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS k
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
       |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
       |bad AS (
       |  SELECT DISTINCT doc_id FROM g
