@@ -340,6 +340,95 @@ object TimeSeries {
     """SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** FUNNEL analysis (the ClickHouse-windowFunnel / product-analytics
+    * staple): how far does each user get through view → click →
+    * purchase, where each stage must follow the previous one and the
+    * whole path must complete within 24 hours of the first view?
+    * Emitted as the funnel report: users reaching depth 0..3.
+    *
+    * Shape: three conditional-min aggregations (first view; first click
+    * ≥ that view; first purchase ≥ that click — all within the window),
+    * each one groupBy(user) + join back on user. At 100 TB that is
+    * three shuffles on the same user key — AQE/bucketing co-locates the
+    * follow-up joins — and no window-function sort over the full event
+    * log. Stage timestamps are mins, so arrival order is irrelevant.
+    */
+  def tsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select("user_id", "event_type", "ts")
+    val windowUs = 24L * 3600L * 1000000L
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(unix_micros(col("ts")) >= unix_micros(col("t1")) &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(unix_micros(col("ts")) >= unix_micros(col("t2")) &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val users = ev.select("user_id").distinct()
+    val depth = users
+      .join(t1.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
+      .withColumn("depth",
+        coalesce(col("d3") * 3, col("d2") * 2, col("d1"), lit(0)))
+    depth.groupBy("depth").agg(count(lit(1)).as("n_users")).orderBy("depth")
+  }
+
+  val tsFunnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t2, MIN(t1.t1) AS t1
+      |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts >= t1.t1
+      |    AND ev.ts <= t1.t1 + INTERVAL 24 HOURS
+      |  GROUP BY ev.user_id),
+      |t3 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t3
+      |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts >= t2.t2
+      |    AND ev.ts <= t2.t1 + INTERVAL 24 HOURS
+      |  GROUP BY ev.user_id)
+      |SELECT depth, COUNT(*) AS n_users FROM (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1.user_id IS NOT NULL THEN 1
+      |         ELSE 0 END AS depth
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN t1 ON u.user_id = t1.user_id
+      |  LEFT JOIN t2 ON u.user_id = t2.user_id
+      |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** COHORT RETENTION (the other product-analytics staple next to the
+    * funnel): users are cohorted by their FIRST active day, and the
+    * report counts how many of each cohort are active again N days
+    * later — the curve every engagement dashboard draws. Shape: one
+    * distinct-day projection, one groupBy(user) for the cohort day,
+    * one join back on user, one groupBy(cohort, offset) — two shuffles
+    * on user + one on the (cohort, offset) pair, no windows. */
+  def tsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort")))
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  val tsRetentionOracle: String =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)
+      |SELECT cohort, CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+
   /** Per-user session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag gap starts with lag(), running-sum the flags
     * into session ids, aggregate per session. */
@@ -433,6 +522,8 @@ object TimeSeries {
     "ts_stateful_stream" -> (tsStatefulStream _),
     "ts_stream_join" -> (tsStreamJoin _),
     "ts_stream_stream_join" -> (tsStreamStreamJoin _),
+    "ts_funnel" -> (tsFunnel _),
+    "ts_retention" -> (tsRetention _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
@@ -447,5 +538,7 @@ object TimeSeries {
     "ts_stateful_stream" -> tsStatefulStreamOracle,
     "ts_stream_join" -> tsStreamJoinOracle,
     "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
+    "ts_funnel" -> tsFunnelOracle,
+    "ts_retention" -> tsRetentionOracle,
     "ts_late_data" -> tsLateDataOracle)
 }
