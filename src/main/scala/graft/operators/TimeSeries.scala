@@ -429,6 +429,31 @@ object TimeSeries {
       |FROM ev JOIN f ON ev.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
 
+  /** EVENT-TYPE TRANSITIONS (the path-mining / Markov-chain building
+    * block): each user's events in time order yield (from → to) type
+    * pairs, counted corpus-wide — "what do users do after a click?".
+    * One window pass partitioned by user (ties broken by event_id so
+    * both engines sequence identically) + one groupBy on the pair. */
+  def tsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val tsTransitionsOracle: String =
+    """SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   /** Per-user session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag gap starts with lag(), running-sum the flags
     * into session ids, aggregate per session. */
@@ -524,6 +549,7 @@ object TimeSeries {
     "ts_stream_stream_join" -> (tsStreamStreamJoin _),
     "ts_funnel" -> (tsFunnel _),
     "ts_retention" -> (tsRetention _),
+    "ts_transitions" -> (tsTransitions _),
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
@@ -540,5 +566,6 @@ object TimeSeries {
     "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
     "ts_funnel" -> tsFunnelOracle,
     "ts_retention" -> tsRetentionOracle,
+    "ts_transitions" -> tsTransitionsOracle,
     "ts_late_data" -> tsLateDataOracle)
 }
