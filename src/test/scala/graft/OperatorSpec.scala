@@ -113,6 +113,24 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("frame_md5") =!= col("h")).count() == 0)
   }
 
+  test("event-analytics invariants: funnel, retention, and transitions tie out") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nUsers = ev.select("user_id").distinct().count()
+    // funnel depths partition the user base
+    val funnel = run("ts_funnel").collect()
+    assert(funnel.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // day-offset 0 rows cover every user exactly once (everyone is
+    // active on their own cohort day)
+    val ret = run("ts_retention")
+    assert(ret.filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).collect().head.getLong(0) == nUsers)
+    // each user's k ordered events yield exactly k-1 transitions
+    val trans = run("ts_transitions")
+    val expected = ev.groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).collect().head.getLong(0)
+    assert(trans.agg(sum(col("n"))).collect().head.getLong(0) == expected)
+  }
+
   test("lm score is a positive mean NLL over exactly the document's tokens") {
     val scored = run("llm_lm_score")
     val docs = graft.sources.Tables.documents(spark, sf)
