@@ -21,14 +21,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // pre-delete the key's output: if the build or write below throws,
-      // a STALE dir from a previous run against the same outDir must not
-      // survive to be graded as this run's result (false pass) — a
-      // failed key must have NO output, which the compare reports per key
-      graft.util.Scratch.deleteTree(s"$outDir/$name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // pre-delete the key's output INSIDE the per-key try: if the
+      // build or write throws, a STALE dir from a previous run against
+      // the same outDir must not survive to be graded as this run's
+      // result (false pass) — and an undeletable dir must fail THIS
+      // key, not abort the loop and strand every later key's cleanup
+      try {
+        graft.util.Scratch.deleteTree(s"$outDir/$name")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

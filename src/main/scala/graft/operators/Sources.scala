@@ -482,14 +482,18 @@ object Sources {
     // overwrite swap the table between this run's write and read-back),
     // and dropped after the tiny aggregate is copied out — no catalog
     // leak, no cross-run race
-    val table = s"graft_lineitem_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+    // ONE uuid for both the table name AND the data path: a unique
+    // table over a fixed shared path would still let a concurrent
+    // call's overwrite swap the files between write and read-back
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val table = s"graft_lineitem_bucketed_$uniq"
     lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite")
       .format("parquet")
       .bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey")
-      .option("path", scratch(sfDir, "lineitem_bucketed"))
+      .option("path", scratch(sfDir, s"lineitem_bucketed_$uniq"))
       .saveAsTable(table)
     try {
       val agg = spark.table(table)

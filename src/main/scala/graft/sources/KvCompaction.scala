@@ -45,9 +45,10 @@ object KvCompaction {
 
   def compact(spark: SparkSession, storeRaw: String, targetFiles: Int): CompactStats = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    // normalize: a trailing slash would make "$store.compact-tmp" a
-    // CHILD of the live store and the final swap a move-into-self
-    val store = Paths.get(storeRaw).toString
+    // normalize: a trailing slash OR "/." segment would make
+    // "$store.compact-tmp" a CHILD of the live store and the final
+    // swap a move-into-self
+    val store = Paths.get(storeRaw).normalize.toString
     val before = KvFormat.dataFiles(store)
     require(before.nonEmpty, s"graft-kv compact: no data files under $store")
     // lossless-rewrite guard: cell count from the stats index when it

@@ -225,23 +225,25 @@ object KvSnapshots {
     * before the diff (a diff against rotted bytes is worse than none).
     */
   def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, when}
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, when}
     // (rowkey, qualifier) is the CELL IDENTITY the classification joins
     // on; the store itself doesn't forbid duplicate cells (append jobs
     // can write the same key twice), and duplicates would cross-multiply
-    // through the full-outer join into spurious "changed" rows — fail
-    // diagnosably instead of mis-reporting
-    def uniqueCells(name: String, df: DataFrame): DataFrame = {
-      val dups = df.groupBy("rowkey", "qualifier").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).count()
-      require(dups == 0,
-        s"snapshot $name holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities")
-      df
-    }
-    val av = uniqueCells(a, restore(spark, root, a))
-      .select(col("rowkey"), col("qualifier"), col("value").as("old_value"))
-    val bv = uniqueCells(b, restore(spark, root, b))
-      .select(col("rowkey"), col("qualifier"), col("value").as("new_value"))
+    // through the full-outer join into spurious "changed" rows. The
+    // guard RIDES THE JOIN PASS (no extra scan per side — this is the
+    // 100 TB path): each side pre-aggregates by the cell key, and a
+    // duplicate raises a diagnosable error lazily, inside the same job
+    // the caller runs anyway. The groupBy's hash partitioning doubles
+    // as the join distribution, so no exchange is added either.
+    def uniqueCells(name: String, df: DataFrame, out: String): DataFrame =
+      df.groupBy("rowkey", "qualifier")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("v"))
+        .select(col("rowkey"), col("qualifier"),
+          when(col("n") > 1, expr(
+            s"raise_error('snapshot $name holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities')"))
+            .otherwise(col("v")).as(out))
+    val av = uniqueCells(a, restore(spark, root, a), "old_value")
+    val bv = uniqueCells(b, restore(spark, root, b), "new_value")
     av.join(bv, Seq("rowkey", "qualifier"), "full_outer")
       .withColumn("change",
         when(col("old_value").isNull, "added")

@@ -79,8 +79,11 @@ object SnapshotTool {
             // must not demote the only committed copy), and refuse a
             // self-export (same root), which would uncommit the source
             // it is about to read
-            require(java.nio.file.Paths.get(src).toAbsolutePath.normalize !=
-              java.nio.file.Paths.get(dst).toAbsolutePath.normalize,
+            // canonical (symlink-resolved) comparison: normalize alone
+            // would let a symlinked root slip past and uncommit the
+            // very source about to be read
+            require(new java.io.File(src).getCanonicalPath !=
+              new java.io.File(dst).getCanonicalPath,
               s"source and destination roots are the same: $src")
             KvSnapshots.parseManifest(src, need("name"))
             KvSnapshots.uncommit(dst, need("name"))

@@ -412,6 +412,23 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(rev.filter(col("change") === "removed").count() == 1)
   }
 
+  test("diff raises diagnosably on duplicate cell identities, in the join pass") {
+    val root = freshRoot()
+    import spark.implicits._
+    val dup = Seq((1L, "a", "x"), (1L, "a", "y"), (2L, "a", "z"))
+      .toDF("rowkey", "qualifier", "value")
+    KvSnapshots.create(dup, root, "dup")
+    KvSnapshots.create(dup.filter(col("rowkey") === 2L), root, "clean")
+    val e = intercept[Exception] {
+      KvSnapshots.diff(spark, root, "dup", "clean").collect()
+    }
+    // raise_error surfaces wrapped in Spark's job failure — the message
+    // must still name the offending snapshot
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate (rowkey, qualifier)")), e.toString)
+  }
+
   test("diff refuses a tampered side (verify runs before the join)") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "v1")
