@@ -430,7 +430,11 @@ object LlmText {
     * (integer division — no cross-engine double rounding). */
   def llmDatasetMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
-      .withColumn("src_num", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      // digit-less source names: Spark's cast('' as int) yields NULL
+      // while DuckDB's CAST errors — coalesce to 0 on BOTH engines so
+      // the parity doesn't hinge on the fixture's name contract
+      .withColumn("src_num",
+        coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(0)))
       // membership: hash6 / 16^6 < rate_ppm / 1e6, cross-multiplied to
       // exact integer arithmetic (hash6 < 2^24, so both products fit a
       // long with room to spare)
@@ -453,7 +457,7 @@ object LlmText {
       |FROM (
       |  SELECT source,
       |    CASE WHEN ('0x' || substr(md5('mix2:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT * 1000000
-      |           < CAST(100000 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) * 150000 AS BIGINT) * 16777216
+      |           < CAST(100000 + (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT), 0) % 4) * 150000 AS BIGINT) * 16777216
       |         THEN 1 ELSE 0 END AS kept
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin

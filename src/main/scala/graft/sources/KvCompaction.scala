@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions.col
   * Crash safety: the rewrite lands in `<store>.compact-tmp` under the
   * connector's own two-phase commit; the live dir is only touched in
   * the final swap (live → .compact-old, tmp → live, delete .compact-old).
-  * A crash before the first move leaves the store untouched; between
-  * the moves the old data survives in `.compact-old` for manual
-  * recovery. At cluster scale the swap becomes a manifest pointer flip
+  * A crash before the first move leaves the store untouched; if the
+  * second move fails the old dir is moved back to the live path, so
+  * readers never observe an empty store (a hard crash between the two
+  * moves still leaves the data recoverable in `.compact-old`). At
+  * cluster scale the swap becomes a manifest pointer flip
   * (HBase's file-tracker move) — the rewrite job is identical.
   *
   * NOT concurrency-safe vs writers: like HBase, compaction assumes it
@@ -71,11 +73,23 @@ object KvCompaction {
       .write.format("graft-kv").option("path", tmp).mode("append").save()
 
     val cellsAfter = KvMeta.read(tmp).values.map(_.cells).sum
-    require(cellsAfter == cellsBefore,
-      s"compaction lost cells: $cellsBefore before, $cellsAfter after")
+    if (cellsAfter != cellsBefore) {
+      // a failed rewrite must not strand a store-sized scratch tree
+      graft.util.Scratch.deleteTree(tmp)
+      throw new IllegalArgumentException(
+        s"compaction lost cells: $cellsBefore before, $cellsAfter after")
+    }
 
     Files.move(Paths.get(store), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // the live path must never be left empty: put the old data back
+        // so readers see the pre-compaction store instead of nothing
+        Files.move(Paths.get(old), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
+        graft.util.Scratch.deleteTree(tmp)
+        throw e
+    }
     graft.util.Scratch.deleteTree(old)
     CompactStats(before.size, KvFormat.dataFiles(store).size, cellsAfter)
   }

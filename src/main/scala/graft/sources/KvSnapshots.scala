@@ -142,6 +142,11 @@ object KvSnapshots {
     * and a legitimate n_files=0 manifest is distinguishable from zero
     * regex matches on garbage. */
   def parseManifest(root: String, name: String): Seq[SnapEntry] = {
+    // create() validates names at write time, but reads can meet a
+    // hand-placed manifest dir whose name never went through create();
+    // the same rule here keeps every downstream interpolation of the
+    // name (error strings, file paths) trivially safe
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid snapshot name: $name")
     val mf = manifest(root, name)
     require(Files.exists(mf), s"snapshot $name does not exist (no committed manifest)")
     val text = Files.readString(mf)
@@ -225,7 +230,7 @@ object KvSnapshots {
     * before the diff (a diff against rotted bytes is worse than none).
     */
   def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, expr, lit, max, when}
+    import org.apache.spark.sql.functions.{col, concat, count, lit, max, when}
     // (rowkey, qualifier) is the CELL IDENTITY the classification joins
     // on; the store itself doesn't forbid duplicate cells (append jobs
     // can write the same key twice), and duplicates would cross-multiply
@@ -239,8 +244,12 @@ object KvSnapshots {
       df.groupBy("rowkey", "qualifier")
         .agg(count(lit(1)).as("n"), max(col("value")).as("v"))
         .select(col("rowkey"), col("qualifier"),
-          when(col("n") > 1, expr(
-            s"raise_error('snapshot $name holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities')"))
+          // the name rides in as a BOUND literal, not an interpolated
+          // SQL fragment — parseManifest also validates it, but the
+          // error path should not depend on that
+          when(col("n") > 1, org.apache.spark.sql.functions.raise_error(concat(
+            lit("snapshot "), lit(name),
+            lit(" holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities"))))
             .otherwise(col("v")).as(out))
     val av = uniqueCells(a, restore(spark, root, a), "old_value")
     val bv = uniqueCells(b, restore(spark, root, b), "new_value")

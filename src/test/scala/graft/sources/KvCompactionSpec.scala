@@ -114,4 +114,25 @@ class KvCompactionSpec extends SparkSpec {
     assert(after.contains("poison.kv") && before.forall(after.contains),
       "failed compaction mutated the live store")
   }
+
+  test("a fired lossless-rewrite guard reclaims the tmp tree") {
+    val store = freshStore()
+    fragmented(store, 3)
+    // inflate one file's cell count in the stats index: cellsBefore
+    // (read from meta) then exceeds what the rewrite can produce, so
+    // the lossless guard fires after a full tmp rewrite exists on disk
+    val metaPath = java.nio.file.Paths.get(store, KvMeta.FILE)
+    val lines = Files.readAllLines(metaPath)
+    val cols = lines.get(0).split("\t", -1)
+    cols(3) = (cols(3).toLong + 1).toString
+    lines.set(0, cols.mkString("\t"))
+    Files.write(metaPath, lines)
+    val e = intercept[IllegalArgumentException] {
+      KvCompaction.compact(spark, store, 2)
+    }
+    assert(e.getMessage.contains("compaction lost cells"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$store.compact-tmp")),
+      "failed compaction stranded the store-sized tmp tree")
+    assert(KvFormat.dataFiles(store).nonEmpty, "live store must be untouched")
+  }
 }

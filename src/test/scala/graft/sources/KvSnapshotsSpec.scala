@@ -429,6 +429,21 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("duplicate (rowkey, qualifier)")), e.toString)
   }
 
+  test("read paths reject names create() never validated (hand-placed dirs)") {
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "ok")
+    // a name with a quote or a traversal segment can only arrive via a
+    // hand-placed manifest dir; every read entry point must refuse it
+    // before the name reaches an error string or a path resolution
+    for (bad <- Seq("o'brien", "../escape", "a b")) {
+      val e = intercept[IllegalArgumentException] {
+        KvSnapshots.parseManifest(root, bad)
+      }
+      assert(e.getMessage.contains("invalid snapshot name"), e.getMessage)
+      intercept[IllegalArgumentException] { KvSnapshots.diff(spark, root, "ok", bad) }
+    }
+  }
+
   test("diff refuses a tampered side (verify runs before the join)") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "v1")
