@@ -225,7 +225,70 @@ object Joins {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** CO-LOCATED BUCKETED JOIN (SCALE.md's no-shuffle fact⋈fact move,
+    * here actually executed end-to-end): both sides land as parquet
+    * tables bucketed 8 ways on the join key with per-bucket sort, so
+    * the sort-merge join reads bucket i ⋈ bucket i directly — ZERO
+    * exchange on either side (PlanSpec asserts no Exchange below the
+    * SMJ). At 100 TB this turns every repeated orders⋈lineitem from a
+    * full two-sided shuffle into a co-located merge, paid once at
+    * write time; the bucket count is the join parallelism unit and
+    * scales by re-bucketing, not re-coding. The merge hint only pins
+    * the strategy (sf0.01's orders would otherwise broadcast, hiding
+    * the property under test); it adds nothing at scale where SMJ wins
+    * anyway. */
+  private[graft] def bucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
+    // ONE uuid for the table names AND the data paths: catalog + dirs
+    // are session/process-global, a fixed name would race concurrent
+    // runs (same rule as Sources.exportBucketed)
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val root = s"/tmp/graft_export/bucketed_join_$uniq"
+    graft.util.Scratch.deleteOnExit(root)
+    val (liT, orT) = (s"graft_li_bkt_$uniq", s"graft_or_bkt_$uniq")
+    lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$root/lineitem").saveAsTable(liT)
+    orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$root/orders").saveAsTable(orT)
+    (liT, orT)
+  }
+
+  /** The pure co-located join over two bucketed tables — the frame
+    * PlanSpec audits for exchange-freedom. */
+  private[graft] def bucketedJoinFrame(spark: SparkSession, liT: String, orT: String): DataFrame =
+    spark.table(liT).hint("merge")
+      .join(spark.table(orT), col("l_orderkey") === col("o_orderkey"))
+
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liT, orT) = bucketedTables(spark, sfDir)
+    try {
+      val agg = bucketedJoinFrame(spark, liT, orT)
+        .groupBy("o_orderstatus")
+        .agg(sum(discPrice).cast("decimal(18,2)").cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+      // 3 tiny rows: copy out so the tables can be dropped before return
+      val (rows, schema) = (agg.collect(), agg.schema)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("o_orderstatus")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $orT")
+    }
+  }
+
+  val joinBucketedOracle: String =
+    s"""SELECT o_orderstatus, CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> (joinBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle_large" -> (joinShuffleLarge _),
@@ -240,6 +303,7 @@ object Joins {
     "join_interval" -> (joinInterval _))
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" -> joinBucketedOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "join_broadcast" -> joinBroadcastOracle,
     "join_shuffle_large" -> joinShuffleLargeOracle,

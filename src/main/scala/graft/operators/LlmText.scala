@@ -462,6 +462,38 @@ object LlmText {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** INVERTED-INDEX AND-QUERY — exact token search over the corpus as a
+    * posting-list intersection (the Lucene/Elasticsearch primitive,
+    * re-expressed relationally): postings are (term, doc_id, tf) from
+    * one explode + grouped count, and a conjunctive query is an
+    * equi-join of the query terms' posting lists on doc_id. At 100 TB
+    * the postings table partitions by term — each query term's list is
+    * one partition-pruned read — and the intersection joins lists whose
+    * size is the term's document frequency, never the corpus; building
+    * the index is one shuffle, amortized over every query after.
+    * Returns every document containing BOTH probe terms with the
+    * per-document term frequencies (the ranking signal a scorer
+    * consumes). */
+  def llmInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val a = postings.filter(col("term") === "vector")
+      .select(col("doc_id"), col("tf").as("tf_vector"))
+    val b = postings.filter(col("term") === "merge")
+      .select(col("doc_id"), col("tf").as("tf_merge"))
+    a.join(b, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  val llmInvertedIndexOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |p AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id)
+      |SELECT a.doc_id AS doc_id, a.tf AS tf_vector, b.tf AS tf_merge
+      |FROM p a JOIN p b ON a.doc_id = b.doc_id
+      |WHERE a.term = 'vector' AND b.term = 'merge'
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Benchmark DECONTAMINATION (the Brown et al. / GPT-3 appendix move:
     * drop training documents sharing an n-gram with the eval set):
     * doc_id % 50 == 0 plays the held-out benchmark, everything else is
@@ -536,6 +568,7 @@ object LlmText {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_inverted_index" -> (llmInvertedIndex _),
     "llm_decontaminate" -> (llmDecontaminate _),
     "llm_pii_scrub" -> (llmPiiScrub _),
     "llm_pack_chunks" -> (llmPackChunks _),
@@ -553,6 +586,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_inverted_index" -> llmInvertedIndexOracle,
     "llm_decontaminate" -> llmDecontaminateOracle,
     "llm_pii_scrub" -> llmPiiScrubOracle,
     "llm_pack_chunks" -> llmPackChunksOracle,

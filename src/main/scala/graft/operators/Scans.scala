@@ -104,7 +104,35 @@ object Scans {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HIVE-STYLE PARTITION PRUNING — the coarsest and cheapest 100 TB
+    * lever: events land partitioned by `event_type` (one directory per
+    * value), and a reader filtering on the partition column never
+    * opens the other directories at PLANNING time (PartitionFilters in
+    * the scan node — PlanSpec asserts it, and that no data filter
+    * remains). Row-group skipping (scan_filter_pushdown) still reads
+    * footers; directory pruning reads nothing at all — at 100 TB with
+    * date partitions this is the difference between listing one day
+    * and scanning a year. The partition column itself comes back from
+    * the directory NAME, not file bytes, which is also why it must be
+    * re-cast: written-as-string is the hive convention. */
+  def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/$procTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events_part"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$procTag")
+    events(spark, sfDir)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    spark.read.parquet(dest)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
+  val scanPartitionPruningOracle: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partition_pruning" -> (scanPartitionPruning _),
     "scan_project" -> (scanProject _),
     "scan_filter_pushdown" -> (scanFilterPushdown _),
     "scan_events_ns" -> (scanEventsNs _),
@@ -112,6 +140,7 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "scan_partition_pruning" -> scanPartitionPruningOracle,
     "scan_project" -> scanProjectOracle,
     "scan_filter_pushdown" -> scanFilterPushdownOracle,
     "scan_events_ns" -> scanEventsNsOracle,

@@ -456,6 +456,137 @@ object Sources {
       |WHERE a.value IS NULL OR b.value IS NULL OR a.value != b.value
       |ORDER BY rowkey, qualifier""".stripMargin
 
+  /** CHANGEFEED APPLY — the consumer half of kv_snapshot_diff's CDC
+    * story (HBase replication replays a changefeed onto a follower):
+    * snapshot v1 and a modified v2, compute the diff, then APPLY the
+    * feed onto v1's restored cells — surviving cells are v1 minus every
+    * touched identity (one left-anti join on the cell key), incoming
+    * cells are the feed's added/changed new values. The oracle checks
+    * the reconstruction equals v2 exactly: apply(v1, diff(v1,v2)) == v2,
+    * the roundtrip invariant that makes a changefeed trustworthy.
+    * At 100 TB both legs shuffle by the cell key once, and the feed is
+    * usually tiny next to the base — Catalyst broadcasts the anti join
+    * side on runtime stats (AQE) without a code change. */
+  def kvChangefeedApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapshotRoot(sfDir, "kv_changefeed")
+    val v1 = Scans.scanKvModel(spark, sfDir)
+    // same v2 derivation as kv_snapshot_diff: drop every 5th name cell,
+    // adjust every 3rd acctbal, add a flag cell for every 7th name
+    val v2 = v1
+      .filter(!(col("qualifier") === "name" && col("rowkey") % 5 === 0))
+      .withColumn("value",
+        when(col("qualifier") === "acctbal" && col("rowkey") % 3 === 0,
+          concat(col("value"), lit("#adj"))).otherwise(col("value")))
+      .unionByName(
+        v1.filter(col("qualifier") === "name" && col("rowkey") % 7 === 0)
+          .select(col("rowkey"), lit("flag").as("qualifier"),
+            concat(lit("f"), col("rowkey").cast("string")).as("value")))
+    graft.sources.KvSnapshots.create(v1, root, "model_v1")
+    graft.sources.KvSnapshots.create(v2, root, "model_v2")
+    val feed = graft.sources.KvSnapshots.diff(spark, root, "model_v1", "model_v2")
+    val base = graft.sources.KvSnapshots.restore(spark, root, "model_v1")
+    val surviving = base.join(feed.select("rowkey", "qualifier"),
+      Seq("rowkey", "qualifier"), "left_anti")
+    val incoming = feed.filter(col("change").isin("added", "changed"))
+      .select(col("rowkey"), col("qualifier"), col("new_value").as("value"))
+    surviving.unionByName(incoming).orderBy("rowkey", "qualifier")
+  }
+
+  /** The reconstruction must equal v2's cell set, derived directly. */
+  val kvChangefeedApplyOracle: String =
+    """WITH v1 AS (
+      |  SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier
+      |  UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier)
+      |SELECT rowkey, qualifier,
+      |  CASE WHEN qualifier = 'acctbal' AND rowkey % 3 = 0 THEN value || '#adj'
+      |       ELSE value END AS value
+      |FROM v1 WHERE NOT (qualifier = 'name' AND rowkey % 5 = 0)
+      |UNION ALL
+      |SELECT rowkey, 'flag', 'f' || CAST(rowkey AS VARCHAR)
+      |FROM v1 WHERE qualifier = 'name' AND rowkey % 7 = 0
+      |ORDER BY rowkey, qualifier""".stripMargin
+
+  /** VERSIONED CELL READ — HBase's VERSIONS=N semantics on the graft-kv
+    * store: each (row, qualifier) coordinate keeps multiple timestamped
+    * versions and a read returns the newest N. The store's cell key is
+    * (rowkey, qualifier), so versions ride IN the coordinate — qualifier
+    * `qty@<version>`, zero-padded so lexicographic order IS version
+    * order (exactly HBase's trick of encoding structure into cell
+    * coordinates). Read-back parses the version and keeps the newest 2
+    * per row via a ranked window. At 100 TB the window shuffles by
+    * rowkey once; a compacted store prunes the scan to the covering
+    * files first. Lineitem plays the versioned source: l_linenumber is
+    * the version, quantity the cell payload. */
+  def kvVersionedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = scratch(sfDir, "lineitem_kv_versions")
+    graft.sources.KvFormat.dataFiles(store).foreach(java.nio.file.Files.delete)
+    lineitem(spark, sfDir)
+      // the synthetic lineitem repeats (orderkey, linenumber) — collapse
+      // to max-quantity per coordinate (deterministic last-write-wins;
+      // max over the DECIMAL, not its string image) so each version
+      // coordinate holds exactly one cell
+      .groupBy(col("l_orderkey").as("rowkey"),
+        concat(lit("qty@"), lpad(col("l_linenumber").cast("string"), 2, "0"))
+          .as("qualifier"))
+      .agg(max(dec(col("l_quantity"))).cast("string").as("value"))
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    val w = Window.partitionBy("rowkey").orderBy(col("version").desc)
+    spark.read.format("graft-kv").load(store)
+      .withColumn("version", substring(col("qualifier"), 5, 2).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("rowkey", "version", "value")
+      .orderBy("rowkey", "version")
+  }
+
+  val kvVersionedReadOracle: String =
+    """WITH v AS (
+      |  SELECT l_orderkey AS rowkey, l_linenumber AS version,
+      |    CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS value
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT rowkey, version, value,
+      |        ROW_NUMBER() OVER (PARTITION BY rowkey ORDER BY version DESC) AS rn
+      |      FROM v)
+      |SELECT rowkey, version, value FROM r WHERE rn <= 2
+      |ORDER BY rowkey, version""".stripMargin
+
+  /** SECONDARY-INDEX LOOKUP — the classic HBase pattern for a query on
+    * a non-rowkey attribute: a second kv store keyed BY the attribute
+    * (rowkey = nationkey, qualifier = zero-padded suppkey) written
+    * range-partitioned, so an attribute probe becomes a PRUNED index
+    * scan (min/max + bloom skip the non-covering files) instead of a
+    * full base scan. The handful of matching suppkeys then joins back
+    * to the base store's name cells — broadcast, because an index probe
+    * result is tiny by construction. At 100 TB: O(probe files) + one
+    * broadcast join vs a full-store scan-and-filter; the index is
+    * maintained as just another store (same writer, same snapshots). */
+  def kvSecondaryIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshKvStore(spark, sfDir, "supplier_kv_sidx_base")
+    val idxStore = scratch(sfDir, "supplier_kv_sidx_idx")
+    graft.sources.KvFormat.dataFiles(idxStore).foreach(java.nio.file.Files.delete)
+    supplier(spark, sfDir)
+      .select(col("s_nationkey").cast("long").as("rowkey"),
+        lpad(col("s_suppkey").cast("string"), 10, "0").as("qualifier"),
+        lit("1").as("value"))
+      .repartitionByRange(4, col("rowkey"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", idxStore).mode("append").save()
+    val hits = spark.read.format("graft-kv").load(idxStore)
+      .filter(col("rowkey") === 7) // pruned: min/max skips non-covering files
+      .select(col("qualifier").cast("long").as("suppkey"))
+    base.filter(col("qualifier") === "name")
+      .join(broadcast(hits), col("rowkey") === col("suppkey"))
+      .select(col("rowkey"), col("value").as("name"))
+      .orderBy("rowkey")
+  }
+
+  val kvSecondaryIndexOracle: String =
+    """SELECT s_suppkey AS rowkey, s_name AS name FROM supplier
+      |WHERE s_nationkey = 7 ORDER BY rowkey""".stripMargin
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -525,6 +656,9 @@ object Sources {
     "kv_snapshot_export" -> (kvSnapshotExport _),
     "kv_snapshot_verify" -> (kvSnapshotVerify _),
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
+    "kv_changefeed_apply" -> (kvChangefeedApply _),
+    "kv_versioned_read" -> (kvVersionedRead _),
+    "kv_secondary_index" -> (kvSecondaryIndex _),
     "kv_compact" -> (kvCompact _),
     "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
@@ -543,6 +677,9 @@ object Sources {
     "kv_snapshot_export" -> kvSnapshotExportOracle,
     "kv_snapshot_verify" -> kvSnapshotVerifyOracle,
     "kv_snapshot_diff" -> kvSnapshotDiffOracle,
+    "kv_changefeed_apply" -> kvChangefeedApplyOracle,
+    "kv_versioned_read" -> kvVersionedReadOracle,
+    "kv_secondary_index" -> kvSecondaryIndexOracle,
     "kv_compact" -> kvCompactOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,

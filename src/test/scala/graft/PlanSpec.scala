@@ -103,6 +103,36 @@ class PlanSpec extends SparkSpec {
       "diff join shape regressed:\n" + p.take(800))
   }
 
+  test("bucketed fact⋈fact joins with zero exchange (co-located SMJ)") {
+    // the entire point of join_bucketed: bucket i ⋈ bucket i directly,
+    // no shuffle on either side — an Exchange anywhere in this plan
+    // means the bucketing was not picked up
+    val (liT, orT) = graft.operators.Joins.bucketedTables(spark, sf)
+    try {
+      val p = graft.operators.Joins.bucketedJoinFrame(spark, liT, orT)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "bucketed join is not a merge join:\n" + p.take(800))
+      assert(!p.contains("Exchange"), "bucketed join still shuffles:\n" + p.take(800))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $orT")
+    }
+  }
+
+  test("scan_partition_pruning prunes directories at planning time") {
+    val p = plan("scan_partition_pruning")
+    assert(p.contains("PartitionFilters: [") && p.contains("event_type"),
+      "no partition filter reached the scan:\n" + p.take(800))
+  }
+
+  test("kv_secondary_index probes the index scan and broadcasts the join-back") {
+    val p = plan("kv_secondary_index")
+    assert(p.contains("EqualTo(rowkey,7)"),
+      "index probe predicate not pushed into the kv scan:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "index join-back is not broadcast:\n" + p.take(800))
+  }
+
   test("no plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { k =>
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")
