@@ -245,13 +245,18 @@ object Joins {
     val root = s"/tmp/graft_export/bucketed_join_$uniq"
     graft.util.Scratch.deleteOnExit(root)
     val (liT, orT) = (s"graft_li_bkt_$uniq", s"graft_or_bkt_$uniq")
+    // repartition to the bucket hash first: each task then writes
+    // exactly ONE bucket file (instead of inputPartitions × 8 slivers),
+    // and a single-file bucket lets the read-back skip the re-sort
     lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$root/lineitem").saveAsTable(liT)
     orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$root/orders").saveAsTable(orT)
