@@ -494,6 +494,68 @@ object LlmText {
       |WHERE a.term = 'vector' AND b.term = 'merge'
       |ORDER BY a.doc_id""".stripMargin
 
+  /** BM25 TOP-K — the ranking layer over llm_inverted_index's posting
+    * lists (Lucene's default scorer, the retrieval baseline every dense
+    * retriever is measured against): per (doc, query-term),
+    * score = IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * Lucene IDF ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75; a document
+    * matching any probe term scores, per-doc scores sum, top-20 by
+    * (score desc, doc_id). All inputs are integers, both engines
+    * evaluate the identical double expression tree, and the result is
+    * ROUND(…,6) on both sides — the llm_tfidf_top determinism recipe.
+    * At 100 TB the per-term legs are df-sized posting reads and the
+    * corpus stats (N, avgdl, df) are one metadata-scale aggregate each;
+    * nothing scans the corpus per query. */
+  def llmBm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    // avgdl = total tokens / N — computed from per-doc lengths so the
+    // double division is one exact bigint/bigint op on both engines
+    val lens = documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n_total"), sum(col("dl")).as("tok_total"))
+    val probed = docs.filter(col("term").isin("vector", "merge"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docs.filter(col("term").isin("vector", "merge"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = probed.join(df, Seq("term")).crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_total").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("norm",
+        lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") /
+          (col("tok_total").cast("double") / col("n_total").cast("double")))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * col("norm")))
+      .groupBy("doc_id").agg(r6(sum(col("s"))).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+  }
+
+  val llmBm25TopkOracle: String =
+    """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |              unnest(string_split(text, ' ')) AS term FROM documents),
+      |corpus AS (SELECT COUNT(*) AS n_total, SUM(dl) AS tok_total
+      |           FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)),
+      |probed AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+      |           WHERE term IN ('vector', 'merge') GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+      |       WHERE term IN ('vector', 'merge') GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, ROUND(SUM(
+      |    LN(1.0 + (CAST(n_total AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |    * (CAST(tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf AS DOUBLE) + 1.2 *
+      |       (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+      |         / (CAST(tok_total AS DOUBLE) / CAST(n_total AS DOUBLE))))), 6) AS score
+      |  FROM probed JOIN df USING (term) CROSS JOIN corpus
+      |  GROUP BY doc_id)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Benchmark DECONTAMINATION (the Brown et al. / GPT-3 appendix move:
     * drop training documents sharing an n-gram with the eval set):
     * doc_id % 50 == 0 plays the held-out benchmark, everything else is
@@ -569,6 +631,7 @@ object LlmText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_inverted_index" -> (llmInvertedIndex _),
+    "llm_bm25_topk" -> (llmBm25Topk _),
     "llm_decontaminate" -> (llmDecontaminate _),
     "llm_pii_scrub" -> (llmPiiScrub _),
     "llm_pack_chunks" -> (llmPackChunks _),
@@ -587,6 +650,7 @@ object LlmText {
 
   val oracle: Map[String, String] = Map(
     "llm_inverted_index" -> llmInvertedIndexOracle,
+    "llm_bm25_topk" -> llmBm25TopkOracle,
     "llm_decontaminate" -> llmDecontaminateOracle,
     "llm_pii_scrub" -> llmPiiScrubOracle,
     "llm_pack_chunks" -> llmPackChunksOracle,

@@ -587,6 +587,45 @@ object Sources {
     """SELECT s_suppkey AS rowkey, s_name AS name FROM supplier
       |WHERE s_nationkey = 7 ORDER BY rowkey""".stripMargin
 
+  /** REGION SPLIT + MERGE — the HBase region lifecycle on the graft-kv
+    * store: a store that outgrows its serving unit SPLITS at the rowkey
+    * midpoint into two child stores (each range-partitioned and sorted,
+    * i.e. immediately compact), and a later read MERGES the children
+    * back into one view. The split point comes from the stats index via
+    * the pushed min/max aggregate — zero data bytes read to plan the
+    * split, exactly how HBase picks midkeys from HFile metadata. The
+    * oracle proves split∘merge == identity (no cell lost or duplicated
+    * across the boundary); KvSnapshotsSpec-style disjointness (every
+    * child file's range sits strictly on its side) is pinned in
+    * OperatorSpec. At 100 TB each child write is one range-shuffle of
+    * its half, and the merged read is just a two-dir scan — splits
+    * never rewrite the parent twice. */
+  def kvSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val parent = freshKvStore(spark, sfDir, "supplier_kv_split_parent")
+    // metadata-only split planning: min/max answered from the stats
+    // index (SupportsPushDownAggregates), no data read
+    val Array(row) = parent.agg(min(col("rowkey")), max(col("rowkey"))).collect()
+    val splitAt = (row.getLong(0) + row.getLong(1)) / 2
+    val (childA, childB) =
+      (scratch(sfDir, "supplier_kv_split_a"), scratch(sfDir, "supplier_kv_split_b"))
+    Seq(childA, childB).foreach(d =>
+      graft.sources.KvFormat.dataFiles(d).foreach(java.nio.file.Files.delete))
+    parent.filter(col("rowkey") <= splitAt)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", childA).mode("append").save()
+    parent.filter(col("rowkey") > splitAt)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", childB).mode("append").save()
+    spark.read.format("graft-kv").load(childA)
+      .unionByName(spark.read.format("graft-kv").load(childB))
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** split∘merge must be the identity on the model cells. */
+  val kvSplitOracle: String = Scans.scanKvModelOracle
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -659,6 +698,7 @@ object Sources {
     "kv_changefeed_apply" -> (kvChangefeedApply _),
     "kv_versioned_read" -> (kvVersionedRead _),
     "kv_secondary_index" -> (kvSecondaryIndex _),
+    "kv_split" -> (kvSplit _),
     "kv_compact" -> (kvCompact _),
     "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
@@ -680,6 +720,7 @@ object Sources {
     "kv_changefeed_apply" -> kvChangefeedApplyOracle,
     "kv_versioned_read" -> kvVersionedReadOracle,
     "kv_secondary_index" -> kvSecondaryIndexOracle,
+    "kv_split" -> kvSplitOracle,
     "kv_compact" -> kvCompactOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,

@@ -258,6 +258,59 @@ class OperatorSpec extends SparkSpec {
     assert(report.head.getAs[Long]("n_files") == 3L)
     assert(report.head.getAs[Long]("n_cells") == 3L * nSupp)
   }
+  test("region split yields rowkey-disjoint children on either side of the midpoint") {
+    // kv_split's oracle proves split∘merge == identity; this pins the
+    // REGION property: every child-A file's max rowkey sits at or below
+    // the split point and every child-B file's min rowkey above it, so
+    // the two children serve disjoint key ranges like HBase daughters
+    run("kv_split").count() // materializes the child stores
+    // locate this process's children: every (parent-dir) pair found for
+    // this sf must be disjoint — the derivation is deterministic, so a
+    // concurrently-present stale pair obeys the same invariant
+    val pairs = new java.io.File("/tmp/graft_export").listFiles().toSeq
+      .filter(_.isDirectory)
+      .map(p => new java.io.File(p, sf.replaceAll("[^A-Za-z0-9.]", "_")))
+      .filter(d => new java.io.File(d, "supplier_kv_split_a").isDirectory &&
+        new java.io.File(d, "supplier_kv_split_b").isDirectory)
+    assert(pairs.nonEmpty, "child stores not found under /tmp/graft_export")
+    pairs.foreach { d =>
+      val metaA = graft.sources.KvMeta.read(s"$d/supplier_kv_split_a").values
+      val metaB = graft.sources.KvMeta.read(s"$d/supplier_kv_split_b").values
+      assert(metaA.nonEmpty && metaB.nonEmpty, s"missing stats under $d")
+      val (maxA, minB) = (metaA.map(_.maxKey).max, metaB.map(_.minKey).min)
+      assert(maxA < minB,
+        s"split children overlap under $d: child A reaches $maxA, child B starts at $minB")
+    }
+  }
+
+  test("z-ordered layout covers a 2-D box query with fewer files than a linear layout") {
+    // the entire point of export_zorder: under a time-ordered (linear)
+    // layout every file spans the full user_id range, so a 2-D box
+    // intersects nearly all of them; under the Morton layout each file
+    // is a small rectangle and the box touches only its covering tiles
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def filesHit(df: org.apache.spark.sql.DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+      df.write.mode("overwrite").parquet(dir)
+      // per-file min/max = exactly what parquet footer pruning sees
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("u0"), max("user_id").as("u1"),
+          min("value").as("v0"), max("value").as("v1"))
+        .filter(col("u0") <= 19 && col("u1") >= 10 &&
+          col("v0") < 150 && col("v1") >= 100)
+        .count()
+    }
+    val x = pmod(col("user_id"), lit(256)).cast("int")
+    val y = pmod(floor(col("value")).cast("long"), lit(256)).cast("int")
+    val zHit = filesHit(ev
+      .withColumn("zval", graft.operators.Scans.morton8(x, y))
+      .repartitionByRange(16, col("zval")).sortWithinPartitions("zval").drop("zval"))
+    val linHit = filesHit(ev.repartitionByRange(16, col("event_id")))
+    assert(zHit < linHit,
+      s"z-order pruning gained nothing: box intersects $zHit z-ordered vs $linHit linear files")
+  }
 }
 
 /** Streaming/batch equivalence as a test (also runnable standalone via
