@@ -280,7 +280,58 @@ object Aggregations {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** PEARSON CORRELATION + sample covariance per returnflag — float
+    * STATISTICS made deterministic: the built-in corr/covar_samp
+    * accumulate doubles in partition order (non-associative, so Spark
+    * and DuckDB drift), but the five moment sums Σx Σy Σxy Σx² Σy² over
+    * DECIMAL inputs are EXACT in any order; both engines then evaluate
+    * one identical closed-form double expression from those sums, and
+    * ROUND 6 seals it. Same two-phase partial-agg shape at 100 TB —
+    * decimal partials shuffle exactly like the doubles would. */
+  def aggCorrExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_quantity"))           // decimal(18,2) exact
+    val y = dec(col("l_extendedprice"))
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(28,2)").as("n"),
+        sum(x).cast("decimal(28,2)").as("sx"),
+        sum(y).cast("decimal(28,2)").as("sy"),
+        sum((x * y).cast("decimal(28,4)")).cast("decimal(38,4)").as("sxy"),
+        sum((x * x).cast("decimal(28,4)")).cast("decimal(38,4)").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).cast("decimal(38,4)").as("syy"))
+      .select(col("l_returnflag"),
+        r6((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")))).as("corr_qty_price"),
+        r6((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))).as("covar_samp"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggCorrExactOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DECIMAL(28,2)) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_exact" -> (aggCorrExact _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "agg_global" -> (aggGlobal _),
@@ -294,6 +345,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_corr_exact" -> aggCorrExactOracle,
     "agg_percentiles" -> aggPercentilesOracle,
     "agg_pricing_summary" -> aggPricingSummaryOracle,
     "agg_global" -> aggGlobalOracle,

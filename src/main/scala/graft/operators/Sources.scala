@@ -106,6 +106,27 @@ object Sources {
       |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Parquet → raw text lines → read back (the log-file shape every
+    * ingest pipeline starts from): one `<doc_id>\t<text>` line per
+    * document, split on the FIRST tab at read (document text is
+    * tab-free by the corpus contract; the split limit makes the framing
+    * robust anyway). Text is the least structured source Spark serves —
+    * line-splittable, so reads parallelize per split like CSV/JSON. */
+  def sourceTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "documents_text")
+    documents(spark, sfDir)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .write.mode("overwrite").text(dest)
+    spark.read.text(dest)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).cast("bigint").as("doc_id"),
+        col("kv").getItem(1).as("text"))
+      .orderBy("doc_id")
+  }
+
+  val sourceTextRoundtripOracle: String =
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
   /** DataSourceV2 connector roundtrip (SURVEY.md §2.A R2): supplier
     * cells written through the custom `graft-kv` v2 writer (two-phase
     * task commit), read back via the v2 scan with a pushed
@@ -683,6 +704,7 @@ object Sources {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
@@ -705,6 +727,7 @@ object Sources {
     "export_bucketed" -> (exportBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "source_text_roundtrip" -> sourceTextRoundtripOracle,
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,
     "source_orc_roundtrip" -> sourceOrcRoundtripOracle,

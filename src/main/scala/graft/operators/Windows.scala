@@ -132,7 +132,33 @@ object Windows {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** cume_dist (an exact rational — rows≤current / partition rows — so
+    * ROUND 6 is bit-stable) and nth_value(2) over a total order: the
+    * remaining ranked-window surface rank/dense_rank/percent_rank/ntile
+    * don't cover. */
+  def winCumeNth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        r6(cume_dist().over(w)).as("cd"),
+        nth_value(col("p_partkey"), 2).over(wFull).as("second_partkey"))
+      .orderBy("p_partkey")
+  }
+
+  val winCumeNthOracle: String =
+    """SELECT p_partkey, p_brand, p_retailprice,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+      |  NTH_VALUE(p_partkey, 2) OVER (PARTITION BY p_brand
+      |    ORDER BY p_retailprice DESC, p_partkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_partkey
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cume_nth" -> (winCumeNth _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_rank_dense_ntile" -> (winRankDenseNtile _),
     "win_lag_lead" -> (winLagLead _),
@@ -141,6 +167,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_cume_nth" -> winCumeNthOracle,
     "win_topk_per_group" -> winTopkPerGroupOracle,
     "win_rank_dense_ntile" -> winRankDenseNtileOracle,
     "win_lag_lead" -> winLagLeadOracle,
