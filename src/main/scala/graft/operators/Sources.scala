@@ -608,6 +608,42 @@ object Sources {
     """SELECT s_suppkey AS rowkey, s_name AS name FROM supplier
       |WHERE s_nationkey = 7 ORDER BY rowkey""".stripMargin
 
+  /** SNAPSHOT CLONE → DIVERGE — HBase's clone_snapshot as a graded
+    * roundtrip: snapshot the model cells, CLONE the snapshot into a new
+    * writable store (hard links, zero data copied), then APPEND new
+    * cells to the clone. The returned frame is the diverged clone —
+    * original cells plus the appended ones — and the snapshot must
+    * still verify afterwards (immutable store files make the links
+    * safe; OperatorSpec pins the post-divergence verify). At 100 TB a
+    * clone is O(files) metadata, which is the whole point: test/dev
+    * copies of a production store cost nothing until they diverge. */
+  def kvClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapshotRoot(sfDir, "kv_clone_snap")
+    val cloneStore = scratch(sfDir, "kv_clone_store")
+    graft.util.Scratch.deleteTree(cloneStore)
+    val cells = Scans.scanKvModel(spark, sfDir)
+    graft.sources.KvSnapshots.create(cells, root, "base")
+    graft.sources.KvSnapshots.clone(root, "base", cloneStore)
+    // diverge: a new "clone" qualifier cell for every 4th rowkey
+    cells.filter(col("qualifier") === "name" && col("rowkey") % 4 === 0)
+      .select(col("rowkey"), lit("clone").as("qualifier"),
+        concat(lit("c"), col("rowkey").cast("string")).as("value"))
+      .write.format("graft-kv").option("path", cloneStore).mode("append").save()
+    // the source snapshot is untouched by the divergence
+    graft.sources.KvSnapshots.verify(spark, root, "base")
+    spark.read.format("graft-kv").load(cloneStore)
+      .orderBy("rowkey", "qualifier")
+  }
+
+  val kvCloneOracle: String =
+    """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value FROM supplier
+      |UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier
+      |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+      |UNION ALL SELECT s_suppkey, 'clone', 'c' || CAST(s_suppkey AS VARCHAR)
+      |FROM supplier WHERE s_suppkey % 4 = 0
+      |ORDER BY rowkey, qualifier""".stripMargin
+
   /** REGION SPLIT + MERGE — the HBase region lifecycle on the graft-kv
     * store: a store that outgrows its serving unit SPLITS at the rowkey
     * midpoint into two child stores (each range-partitioned and sorted,
@@ -721,6 +757,7 @@ object Sources {
     "kv_versioned_read" -> (kvVersionedRead _),
     "kv_secondary_index" -> (kvSecondaryIndex _),
     "kv_split" -> (kvSplit _),
+    "kv_clone" -> (kvClone _),
     "kv_compact" -> (kvCompact _),
     "kv_stream_ingest" -> (kvStreamIngest _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
@@ -744,6 +781,7 @@ object Sources {
     "kv_versioned_read" -> kvVersionedReadOracle,
     "kv_secondary_index" -> kvSecondaryIndexOracle,
     "kv_split" -> kvSplitOracle,
+    "kv_clone" -> kvCloneOracle,
     "kv_compact" -> kvCompactOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,

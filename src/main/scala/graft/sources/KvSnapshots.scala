@@ -303,8 +303,9 @@ object KvSnapshots {
     * (copied, skipped) counts so callers and tests can observe resume
     * behavior. */
   def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String,
-      mappers: Int = 32): ExportStats = {
+      mappers: Int = 32, bandwidthMbps: Int = 0): ExportStats = {
     require(mappers > 0, s"mappers must be positive, got $mappers")
+    require(bandwidthMbps >= 0, s"bandwidth must be >= 0 (0 = unlimited), got $bandwidthMbps")
     val entries = parseManifest(srcRoot, name)
     require(!Files.exists(manifest(destRoot, name)),
       s"snapshot $name already exists at export destination")
@@ -350,7 +351,7 @@ object KvSnapshots {
             KvMeta.md5HexOf(dest) == wantMd5
           if (survives) ("skipped", file)
           else {
-            val gotMd5 = copyDigesting(src, dest)
+            val gotMd5 = copyDigesting(src, dest, bandwidthMbps)
             if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) ("copied", file)
             else ("corrupt", file)
           }
@@ -422,7 +423,23 @@ object KvSnapshots {
   /** Executor-side: copy src → dest via temp file + atomic move,
     * returning the md5 of the written bytes. Idempotent under task
     * retries (unique temp name; REPLACE_EXISTING on the publish move). */
-  private def copyDigesting(src: String, dest: String): String = {
+  /** PER-TASK bandwidth pacing (the reference's `-bandwidth` knob —
+    * HBase's ExportSnapshot wraps its copy in a ThrottledInputStream so
+    * a snapshot export cannot saturate the links production traffic
+    * shares): after `bytesDone` bytes in `elapsedMs`, how long must the
+    * copy pause so the average rate stays at or under `mbps` MB/s?
+    * Pure arithmetic so the pacing contract is unit-testable without
+    * timing flakiness. */
+  private[sources] def throttleDelayMs(bytesDone: Long, elapsedMs: Long, mbps: Int): Long = {
+    if (mbps <= 0) 0L
+    else {
+      // time the bytes SHOULD have taken at the cap, minus time spent
+      val owedMs = bytesDone * 1000L / (mbps.toLong * 1024 * 1024)
+      math.max(0L, owedMs - elapsedMs)
+    }
+  }
+
+  private def copyDigesting(src: String, dest: String, bandwidthMbps: Int = 0): String = {
     val destP = Paths.get(dest)
     val tmp = destP.resolveSibling(
       s".${destP.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -430,11 +447,53 @@ object KvSnapshots {
     val in = Files.newInputStream(Paths.get(src))
     try {
       val out = new java.security.DigestOutputStream(Files.newOutputStream(tmp), md)
-      try in.transferTo(out) finally out.close()
+      try {
+        if (bandwidthMbps <= 0) in.transferTo(out)
+        else {
+          // chunked copy with rate pacing: 1 MiB granularity keeps the
+          // sleep cadence coarse enough to cost nothing at full rate
+          val buf = new Array[Byte](1024 * 1024)
+          val t0 = System.nanoTime()
+          var done = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            done += n
+            val pause = throttleDelayMs(done, (System.nanoTime() - t0) / 1000000L, bandwidthMbps)
+            if (pause > 0) Thread.sleep(pause)
+            n = in.read(buf)
+          }
+        }
+      } finally out.close()
       Files.move(tmp, destP, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } finally in.close()
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** CLONE a committed snapshot into a new writable live store —
+    * HBase's clone_snapshot: O(files) driver metadata work, ZERO data
+    * copied. Each manifested data file is hard-linked into the new
+    * store dir and the stats index rides along, so the clone scans,
+    * prunes, and answers pushed aggregates exactly like the source.
+    * Safe because store files are IMMUTABLE — appends to the clone
+    * create new files and never touch linked bytes, so the snapshot
+    * stays verifiable afterwards (OperatorSpec pins this). The clone
+    * dir must not already hold data files: silently merging into an
+    * existing store would blur two stores' stats indexes. */
+  def clone(root: String, name: String, destStore: String): Unit = {
+    val entries = parseManifest(root, name)
+    require(KvFormat.dataFiles(destStore).isEmpty,
+      s"clone destination $destStore already holds data files")
+    val (src, dest) = (dataDir(root, name), Paths.get(destStore))
+    Files.createDirectories(dest)
+    entries.foreach { e =>
+      Files.deleteIfExists(dest.resolve(e.file))
+      Files.createLink(dest.resolve(e.file), src.resolve(e.file))
+    }
+    val srcIdx = src.resolve(KvMeta.FILE)
+    if (Files.exists(srcIdx))
+      Files.copy(srcIdx, dest.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Delete the named snapshot (manifest first, so a crashed delete

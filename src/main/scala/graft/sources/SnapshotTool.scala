@@ -9,13 +9,14 @@ import org.apache.spark.sql.SparkSession
   * command line; this gives the Spark engine the same entry point:
   *
   *   create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-  *   export  --root R --name N --dest <second root> [--mappers N] [--overwrite true]
-  *   import  --root R --name N --from <second root> [--mappers N] [--overwrite true]
+  *   export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
+  *   import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
   *   restore --root R --name N [--out <parquet dir>]
   *   verify  --root R --name N
   *   info    --root R --name N
   *   delete  --root R --name N
   *   cleanup --root R --before EPOCH_SEC
+  *   clone   --root R --name N --to <new kv store dir>
   *   compact --store <kv store dir> [--target N]
   *   list    --root R
   *
@@ -57,6 +58,11 @@ object SnapshotTool {
           val mappers = flags.get("mappers").map { m =>
             m.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --mappers: $m"))
           }.getOrElse(32)
+          // the reference's -bandwidth MB/s cap: each copy task paces
+          // itself so the export can't saturate shared links (0 = off)
+          val bandwidth = flags.get("bandwidth").map { b =>
+            b.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --bandwidth: $b"))
+          }.getOrElse(0)
           val (src, dst) =
             if (action == "export") (need("root"), need("dest"))
             else (need("from"), need("root"))
@@ -88,7 +94,7 @@ object SnapshotTool {
             KvSnapshots.parseManifest(src, need("name"))
             KvSnapshots.uncommit(dst, need("name"))
           }
-          val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers)
+          val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers, bandwidth)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")
         case "info" =>
@@ -123,6 +129,11 @@ object SnapshotTool {
           val before = longFlag("before").getOrElse(throw CliError("cleanup requires --before"))
           val gone = KvSnapshots.cleanup(need("root"), before)
           ok(s"deleted ${gone.size} snapshot(s): ${gone.mkString(", ")}")
+        case "clone" =>
+          // HBase clone_snapshot: hard-link a snapshot into a new
+          // writable store — O(files) metadata, zero data copied
+          KvSnapshots.clone(need("root"), need("name"), need("to"))
+          ok(s"cloned snapshot ${need("name")} to ${need("to")}")
         case "compact" =>
           // store maintenance (HBase major-compaction analog): rewrite a
           // live store's accumulated small files into --target sorted,
@@ -164,15 +175,16 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|compact|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-         |  export  --root R --name N --dest <second root> [--mappers N] [--overwrite true]
-         |  import  --root R --name N --from <second root> [--mappers N] [--overwrite true]
+         |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
+         |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
          |  restore --root R --name N [--out <parquet dir>]
          |  verify  --root R --name N
          |  info    --root R --name N
          |  delete  --root R --name N
          |  cleanup --root R --before EPOCH_SEC
+         |  clone   --root R --name N --to <new kv store dir>
          |  compact --store <kv store dir> [--target N]
          |  list    --root R""".stripMargin)
     2

@@ -453,6 +453,47 @@ class KvSnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KvSnapshots.diff(spark, root, "v1", "v2") }
   }
 
+  test("bandwidth pacing owes exactly the time the cap implies, never negative") {
+    // 10 MiB at 10 MB/s should take 1000 ms: if only 200 ms have
+    // passed, the copy owes 800 ms; past-due or uncapped copies owe 0
+    assert(KvSnapshots.throttleDelayMs(10L * 1024 * 1024, 200, 10) == 800)
+    assert(KvSnapshots.throttleDelayMs(10L * 1024 * 1024, 1500, 10) == 0)
+    assert(KvSnapshots.throttleDelayMs(10L * 1024 * 1024, 0, 0) == 0)
+    // a paced export still verifies byte-for-byte
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "paced")
+    val dest = freshRoot()
+    val stats = KvSnapshots.export(spark, root, dest, "paced", mappers = 2,
+      bandwidthMbps = 1000) // high cap: pacing active, wall time unaffected
+    assert(stats.copied > 0)
+    KvSnapshots.verify(spark, dest, "paced")
+  }
+
+  test("clone hard-links a writable store; divergence leaves the snapshot intact") {
+    val root = freshRoot()
+    KvSnapshots.create(cells, root, "base")
+    val store = Files.createTempDirectory("kv_clone_spec").resolve("store").toString
+    KvSnapshots.clone(root, "base", store)
+    val before = spark.read.format("graft-kv").load(store).count()
+    assert(before == cells.count())
+    // clone into a non-empty store is refused (stats would blur)
+    intercept[IllegalArgumentException] { KvSnapshots.clone(root, "base", store) }
+    // diverge the clone; the snapshot must still verify afterwards
+    import spark.implicits._
+    Seq((999999L, "x", "y")).toDF("rowkey", "qualifier", "value")
+      .coalesce(1).write.format("graft-kv").option("path", store).mode("append").save()
+    assert(spark.read.format("graft-kv").load(store).count() == before + 1)
+    KvSnapshots.verify(spark, root, "base")
+    // the CLI drives the same path
+    val store2 = Files.createTempDirectory("kv_clone_spec").resolve("store2").toString
+    assert(SnapshotTool.run(spark, Seq("clone",
+      "--root", root, "--name", "base", "--to", store2)) == 0)
+    assert(spark.read.format("graft-kv").load(store2).count() == before)
+    // bad bandwidth flag is a usage error
+    assert(SnapshotTool.run(spark, Seq("export", "--root", root, "--name", "base",
+      "--dest", freshRoot(), "--bandwidth", "-3")) == 2)
+  }
+
   test("delete removes the snapshot; deleting a missing name fails loudly") {
     val root = freshRoot()
     KvSnapshots.create(cells, root, "s1")
