@@ -322,6 +322,82 @@ object TimeSeries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** LEFT-OUTER STREAM-STREAM JOIN — the state-EVICTION half of the
+    * streaming join story: an unmatched click can only be emitted (with
+    * null purchase columns) once the global watermark proves no
+    * matching purchase can still arrive, so this key exercises exactly
+    * the machinery `ts_stream_stream_join`'s no-eviction inner join
+    * does not. Determinism is engineered, not hoped for:
+    *  - watermark delay = data span + 1h, so NO row is ever
+    *    late-dropped regardless of micro-batch file order;
+    *  - a sentinel click AND a sentinel purchase (non-joining user ids,
+    *    filtered from the output) ride in a second staged file whose
+    *    mtime is forced later, advancing BOTH sides' watermarks — and
+    *    therefore the global (min-policy) watermark — past every real
+    *    click's join window, so every unmatched click flushes before
+    *    the stream drains.
+    * The append-mode result then provably equals the batch LEFT JOIN
+    * (the oracle). At 100 TB only the delay knob changes: state stays
+    * bounded by span-of-interest, eviction logic identical. */
+  def tsStreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select("event_id", "user_id", "event_type", "ts")
+    val Array(r) = ev.agg(min(col("ts")).cast("long").as("t0"),
+      max(col("ts")).cast("long").as("t1")).collect()
+    val (t0, t1) = (r.getLong(0), r.getLong(1))
+    val delaySec = (t1 - t0) + 3600L
+    val sentinelSec = t1 + delaySec + 2 * 3600L // > t1 + delay + 1h window
+    val stageDir =
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events-outer"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
+    val schema = stagedDirs.synchronized {
+      stagedDirs.getOrElseUpdate((sfDir, "events-outer", 1), {
+        import spark.implicits._
+        ev.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val before = graft.util.Scratch.parquetFiles(stageDir)
+        Seq((-1L, -1L, "click", sentinelSec), (-2L, -2L, "purchase", sentinelSec))
+          .toDF("event_id", "user_id", "event_type", "sec")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("sec").cast("timestamp").as("ts"))
+          .coalesce(1).write.mode("append").parquet(stageDir)
+        // the sentinel file must be the LAST micro-batch: force its
+        // mtime strictly past every data file's (FileStreamSource
+        // schedules by modification time)
+        val latest = before.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+        graft.util.Scratch.parquetFiles(stageDir).filterNot(before.contains)
+          .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(latest + 60000)))
+        ev.schema
+      })
+    }
+    def side = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val clicks = side.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$delaySec seconds")
+    val purchases = side.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", s"$delaySec seconds")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+      "left_outer")
+    runToMemory(joined, "graft_ts_so_join", "append")
+      .filter(col("user_id") >= 0) // drop the sentinel click's outer row
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("click_id").asc, col("purchase_id").asc_nulls_first)
+  }
+
+  val tsStreamOuterJoinOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  DATE_DIFF('microsecond', c.ts, p.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
+
   val tsStreamStreamJoinOracle: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |  DATE_DIFF('microsecond', c.ts, p.ts) AS gap_us
@@ -547,6 +623,7 @@ object TimeSeries {
     "ts_stateful_stream" -> (tsStatefulStream _),
     "ts_stream_join" -> (tsStreamJoin _),
     "ts_stream_stream_join" -> (tsStreamStreamJoin _),
+    "ts_stream_outer_join" -> (tsStreamOuterJoin _),
     "ts_funnel" -> (tsFunnel _),
     "ts_retention" -> (tsRetention _),
     "ts_transitions" -> (tsTransitions _),
@@ -564,6 +641,7 @@ object TimeSeries {
     "ts_stateful_stream" -> tsStatefulStreamOracle,
     "ts_stream_join" -> tsStreamJoinOracle,
     "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
+    "ts_stream_outer_join" -> tsStreamOuterJoinOracle,
     "ts_funnel" -> tsFunnelOracle,
     "ts_retention" -> tsRetentionOracle,
     "ts_transitions" -> tsTransitionsOracle,

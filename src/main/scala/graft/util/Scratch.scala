@@ -29,4 +29,15 @@ object Scratch {
     * matter how often a graded key re-runs in-process. */
   def deleteOnExit(dir: String): Unit =
     hooked.getOrElseUpdate(dir, { sys.addShutdownHook(deleteTree(dir)); () })
+
+  /** The parquet part files of a written dir (no metadata/_SUCCESS). */
+  def parquetFiles(dir: String): Seq[Path] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+  }
 }

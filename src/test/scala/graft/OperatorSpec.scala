@@ -330,6 +330,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("outer stream-stream join: watermark eviction emits every unmatched click") {
+    val out = run("ts_stream_outer_join")
+    val unmatched = out.filter(col("purchase_id").isNull).count()
+    val matched = out.filter(col("purchase_id").isNotNull).count()
+    // both regimes must be exercised: matches emit immediately, the
+    // unmatched majority only via watermark-close eviction — zero
+    // unmatched rows would mean the eviction machinery never fired
+    assert(unmatched > 0, "no outer rows: watermark eviction never emitted")
+    assert(matched > 0, "no matched rows in the outer join")
+    // every click appears exactly once per match (or once unmatched):
+    // clicks with no purchase in window == source clicks - matched click ids
+    val clicks = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.select("click_id").distinct().count() == clicks)
+  }
+
   test("stream-stream join equals the batch interval join") {
     val streamed = run("ts_stream_stream_join")
     val ev = graft.sources.Tables.events(spark, sf)
