@@ -37,12 +37,18 @@ object Sources {
     root
   }
 
-  /** Shared prelude of the graft-kv keys: a fresh per-process store of
-    * the model cells (stale .kv files from a prior in-process run
-    * cleared first), written through the connector and read back. */
-  private def freshKvStore(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** A scratch store path with stale .kv files from a prior in-process
+    * run cleared — the ONE place the re-run hygiene rule lives. */
+  private def freshStorePath(sfDir: String, name: String): String = {
     val dest = scratch(sfDir, name)
     graft.sources.KvFormat.dataFiles(dest).foreach(java.nio.file.Files.delete)
+    dest
+  }
+
+  /** Shared prelude of the graft-kv keys: a fresh per-process store of
+    * the model cells, written through the connector and read back. */
+  private def freshKvStore(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val dest = freshStorePath(sfDir, name)
     Scans.scanKvModel(spark, sfDir)
       .write.format("graft-kv").option("path", dest).mode("append").save()
     spark.read.format("graft-kv").load(dest)
@@ -175,8 +181,7 @@ object Sources {
     * the VALUES (bloom pruning must never lose a present key);
     * KvConnectorSpec proves the skipping itself via reader counters. */
   def kvBloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = scratch(sfDir, "supplier_kv_bloom")
-    graft.sources.KvFormat.dataFiles(store).foreach(java.nio.file.Files.delete)
+    val store = freshStorePath(sfDir, "supplier_kv_bloom")
     val cells = Scans.scanKvModel(spark, sfDir)
     (0 until 3).foreach { i =>
       cells.filter(col("rowkey") % 3 === i).coalesce(1)
@@ -504,8 +509,11 @@ object Sources {
             concat(lit("f"), col("rowkey").cast("string")).as("value")))
     graft.sources.KvSnapshots.create(v1, root, "model_v1")
     graft.sources.KvSnapshots.create(v2, root, "model_v2")
-    val feed = graft.sources.KvSnapshots.diff(spark, root, "model_v1", "model_v2")
+    // restore (checksum-verify) each side ONCE: the base frame feeds
+    // both the diff and the replay
     val base = graft.sources.KvSnapshots.restore(spark, root, "model_v1")
+    val feed = graft.sources.KvSnapshots.diffFrames(("model_v1", base),
+      ("model_v2", graft.sources.KvSnapshots.restore(spark, root, "model_v2")))
     val surviving = base.join(feed.select("rowkey", "qualifier"),
       Seq("rowkey", "qualifier"), "left_anti")
     val incoming = feed.filter(col("change").isin("added", "changed"))
@@ -542,8 +550,7 @@ object Sources {
     * the version, quantity the cell payload. */
   def kvVersionedRead(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val store = scratch(sfDir, "lineitem_kv_versions")
-    graft.sources.KvFormat.dataFiles(store).foreach(java.nio.file.Files.delete)
+    val store = freshStorePath(sfDir, "lineitem_kv_versions")
     lineitem(spark, sfDir)
       // the synthetic lineitem repeats (orderkey, linenumber) — collapse
       // to max-quantity per coordinate (deterministic last-write-wins;
@@ -586,8 +593,7 @@ object Sources {
     * maintained as just another store (same writer, same snapshots). */
   def kvSecondaryIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshKvStore(spark, sfDir, "supplier_kv_sidx_base")
-    val idxStore = scratch(sfDir, "supplier_kv_sidx_idx")
-    graft.sources.KvFormat.dataFiles(idxStore).foreach(java.nio.file.Files.delete)
+    val idxStore = freshStorePath(sfDir, "supplier_kv_sidx_idx")
     supplier(spark, sfDir)
       .select(col("s_nationkey").cast("long").as("rowkey"),
         lpad(col("s_suppkey").cast("string"), 10, "0").as("qualifier"),
@@ -595,8 +601,11 @@ object Sources {
       .repartitionByRange(4, col("rowkey"))
       .sortWithinPartitions("rowkey", "qualifier")
       .write.format("graft-kv").option("path", idxStore).mode("append").save()
+    // probe key 3: present at EVERY scale factor (sf0.001's sparse
+    // supplier table holds no nationkey 7 — a probe with zero hits
+    // would make this key vacuously green, empty == empty)
     val hits = spark.read.format("graft-kv").load(idxStore)
-      .filter(col("rowkey") === 7) // pruned: min/max skips non-covering files
+      .filter(col("rowkey") === 3) // pruned: min/max skips non-covering files
       .select(col("qualifier").cast("long").as("suppkey"))
     base.filter(col("qualifier") === "name")
       .join(broadcast(hits), col("rowkey") === col("suppkey"))
@@ -606,7 +615,7 @@ object Sources {
 
   val kvSecondaryIndexOracle: String =
     """SELECT s_suppkey AS rowkey, s_name AS name FROM supplier
-      |WHERE s_nationkey = 7 ORDER BY rowkey""".stripMargin
+      |WHERE s_nationkey = 3 ORDER BY rowkey""".stripMargin
 
   /** SNAPSHOT CLONE → DIVERGE — HBase's clone_snapshot as a graded
     * roundtrip: snapshot the model cells, CLONE the snapshot into a new
@@ -663,10 +672,8 @@ object Sources {
     // index (SupportsPushDownAggregates), no data read
     val Array(row) = parent.agg(min(col("rowkey")), max(col("rowkey"))).collect()
     val splitAt = (row.getLong(0) + row.getLong(1)) / 2
-    val (childA, childB) =
-      (scratch(sfDir, "supplier_kv_split_a"), scratch(sfDir, "supplier_kv_split_b"))
-    Seq(childA, childB).foreach(d =>
-      graft.sources.KvFormat.dataFiles(d).foreach(java.nio.file.Files.delete))
+    val (childA, childB) = (freshStorePath(sfDir, "supplier_kv_split_a"),
+      freshStorePath(sfDir, "supplier_kv_split_b"))
     parent.filter(col("rowkey") <= splitAt)
       .repartitionByRange(2, col("rowkey"), col("qualifier"))
       .sortWithinPartitions("rowkey", "qualifier")

@@ -83,11 +83,16 @@ object KvCompaction {
     Files.move(Paths.get(store), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     try Files.move(Paths.get(tmp), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // the live path must never be left empty: put the old data back
-        // so readers see the pre-compaction store instead of nothing
-        Files.move(Paths.get(old), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
-        graft.util.Scratch.deleteTree(tmp)
+        // so readers see the pre-compaction store instead of nothing.
+        // If even the rollback fails, the ORIGINAL failure stays the
+        // primary error (rollback suppressed onto it) and the tmp tree
+        // is still reclaimed — never swallow the cause, never strand a
+        // store-sized scratch dir
+        try Files.move(Paths.get(old), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
+        catch { case scala.util.control.NonFatal(rb) => e.addSuppressed(rb) }
+        finally graft.util.Scratch.deleteTree(tmp)
         throw e
     }
     graft.util.Scratch.deleteTree(old)

@@ -39,10 +39,22 @@ object KvSnapshots {
     * resume path). copied + skipped = manifest file count on success. */
   final case class ExportStats(copied: Int, skipped: Int)
 
-  private def snapDir(root: String, name: String): Path = Paths.get(root, name)
-  private def dataDir(root: String, name: String): Path = Paths.get(root, name, "data")
+  /** Name validation lives at the PATH-BUILDING choke point, so every
+    * entry point (create/restore/delete/uncommit/createdAt/clone/...)
+    * rejects a hostile name before it reaches any path resolution or
+    * error-string interpolation. The regex alone admits "." and ".."
+    * (both match [A-Za-z0-9._-]+), which resolve OUTSIDE the snapshot
+    * dir — they are rejected explicitly. */
+  private def validName(name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+") && name != "." && name != "..",
+      s"invalid snapshot name: $name")
+    name
+  }
+
+  private def snapDir(root: String, name: String): Path = Paths.get(root, validName(name))
+  private def dataDir(root: String, name: String): Path = snapDir(root, name).resolve("data")
   private def manifest(root: String, name: String): Path =
-    Paths.get(root, name, "MANIFEST.json")
+    snapDir(root, name).resolve("MANIFEST.json")
 
   /** Create the named snapshot from a (rowkey, qualifier, value) frame.
     * Snapshots are immutable: creating an existing name is an error.
@@ -88,7 +100,6 @@ object KvSnapshots {
   }
 
   private def writeData(df: DataFrame, root: String, name: String): Unit = {
-    require(name.matches("[A-Za-z0-9._-]+"), s"invalid snapshot name: $name")
     require(!Files.exists(snapDir(root, name)), s"snapshot $name already exists")
     df.write.format("graft-kv")
       .option("path", dataDir(root, name).toString).mode("append").save()
@@ -142,11 +153,8 @@ object KvSnapshots {
     * and a legitimate n_files=0 manifest is distinguishable from zero
     * regex matches on garbage. */
   def parseManifest(root: String, name: String): Seq[SnapEntry] = {
-    // create() validates names at write time, but reads can meet a
-    // hand-placed manifest dir whose name never went through create();
-    // the same rule here keeps every downstream interpolation of the
-    // name (error strings, file paths) trivially safe
-    require(name.matches("[A-Za-z0-9._-]+"), s"invalid snapshot name: $name")
+    // name validation fires inside manifest() → snapDir(), the shared
+    // choke point for every read and write entry point
     val mf = manifest(root, name)
     require(Files.exists(mf), s"snapshot $name does not exist (no committed manifest)")
     val text = Files.readString(mf)
@@ -229,7 +237,13 @@ object KvSnapshots {
     * it without re-shuffling. Both snapshots are checksum-verified
     * before the diff (a diff against rotted bytes is worse than none).
     */
-  def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame = {
+  def diff(spark: SparkSession, root: String, a: String, b: String): DataFrame =
+    diffFrames((a, restore(spark, root, a)), (b, restore(spark, root, b)))
+
+  /** The diff over ALREADY-RESTORED (verified) frames — for callers
+    * that also need a side's cells for their own work (changefeed
+    * apply), so each snapshot is checksum-verified exactly once. */
+  def diffFrames(a: (String, DataFrame), b: (String, DataFrame)): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, count, lit, max, when}
     // (rowkey, qualifier) is the CELL IDENTITY the classification joins
     // on; the store itself doesn't forbid duplicate cells (append jobs
@@ -251,8 +265,8 @@ object KvSnapshots {
             lit("snapshot "), lit(name),
             lit(" holds duplicate (rowkey, qualifier) cells — diff needs unique cell identities"))))
             .otherwise(col("v")).as(out))
-    val av = uniqueCells(a, restore(spark, root, a), "old_value")
-    val bv = uniqueCells(b, restore(spark, root, b), "new_value")
+    val av = uniqueCells(a._1, a._2, "old_value")
+    val bv = uniqueCells(b._1, b._2, "new_value")
     av.join(bv, Seq("rowkey", "qualifier"), "full_outer")
       .withColumn("change",
         when(col("old_value").isNull, "added")
@@ -485,15 +499,26 @@ object KvSnapshots {
     val entries = parseManifest(root, name)
     require(KvFormat.dataFiles(destStore).isEmpty,
       s"clone destination $destStore already holds data files")
-    val (src, dest) = (dataDir(root, name), Paths.get(destStore))
-    Files.createDirectories(dest)
-    entries.foreach { e =>
-      Files.deleteIfExists(dest.resolve(e.file))
-      Files.createLink(dest.resolve(e.file), src.resolve(e.file))
+    val (src, dest) = (dataDir(root, name), Paths.get(destStore).normalize)
+    // two-phase publish (same shape as copyDigesting): links land in a
+    // sibling temp dir first, then ONE atomic rename makes the clone
+    // visible — a half-linked failure leaves the destination absent and
+    // the retry clean, never a partial store that trips the guard above
+    val tmp = dest.resolveSibling(
+      s".${dest.getFileName}.clone.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    try {
+      Files.createDirectories(tmp)
+      entries.foreach(e => Files.createLink(tmp.resolve(e.file), src.resolve(e.file)))
+      val srcIdx = src.resolve(KvMeta.FILE)
+      if (Files.exists(srcIdx)) Files.copy(srcIdx, tmp.resolve(KvMeta.FILE))
+      Option(dest.getParent).foreach(Files.createDirectories(_))
+      Files.deleteIfExists(dest) // an empty pre-created dir is fine to replace
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        graft.util.Scratch.deleteTree(tmp.toString)
+        throw e
     }
-    val srcIdx = src.resolve(KvMeta.FILE)
-    if (Files.exists(srcIdx))
-      Files.copy(srcIdx, dest.resolve(KvMeta.FILE), StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Delete the named snapshot (manifest first, so a crashed delete

@@ -61,7 +61,7 @@ object SnapshotTool {
           // the reference's -bandwidth MB/s cap: each copy task paces
           // itself so the export can't saturate shared links (0 = off)
           val bandwidth = flags.get("bandwidth").map { b =>
-            b.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --bandwidth: $b"))
+            b.toIntOption.filter(_ >= 0).getOrElse(throw CliError(s"bad --bandwidth: $b"))
           }.getOrElse(0)
           val (src, dst) =
             if (action == "export") (need("root"), need("dest"))

@@ -127,7 +127,7 @@ class PlanSpec extends SparkSpec {
 
   test("kv_secondary_index probes the index scan and broadcasts the join-back") {
     val p = plan("kv_secondary_index")
-    assert(p.contains("EqualTo(rowkey,7)"),
+    assert(p.contains("EqualTo(rowkey,3)"),
       "index probe predicate not pushed into the kv scan:\n" + p.take(800))
     assert(p.contains("BroadcastHashJoin"),
       "index join-back is not broadcast:\n" + p.take(800))

@@ -435,12 +435,16 @@ class KvSnapshotsSpec extends SparkSpec {
     // a name with a quote or a traversal segment can only arrive via a
     // hand-placed manifest dir; every read entry point must refuse it
     // before the name reaches an error string or a path resolution
-    for (bad <- Seq("o'brien", "../escape", "a b")) {
+    for (bad <- Seq("o'brien", "../escape", "a b", ".", "..")) {
       val e = intercept[IllegalArgumentException] {
         KvSnapshots.parseManifest(root, bad)
       }
       assert(e.getMessage.contains("invalid snapshot name"), e.getMessage)
       intercept[IllegalArgumentException] { KvSnapshots.diff(spark, root, "ok", bad) }
+      // validation lives in the path builders, so EVERY entry point
+      // refuses — delete would otherwise deleteTree outside the root
+      intercept[IllegalArgumentException] { KvSnapshots.delete(root, bad) }
+      intercept[IllegalArgumentException] { KvSnapshots.createdAt(root, bad) }
     }
   }
 
