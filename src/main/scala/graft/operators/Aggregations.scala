@@ -330,8 +330,62 @@ object Aggregations {
       |    (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** EXACT LEAST-SQUARES REGRESSION per returnflag — the REGR_* family
+    * (slope / intercept / R²) of extendedprice on quantity, built the
+    * `agg_corr_exact` way: the five DECIMAL moment sums are exact in
+    * any partition order, then both engines evaluate IDENTICAL
+    * closed-form double expressions (intercept in the symmetric
+    * determinant form (Σy·Σxx − Σx·Σxy)/(n·Σxx − Σx²) — no nested
+    * unrounded slope to drift) and ROUND 6 seals the comparison. The
+    * built-in regr_slope would accumulate doubles partition-ordered and
+    * drift vs DuckDB. Same two-phase partial-agg shape at 100 TB. */
+  def aggRegrSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(28,2)").as("nd"),
+        sum(x).cast("decimal(28,2)").as("sxd"),
+        sum(y).cast("decimal(28,2)").as("syd"),
+        sum((x * y).cast("decimal(28,4)")).cast("decimal(38,4)").as("sxyd"),
+        sum((x * x).cast("decimal(28,4)")).cast("decimal(38,4)").as("sxxd"),
+        sum((y * y).cast("decimal(28,4)")).cast("decimal(38,4)").as("syyd"))
+      .select(col("l_returnflag"),
+        col("nd").cast("double").as("n"), col("sxd").cast("double").as("sx"),
+        col("syd").cast("double").as("sy"), col("sxyd").cast("double").as("sxy"),
+        col("sxxd").cast("double").as("sxx"), col("syyd").cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r6((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("intercept"),
+        r6(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggRegrSlopeOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(COUNT(*) AS DECIMAL(28,2)) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_corr_exact" -> (aggCorrExact _),
+    "agg_regr_slope" -> (aggRegrSlope _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "agg_global" -> (aggGlobal _),
@@ -346,6 +400,7 @@ object Aggregations {
 
   val oracle: Map[String, String] = Map(
     "agg_corr_exact" -> aggCorrExactOracle,
+    "agg_regr_slope" -> aggRegrSlopeOracle,
     "agg_percentiles" -> aggPercentilesOracle,
     "agg_pricing_summary" -> aggPricingSummaryOracle,
     "agg_global" -> aggGlobalOracle,

@@ -200,6 +200,48 @@ object Joins {
       |  ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
+  /** KEYLESS RANGE JOIN via time BUCKETING — the classic BNLJ-killer.
+    * `join_interval` has an equi key (user_id) to shuffle on; this key
+    * deliberately has NONE: each purchase counts ALL clicks corpus-wide
+    * in its preceding 10 minutes. Naively that is a pure theta join —
+    * BroadcastNestedLoopJoin, O(purchases × clicks), the single worst
+    * plan shape at 100 TB. The fix (the same idea behind range-join
+    * binning in Spark-ecosystem engines): quantize time into
+    * interval-sized buckets. A click lands in bucket ⌊ts/10min⌋; a
+    * purchase's 10-minute window can only span buckets {b−1, b}, so
+    * the probe side EXPLODES to those two bucket keys and the join
+    * becomes an equi-join on bucket + residual range filter — a plain
+    * shuffle join, 2× probe duplication, zero pair blowup. Each
+    * (purchase, click) pair meets on exactly one bucket (the click's
+    * own), so no dedup is needed. PlanSpec pins the plan: no BNLJ, no
+    * CartesianProduct. Bucket µs arithmetic uses integer `div` — no
+    * float in the join key. */
+  def joinRangeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketUs = 600L * 1000000L // 10 minutes, in epoch micros
+    val ev = events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"p_us div $bucketUs") - 1, expr(s"p_us div $bucketUs"))))
+    val c = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $bucketUs"))
+    p.join(c,
+        p("bucket") === c("bucket") &&
+          col("c_us") >= col("p_us") - bucketUs && col("c_us") < col("p_us"),
+        "left")
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_us")).as("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
+  val joinRangeBucketOracle: String =
+    """SELECT p.event_id, COUNT(c.ts) AS n_clicks_10m
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      |  ON c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
   /** Skew-mitigation recipe as an operator: the probe side gets a
     * deterministic salt, the build side is replicated across all salts,
     * and the join key becomes (key, salt) — a hot key's rows spread
@@ -305,7 +347,8 @@ object Joins {
     "join_cross" -> (joinCross _),
     "join_theta_range" -> (joinThetaRange _),
     "join_asof" -> (joinAsof _),
-    "join_interval" -> (joinInterval _))
+    "join_interval" -> (joinInterval _),
+    "join_range_bucket" -> (joinRangeBucket _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" -> joinBucketedOracle,
@@ -320,5 +363,6 @@ object Joins {
     "join_cross" -> joinCrossOracle,
     "join_theta_range" -> joinThetaRangeOracle,
     "join_asof" -> joinAsofOracle,
-    "join_interval" -> joinIntervalOracle)
+    "join_interval" -> joinIntervalOracle,
+    "join_range_bucket" -> joinRangeBucketOracle)
 }

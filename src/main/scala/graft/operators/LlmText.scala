@@ -177,6 +177,60 @@ object LlmText {
        |FROM ($qualityScoredSql)
        |ORDER BY doc_id""".stripMargin
 
+  /** REPETITION FILTER (the Gopher corpus-quality rules, Rae et al.
+    * 2021 arXiv:2112.11446 Table A1): machine-generated and boilerplate
+    * text betrays itself by WITHIN-document repetition, measured here
+    * as (a) the duplicate-bigram fraction — 1 − distinct/total token
+    * 2-grams — and (b) the top-bigram fraction — occurrences of the
+    * most frequent 2-gram over all 2-grams. Both in exact integer ppm
+    * (the llm_quality_score recipe: no cross-engine float). Shape: ONE
+    * explode + per-(doc, gram) count + per-doc rollup — two shuffles
+    * both keyed by doc_id, no joins against the corpus; at 100 TB this
+    * is embarrassingly parallel per document. Docs under 2 tokens have
+    * no bigrams and score 0 (kept). Thresholds (20% either metric)
+    * give the graded keep flag. */
+  def llmRepetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(tokenWindows("t", 2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").cast("bigint").as("n_2grams"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        max("c").cast("bigint").as("top_c"))
+    documents(spark, sfDir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_2grams", "n_distinct", "top_c"))
+      .withColumn("dup_frac_e6",
+        expr("(1000000 * (n_2grams - n_distinct)) div greatest(n_2grams, 1)"))
+      .withColumn("top_frac_e6",
+        expr("(1000000 * top_c) div greatest(n_2grams, 1)"))
+      .select(col("doc_id"), col("n_2grams"), col("dup_frac_e6"), col("top_frac_e6"),
+        (col("dup_frac_e6") <= 200000 && col("top_frac_e6") <= 200000)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val llmRepetitionFilterOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, t[k] || ' ' || t[k+1] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS k
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |pc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+      |      FROM pc GROUP BY 1),
+      |m AS (SELECT doc_id,
+      |        COALESCE(n_2grams, 0) AS n_2grams,
+      |        (1000000 * (COALESCE(n_2grams, 0) - COALESCE(n_distinct, 0)))
+      |          // GREATEST(COALESCE(n_2grams, 0), 1) AS dup_frac_e6,
+      |        (1000000 * COALESCE(top_c, 0))
+      |          // GREATEST(COALESCE(n_2grams, 0), 1) AS top_frac_e6
+      |      FROM documents LEFT JOIN d USING (doc_id))
+      |SELECT doc_id, n_2grams, dup_frac_e6, top_frac_e6,
+      |  CAST(dup_frac_e6 <= 200000 AND top_frac_e6 <= 200000 AS INT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Whitespace and BPE-ish-regex token counts. */
   def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
@@ -645,6 +699,7 @@ object LlmText {
     "llm_ngrams" -> (llmNgrams _),
     "llm_lang_id" -> (llmLangId _),
     "llm_quality_score" -> (llmQualityScore _),
+    "llm_repetition_filter" -> (llmRepetitionFilter _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_fingerprint" -> (llmFingerprint _))
 
@@ -664,6 +719,7 @@ object LlmText {
     "llm_ngrams" -> llmNgramsOracle,
     "llm_lang_id" -> llmLangIdOracle,
     "llm_quality_score" -> llmQualityScoreOracle,
+    "llm_repetition_filter" -> llmRepetitionFilterOracle,
     "llm_token_count" -> llmTokenCountOracle,
     "llm_fingerprint" -> llmFingerprintOracle)
 }

@@ -548,18 +548,22 @@ object Sources {
     * rowkey once; a compacted store prunes the scan to the covering
     * files first. Lineitem plays the versioned source: l_linenumber is
     * the version, quantity the cell payload. */
-  def kvVersionedRead(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val store = freshStorePath(sfDir, "lineitem_kv_versions")
+  /** Versioned lineitem cells (qualifier `qty@NN`) — shared by the
+    * versioned-read and version-GC keys. The synthetic lineitem repeats
+    * (orderkey, linenumber) — collapse to max-quantity per coordinate
+    * (deterministic last-write-wins; max over the DECIMAL, not its
+    * string image) so each version coordinate holds exactly one cell. */
+  private def versionedLineitemCells(spark: SparkSession, sfDir: String): DataFrame =
     lineitem(spark, sfDir)
-      // the synthetic lineitem repeats (orderkey, linenumber) — collapse
-      // to max-quantity per coordinate (deterministic last-write-wins;
-      // max over the DECIMAL, not its string image) so each version
-      // coordinate holds exactly one cell
       .groupBy(col("l_orderkey").as("rowkey"),
         concat(lit("qty@"), lpad(col("l_linenumber").cast("string"), 2, "0"))
           .as("qualifier"))
       .agg(max(dec(col("l_quantity"))).cast("string").as("value"))
+
+  def kvVersionedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = freshStorePath(sfDir, "lineitem_kv_versions")
+    versionedLineitemCells(spark, sfDir)
       .write.format("graft-kv").option("path", store).mode("append").save()
     val w = Window.partitionBy("rowkey").orderBy(col("version").desc)
     spark.read.format("graft-kv").load(store)
@@ -580,6 +584,77 @@ object Sources {
       |      FROM v)
       |SELECT rowkey, version, value FROM r WHERE rn <= 2
       |ORDER BY rowkey, version""".stripMargin
+
+  /** VERSION GC AT MAJOR COMPACTION — HBase's VERSIONS=K retention
+    * enforced where HBase enforces it: the compaction rewrite, not the
+    * read. Same versioned store as `kv_versioned_read`, but instead of
+    * a read-time ranked window the store is MAJOR-COMPACTED with
+    * `retainVersions = 2`, so the old versions are physically gone —
+    * the raw full read afterwards equals the versioned read's top-2
+    * result with no window anywhere in the read plan. The pairing is
+    * the point: read-time filtering answers today's query, compaction
+    * GC pays the storage/scan bill back at 100 TB (every later scan
+    * reads K versions, not all of history). The rewrite lands as 2
+    * rowkey-disjoint sorted files, so min/max pruning works on the
+    * GC'd store too; `stats.dropped > 0` guards against a vacuously
+    * green run where no coordinate ever held a third version. */
+  def kvCompactVersions(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = snapshotRoot(sfDir, "lineitem_kv_vgc")
+    val cells = versionedLineitemCells(spark, sfDir)
+    // small-files realism: one append per version stripe — every file
+    // overlaps every other in rowkey, exactly a flush-per-batch store
+    (0 until 3).foreach { i =>
+      cells.filter(substring(col("qualifier"), 5, 2).cast("int") % 3 === i)
+        .coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    val stats = graft.sources.KvCompaction.compact(spark, store,
+      targetFiles = 2, retainVersions = Some(2))
+    require(stats.dropped > 0, s"version GC dropped nothing: $stats")
+    spark.read.format("graft-kv").load(store)
+      .withColumn("version", substring(col("qualifier"), 5, 2).cast("int"))
+      .select("rowkey", "version", "value")
+      .orderBy("rowkey", "version")
+  }
+
+  /** Same result as the read-time window — that equivalence IS the key. */
+  val kvCompactVersionsOracle: String = kvVersionedReadOracle
+
+  /** DELETE MARKERS (HBase tombstones) on the graft-kv store: a delete
+    * is just another appended cell whose value is the reserved
+    * [[graft.sources.KvCompaction.Tombstone]] marker — O(1) write, no
+    * read-modify-write, exactly how an LSM store deletes. The marker
+    * masks every data cell at its (rowkey, qualifier) coordinate until
+    * a MAJOR compaction run with `purgeTombstones = true` physically
+    * drops both the masked cells and the markers (HBase's "deletes die
+    * at major compaction"). The graded read is the RAW post-compaction
+    * store — no masking logic anywhere in the read plan — proving the
+    * purge itself produced the masked view. At 100 TB the marker join
+    * is a broadcast (deletes are tiny vs data) inside the one rewrite
+    * pass the compaction already pays for. */
+  def kvTombstoneDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = snapshotRoot(sfDir, "supplier_kv_tomb")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    cells.write.format("graft-kv").option("path", store).mode("append").save()
+    // a later batch deletes every 4th supplier's name cell: one marker
+    // per coordinate (HBase Delete of a column, all versions)
+    cells.filter(col("qualifier") === "name" && col("rowkey") % 4 === 1)
+      .select(col("rowkey"), col("qualifier"),
+        lit(graft.sources.KvCompaction.Tombstone).as("value"))
+      .coalesce(1)
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    val stats = graft.sources.KvCompaction.compact(spark, store,
+      targetFiles = 2, purgeTombstones = true)
+    require(stats.dropped > 0, s"tombstone purge dropped nothing: $stats")
+    spark.read.format("graft-kv").load(store).orderBy("rowkey", "qualifier")
+  }
+
+  /** The model cells minus the deleted coordinates, markers included. */
+  val kvTombstoneDeleteOracle: String =
+    """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value FROM supplier
+      |UNION ALL SELECT s_suppkey, 'name', s_name FROM supplier WHERE s_suppkey % 4 <> 1
+      |UNION ALL SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+      |ORDER BY rowkey, qualifier""".stripMargin
 
   /** SECONDARY-INDEX LOOKUP — the classic HBase pattern for a query on
     * a non-rowkey attribute: a second kv store keyed BY the attribute
@@ -762,6 +837,8 @@ object Sources {
     "kv_snapshot_diff" -> (kvSnapshotDiff _),
     "kv_changefeed_apply" -> (kvChangefeedApply _),
     "kv_versioned_read" -> (kvVersionedRead _),
+    "kv_compact_versions" -> (kvCompactVersions _),
+    "kv_tombstone_delete" -> (kvTombstoneDelete _),
     "kv_secondary_index" -> (kvSecondaryIndex _),
     "kv_split" -> (kvSplit _),
     "kv_clone" -> (kvClone _),
@@ -786,6 +863,8 @@ object Sources {
     "kv_snapshot_diff" -> kvSnapshotDiffOracle,
     "kv_changefeed_apply" -> kvChangefeedApplyOracle,
     "kv_versioned_read" -> kvVersionedReadOracle,
+    "kv_compact_versions" -> kvCompactVersionsOracle,
+    "kv_tombstone_delete" -> kvTombstoneDeleteOracle,
     "kv_secondary_index" -> kvSecondaryIndexOracle,
     "kv_split" -> kvSplitOracle,
     "kv_clone" -> kvCloneOracle,

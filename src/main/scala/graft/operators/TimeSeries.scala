@@ -390,6 +390,69 @@ object TimeSeries {
       .orderBy(col("click_id").asc, col("purchase_id").asc_nulls_first)
   }
 
+  /** APPEND-MODE WATERMARKED WINDOW AGG — the window-FINALIZATION
+    * semantics the complete-mode streaming keys never exercise: in
+    * append mode a (window, event_type) group is emitted EXACTLY ONCE,
+    * only after the global watermark passes its window end and its
+    * state is evicted — the output is a stream of closed, immutable
+    * window results (what a downstream sink can actually consume
+    * incrementally at 100 TB, where re-emitting the whole result per
+    * trigger is a non-starter). Determinism is engineered the
+    * `ts_stream_outer_join` way: watermark delay = span + 1h (no late
+    * drops under any file order), and a sentinel event in a final
+    * mtime-forced micro-batch advances the watermark past every REAL
+    * window's end while its own window stays open and unemitted — so
+    * the append stream provably equals the batch tumbling aggregate
+    * (`ts_tumbling`'s oracle, shared). */
+  def tsStreamAppendWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val Array(r) = ev.agg(min(col("ts")).cast("long").as("t0"),
+      max(col("ts")).cast("long").as("t1")).collect()
+    val (t0, t1) = (r.getLong(0), r.getLong(1))
+    val delaySec = (t1 - t0) + 3600L
+    // watermark settles at sentinel − delay = t1 + 2h: past every real
+    // window end (≤ t1 + 1h), short of the sentinel's own window end
+    val sentinelSec = t1 + delaySec + 2 * 3600L
+    val stageDir =
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events-append"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
+    val schema = stagedDirs.synchronized {
+      stagedDirs.getOrElseUpdate((sfDir, "events-append", 1), {
+        import spark.implicits._
+        ev.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val before = graft.util.Scratch.parquetFiles(stageDir)
+        Seq((-1L, -1L, "view", sentinelSec, 0.0))
+          .toDF("event_id", "user_id", "event_type", "sec", "value")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("sec").cast("timestamp").as("ts"), col("value"))
+          .coalesce(1).write.mode("append").parquet(stageDir)
+        // the sentinel must be the LAST micro-batch (FileStreamSource
+        // schedules by modification time)
+        val latest = before.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+        graft.util.Scratch.parquetFiles(stageDir).filterNot(before.contains)
+          .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(latest + 60000)))
+        ev.schema
+      })
+    }
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    runToMemory(agg, "graft_ts_append_win", "append")
+      // the sentinel's window never closes, so it never reaches the
+      // sink; this guard only documents the invariant
+      .filter(col("w.start").cast("long") <= t1)
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Append-mode stream must equal the batch tumbling aggregate. */
+  val tsStreamAppendWindowOracle: String = tsTumblingOracle
+
   val tsStreamOuterJoinOracle: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |  DATE_DIFF('microsecond', c.ts, p.ts) AS gap_us
@@ -624,6 +687,7 @@ object TimeSeries {
     "ts_stream_join" -> (tsStreamJoin _),
     "ts_stream_stream_join" -> (tsStreamStreamJoin _),
     "ts_stream_outer_join" -> (tsStreamOuterJoin _),
+    "ts_stream_append_window" -> (tsStreamAppendWindow _),
     "ts_funnel" -> (tsFunnel _),
     "ts_retention" -> (tsRetention _),
     "ts_transitions" -> (tsTransitions _),
@@ -642,6 +706,7 @@ object TimeSeries {
     "ts_stream_join" -> tsStreamJoinOracle,
     "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
     "ts_stream_outer_join" -> tsStreamOuterJoinOracle,
+    "ts_stream_append_window" -> tsStreamAppendWindowOracle,
     "ts_funnel" -> tsFunnelOracle,
     "ts_retention" -> tsRetentionOracle,
     "ts_transitions" -> tsTransitionsOracle,

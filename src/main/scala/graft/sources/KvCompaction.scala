@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** MAJOR COMPACTION for a graft-kv store — the HBase compaction analog
   * (SURVEY.md §2.A: the reference's store accumulates one immutable file
@@ -41,12 +41,52 @@ import org.apache.spark.sql.functions.col
   */
 object KvCompaction {
 
-  /** Result of one compaction: file counts before/after and the cell
-    * total carried through (must be invariant). */
-  final case class CompactStats(filesBefore: Int, filesAfter: Int, cells: Long)
+  /** Reserved cell value that marks a DELETE of its whole (rowkey,
+    * qualifier) coordinate — the HBase delete-marker analog for a store
+    * whose cells are plain (row, qualifier, value) triples. HBase
+    * reserves a cell-type bit for markers; graft-kv reserves this value
+    * (writers must not use it as data). A marker masks every data cell
+    * at its coordinate on a masked read, and a major compaction run
+    * with `purgeTombstones = true` drops both the masked cells and the
+    * markers themselves — exactly HBase's "deletes survive minor
+    * compactions, die at major compaction" contract. */
+  val Tombstone = "__TOMBSTONE__"
 
-  def compact(spark: SparkSession, storeRaw: String, targetFiles: Int): CompactStats = {
+  /** Result of one compaction: file counts before/after, the cell total
+    * carried through, and the cells intentionally garbage-collected by
+    * the retention/tombstone policy (0 for a plain compaction, whose
+    * rewrite must be lossless). */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, cells: Long, dropped: Long = 0L)
+
+  /** Versioned-qualifier convention (shared with the `kv_versioned_read`
+    * key): `base@NN` with a zero-padded version so lexicographic
+    * qualifier order IS version order. Cells whose qualifier does not
+    * match are unversioned and never subject to version GC. */
+  private val VersionedQualifier = "^(.*)@([0-9]{2})$"
+
+  /** MAJOR COMPACTION, optionally with HBase-style garbage collection:
+    *
+    *  - `retainVersions = Some(k)` keeps only the newest k versions of
+    *    each (rowkey, qualifier-base) coordinate (HBase's VERSIONS=k,
+    *    enforced — as in HBase — at major compaction, not at write);
+    *  - `purgeTombstones = true` drops every cell at a coordinate
+    *    holding a [[Tombstone]] marker, marker included.
+    *
+    * GC is expressed here as a filter/window pass BEFORE the range
+    * shuffle for clarity; at 100 TB it collapses into the compaction's
+    * own merge-sort (versions of a coordinate are adjacent in the
+    * (rowkey, qualifier) sort order, so retention is a streaming
+    * per-partition pass), costing one extra shuffle at most. The
+    * lossless-rewrite guard generalizes: the rewrite must produce
+    * EXACTLY the survivor count the policy predicts — a GC'd compaction
+    * is "lossless modulo the declared policy", never silently lossy. */
+  def compact(spark: SparkSession, storeRaw: String, targetFiles: Int,
+      retainVersions: Option[Int] = None,
+      purgeTombstones: Boolean = false): CompactStats = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    retainVersions.foreach(k =>
+      require(k >= 1, s"retainVersions must be >= 1, got $k"))
     // normalize: a trailing slash OR "/." segment would make
     // "$store.compact-tmp" a CHILD of the live store and the final
     // swap a move-into-self
@@ -67,17 +107,53 @@ object KvCompaction {
     graft.util.Scratch.deleteTree(tmp)
     graft.util.Scratch.deleteTree(old)
 
-    spark.read.format("graft-kv").load(store)
+    val raw = spark.read.format("graft-kv").load(store)
+    val unmasked =
+      if (!purgeTombstones) raw
+      else {
+        // a marker masks its whole coordinate: one left-anti join on the
+        // (tiny by construction) distinct marker coordinates
+        val markers = raw.filter(col("value") === Tombstone)
+          .select("rowkey", "qualifier").distinct()
+        raw.join(markers, Seq("rowkey", "qualifier"), "left_anti")
+      }
+    val survivors = retainVersions match {
+      case None => unmasked
+      case Some(k) =>
+        import org.apache.spark.sql.expressions.Window
+        // unversioned qualifiers get base = qualifier, version = 0: each
+        // such coordinate holds one cell, so its rank is always 1 <= k
+        val versioned = col("qualifier").rlike(VersionedQualifier)
+        val w = Window.partitionBy(col("rowkey"), col("gc_base"))
+          .orderBy(col("gc_version").desc, col("qualifier").desc)
+        unmasked
+          .withColumn("gc_base", when(versioned,
+            regexp_extract(col("qualifier"), VersionedQualifier, 1))
+            .otherwise(col("qualifier")))
+          .withColumn("gc_version", when(versioned,
+            regexp_extract(col("qualifier"), VersionedQualifier, 2).cast("int"))
+            .otherwise(lit(0)))
+          .withColumn("gc_rank", row_number().over(w))
+          .filter(col("gc_rank") <= k)
+          .select("rowkey", "qualifier", "value")
+    }
+    // the policy's predicted survivor count — one counting job; a plain
+    // compaction predicts cellsBefore for free
+    val expected =
+      if (retainVersions.isEmpty && !purgeTombstones) cellsBefore
+      else survivors.count()
+
+    survivors
       .repartitionByRange(targetFiles, col("rowkey"), col("qualifier"))
       .sortWithinPartitions("rowkey", "qualifier")
       .write.format("graft-kv").option("path", tmp).mode("append").save()
 
     val cellsAfter = KvMeta.read(tmp).values.map(_.cells).sum
-    if (cellsAfter != cellsBefore) {
+    if (cellsAfter != expected) {
       // a failed rewrite must not strand a store-sized scratch tree
       graft.util.Scratch.deleteTree(tmp)
       throw new IllegalArgumentException(
-        s"compaction lost cells: $cellsBefore before, $cellsAfter after")
+        s"compaction lost cells: $expected expected, $cellsAfter after")
     }
 
     Files.move(Paths.get(store), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
@@ -96,6 +172,7 @@ object KvCompaction {
         throw e
     }
     graft.util.Scratch.deleteTree(old)
-    CompactStats(before.size, KvFormat.dataFiles(store).size, cellsAfter)
+    CompactStats(before.size, KvFormat.dataFiles(store).size, cellsAfter,
+      dropped = cellsBefore - expected)
   }
 }

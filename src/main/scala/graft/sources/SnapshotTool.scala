@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   delete  --root R --name N
   *   cleanup --root R --before EPOCH_SEC
   *   clone   --root R --name N --to <new kv store dir>
-  *   compact --store <kv store dir> [--target N]
+  *   compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
   *   list    --root R
   *
   * `run` returns a process exit code and is the unit under test; `main`
@@ -142,9 +142,15 @@ object SnapshotTool {
           val target = flags.get("target").map { t =>
             t.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --target: $t"))
           }.getOrElse(4)
-          val stats = KvCompaction.compact(spark, need("store"), target)
+          val retain = flags.get("retain-versions").map { t =>
+            t.toIntOption.filter(_ > 0)
+              .getOrElse(throw CliError(s"bad --retain-versions: $t"))
+          }
+          val purge = flags.get("purge-tombstones").exists(_ == "true")
+          val stats = KvCompaction.compact(spark, need("store"), target,
+            retainVersions = retain, purgeTombstones = purge)
           ok(s"compacted ${need("store")}: ${stats.filesBefore} files -> " +
-            s"${stats.filesAfter} (${stats.cells} cells)")
+            s"${stats.filesAfter} (${stats.cells} cells, ${stats.dropped} GC'd)")
         case "list" =>
           // stamped snapshots list their created_at so a cleanup cutoff
           // can be chosen from the listing alone. The per-name stamp
@@ -185,7 +191,7 @@ object SnapshotTool {
          |  delete  --root R --name N
          |  cleanup --root R --before EPOCH_SEC
          |  clone   --root R --name N --to <new kv store dir>
-         |  compact --store <kv store dir> [--target N]
+         |  compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
          |  list    --root R""".stripMargin)
     2
   }

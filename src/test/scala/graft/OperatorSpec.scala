@@ -316,6 +316,76 @@ class OperatorSpec extends SparkSpec {
 /** Streaming/batch equivalence as a test (also runnable standalone via
   * `runMain graft.streaming.StreamingDemo`). */
 class StreamingSpec extends SparkSpec {
+  test("range-bucket join equals the naive theta join it replaces") {
+    // first-principles: the bucketed equi-join must compute EXACTLY the
+    // count the (deliberately quadratic) direct range predicate gives
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click").select(col("ts").as("c_ts"))
+    val naive = p.join(c,
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"), "left")
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_ts")).as("n_clicks_10m"))
+    val bucketed = run("join_range_bucket")
+    assert(bucketed.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(bucketed).count() == 0)
+    assert(bucketed.agg(sum("n_clicks_10m")).collect().head.getLong(0) > 0,
+      "no purchase had any preceding click — vacuous fixture")
+  }
+
+  test("exact regression: r2 == corr² and the fit line passes the means") {
+    val regr = run("agg_regr_slope").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val corr = run("agg_corr_exact").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val means = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(avg(col("l_quantity")).as("mx"), avg(col("l_extendedprice")).as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    regr.foreach { case (flag, (slope, intercept, r2)) =>
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag: r2 out of range: $r2")
+      assert(math.abs(r2 - corr(flag) * corr(flag)) < 2e-6,
+        s"$flag: r2 $r2 != corr^2 ${corr(flag) * corr(flag)}")
+      val (mx, my) = means(flag)
+      assert(math.abs(slope * mx + intercept - my) < 1e-3,
+        s"$flag: regression line misses the mean point")
+    }
+  }
+
+  test("repetition filter: fractions bounded, 2-gram totals tie to token counts") {
+    val rep = run("llm_repetition_filter")
+    assert(rep.filter(col("dup_frac_e6") < 0 || col("dup_frac_e6") > 1000000 ||
+      col("top_frac_e6") < 0 || col("top_frac_e6") > 1000000).count() == 0)
+    // n_2grams == n_tokens - 1 for every doc with >= 2 tokens
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    assert(rep.join(toks, "doc_id")
+      .filter(col("n_tokens") >= 2 && col("n_2grams") =!= col("n_tokens") - 1)
+      .count() == 0)
+    // a doc's top 2-gram count is at least 1, so its fraction can never
+    // fall below the uniform floor 1/n_2grams
+    assert(rep.filter(col("n_2grams") > 0 && col("top_frac_e6") < expr("1000000 div n_2grams"))
+      .count() == 0, "top-gram fraction below the uniform floor")
+  }
+
+  test("version GC at compaction equals the read-time versioned window") {
+    val gc = run("kv_compact_versions")
+    val window = run("kv_versioned_read")
+    assert(gc.exceptAll(window).count() == 0 && window.exceptAll(gc).count() == 0,
+      "compaction-time GC and read-time top-2 window disagree")
+  }
+
+  test("append-mode streamed windows equal the batch tumbling aggregate") {
+    val streamed = run("ts_stream_append_window")
+    val batch = run("ts_tumbling")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "append-mode stream diverged from the batch window aggregate")
+    assert(streamed.count() > 0, "no window ever closed — watermark never advanced")
+  }
+
   test("stream-static join equals the batch join") {
     val streamed = run("ts_stream_join")
     val cust = graft.sources.Tables.customer(spark, sf)

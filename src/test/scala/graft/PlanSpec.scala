@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpec {
       "no equi join on the cell id:\n" + p.take(800))
   }
 
+  test("keyless range join buckets into an equi join, never a nested loop") {
+    // join_range_bucket has NO equi key in its semantics — the time
+    // bucketing must manufacture one, or the plan is the O(n·m) BNLJ
+    // it exists to kill
+    val p = plan("join_range_bucket")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range-bucket join degenerated to a pair blowup:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "no equi join on the time bucket:\n" + p.take(800))
+  }
+
   test("snapshot diff plans one full-outer merge join on the cell key") {
     val p = plan("kv_snapshot_diff")
     assert(p.contains("FullOuter"), "diff lost its full-outer join:\n" + p.take(800))

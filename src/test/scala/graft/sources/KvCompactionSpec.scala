@@ -99,6 +99,75 @@ class KvCompactionSpec extends SparkSpec {
     assert(SnapshotTool.run(spark, Seq("compact", "--store", store, "--target", "zero")) == 2)
   }
 
+  test("version GC at major compaction keeps only the newest K versions") {
+    import spark.implicits._
+    val store = freshStore()
+    Seq((1L, "qty@01", "a"), (1L, "qty@02", "b"), (1L, "qty@03", "c"),
+      (2L, "qty@01", "x"), (1L, "plain", "p"))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    val stats = KvCompaction.compact(spark, store, 1, retainVersions = Some(2))
+    assert(stats.dropped == 1, s"expected exactly qty@01 of row 1 GC'd: $stats")
+    val after = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // row 1 keeps its 2 newest versions + the unversioned cell; row 2's
+    // single version is untouched (rank 1 <= K)
+    assert(after == Seq((1L, "plain", "p"), (1L, "qty@02", "b"), (1L, "qty@03", "c"),
+      (2L, "qty@01", "x")), s"wrong survivors: $after")
+    intercept[IllegalArgumentException] {
+      KvCompaction.compact(spark, store, 1, retainVersions = Some(0))
+    }
+  }
+
+  test("tombstones mask their whole coordinate and die at major compaction") {
+    import spark.implicits._
+    val store = freshStore()
+    Seq((1L, "name", "alice"), (2L, "name", "bob"), (1L, "age", "3"))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    // the delete arrives as a later append — O(1), no read-modify-write
+    Seq((1L, "name", KvCompaction.Tombstone))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    // pre-purge the raw store still holds data + marker
+    val raw = spark.read.format("graft-kv").load(store)
+    assert(raw.count() == 4)
+    assert(raw.filter(col("value") === KvCompaction.Tombstone).count() == 1)
+    val stats = KvCompaction.compact(spark, store, 1, purgeTombstones = true)
+    assert(stats.dropped == 2, s"expected masked cell + marker dropped: $stats")
+    val after = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(after == Seq((1L, "age", "3"), (2L, "name", "bob")),
+      s"wrong survivors: $after")
+  }
+
+  test("plain compaction never GCs: markers and old versions survive the rewrite") {
+    import spark.implicits._
+    val store = freshStore()
+    Seq((1L, "qty@01", "a"), (1L, "qty@02", "b"),
+      (1L, "name", KvCompaction.Tombstone))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    val stats = KvCompaction.compact(spark, store, 1)
+    assert(stats.dropped == 0 && stats.cells == 3,
+      s"plain compaction must be lossless: $stats")
+  }
+
+  test("the compact CLI rejects bad GC flags and applies good ones") {
+    import spark.implicits._
+    val store = freshStore()
+    Seq((1L, "qty@01", "a"), (1L, "qty@02", "b"), (1L, "qty@03", "c"))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    assert(SnapshotTool.run(spark,
+      Seq("compact", "--store", store, "--target", "1", "--retain-versions", "zero")) == 2)
+    assert(SnapshotTool.run(spark,
+      Seq("compact", "--store", store, "--target", "1", "--retain-versions", "1")) == 0)
+    assert(spark.read.format("graft-kv").load(store).count() == 1)
+  }
+
   test("a failed rewrite leaves the live store untouched (swap happens last)") {
     val store = freshStore()
     fragmented(store, 3)
