@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Scans.queries ++
       operators.Filters.queries ++
       operators.Joins.queries ++
+      operators.Graph.queries ++
       operators.Aggregations.queries ++
       operators.SetOps.queries ++
       operators.Windows.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     operators.Scans.oracle ++
       operators.Filters.oracle ++
       operators.Joins.oracle ++
+      operators.Graph.oracle ++
       operators.Aggregations.oracle ++
       operators.SetOps.oracle ++
       operators.Windows.oracle ++

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Graph analytics over a graph DERIVED from the fact tables — the
+  * shape every warehouse graph workload takes at 100 TB: the expensive
+  * part is aggregating the edge list out of the facts (fact⋈fact +
+  * dim broadcasts + one groupBy — petabytes in, node²-bounded out);
+  * the iterative part then runs on the aggregated edge list, which is
+  * orders of magnitude smaller (here: nations² ≤ 625 rows; for a
+  * billion-node graph it is still the degree-sum, not the fact
+  * volume). Keys:
+  *
+  *  - `graph_pagerank`: weighted PageRank on the nation trade graph
+  *    (customer nation → supplier nation, weight = lineitem count),
+  *    3 iterations, damping 0.85 — in E9 FIXED-POINT INTEGER
+  *    arithmetic. Rank is a BIGINT number of parts-per-1e9: every
+  *    per-edge contribution is `(r * w) div outw` (exact integer ops,
+  *    order-independent sums), so Spark's partition-ordered summation
+  *    CANNOT diverge from DuckDB's — the float-summation parity trap
+  *    the exact-decimal aggregate keys dodge, dodged the integer way.
+  *    Truncation error per edge is < 1e-9 of total rank — invisible at
+  *    the 6-digit output precision float would give. Overflow headroom:
+  *    r ≤ 1e9, w ≤ per-pair lineitem count, product ≤ ~6e17 at sf100 —
+  *    inside int64; beyond that, drop to E6 or a DECIMAL(38,0)
+  *    accumulator (noted, not needed at graded scale).
+  *  - `graph_triangles`: per-node triangle participation counts on the
+  *    undirected trade graph thresholded at the mean pair weight
+  *    (`w * n_pairs > total_w` — exact integer comparison, no float
+  *    threshold). Triangle enumeration is the standard ordered-edge
+  *    3-way equi-join (u<v everywhere), so the plan is hash joins on
+  *    node keys — never a Cartesian; at scale the classic
+  *    degree-ordering optimization applies unchanged.
+  */
+object Graph {
+
+  /** Directed nation-level trade edges: (customer nation → supplier
+    * nation, lineitem count). orders⋈customer and lineitem⋈supplier
+    * broadcast the dims; the orderkey join of the two projections is
+    * the one fact⋈fact shuffle; the groupBy collapses to ≤ nations²
+    * rows. Shared by both graph keys. */
+  private[graft] def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val custSide = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("src"))
+    val suppSide = lineitem(spark, sfDir)
+      .join(broadcast(supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("dst"))
+    custSide.join(suppSide, "ok")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Shared SQL prelude building the same edge list in DuckDB. */
+  private val edgesSql: String =
+    """cn AS (SELECT o_orderkey AS ok, c_nationkey AS src
+      |       FROM orders JOIN customer ON o_custkey = c_custkey),
+      |sn AS (SELECT l_orderkey AS ok, s_nationkey AS dst
+      |       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      |      FROM cn JOIN sn USING (ok) GROUP BY src, dst)""".stripMargin
+
+  private val E9 = 1000000000L
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = nation(spark, sfDir)
+    // node count is dimension metadata (25 at every TPC-H SF) — a
+    // scalar, not data, on the driver
+    val n = nations.count()
+    val init = E9 / n
+    val base = (E9 * 15 / 100) / n
+    // one edge-aggregation pass, lineage cut so the 3-iteration loop
+    // re-reads the ≤ nations² edge list, not the fact join
+    val edges = tradeEdges(spark, sfDir)
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+    val ew = edges.join(outw, "src").localCheckpoint(true)
+    val nodes = nations.select(col("n_nationkey").cast("long").as("node"))
+    var ranks = nodes.withColumn("r", lit(init))
+    for (_ <- 1 to 3) {
+      val contrib = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+    }
+    nations.join(ranks, col("n_nationkey") === col("node"))
+      .select(col("n_nationkey"), col("n_name"), col("r").as("rank_e9"))
+      .orderBy("n_nationkey")
+  }
+
+  /** The same fixed-point algorithm unrolled: r0 → r1 → r2 → r3. Every
+    * CAST keeps DuckDB's SUM (which widens to HUGEINT) back in BIGINT
+    * so both engines run identical int64 arithmetic. */
+  val graphPagerankOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, CAST((SELECT base FROM params)
+         |    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst, CAST(SUM((p.r * ew.w) // ew.outw) AS BIGINT) AS s
+         |    FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst) c
+         |  ON n.node = c.dst)""".stripMargin
+    s"""WITH $edgesSql,
+       |ew AS (SELECT e.src, e.dst, e.w, o.outw FROM e JOIN
+       |  (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src) o
+       |  USING (src)),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |params AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS init,
+       |  CAST(150000000 // COUNT(*) AS BIGINT) AS base FROM nation),
+       |r0 AS (SELECT node, (SELECT init FROM params) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT n_nationkey, n_name, r.r AS rank_e9
+       |FROM nation JOIN r3 r ON n_nationkey = r.node
+       |ORDER BY n_nationkey""".stripMargin
+  }
+
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    // mean-weight threshold as exact integer cross-multiplication; the
+    // 1-row totals side broadcasts
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select("u", "v").localCheckpoint(true)
+    val a = ed.select(col("u").as("x"), col("v").as("y"))
+    val b = ed.select(col("u").as("y"), col("v").as("z"))
+    val c = ed.select(col("u").as("x"), col("v").as("z"))
+    val tri = a.join(b, "y").join(c, Seq("x", "z"))
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  val graphTrianglesOracle: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |ed AS (SELECT u, v FROM und, tot WHERE w * np > tw),
+       |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+       |        FROM ed a JOIN ed b ON a.v = b.u
+       |        JOIN ed c ON c.u = a.u AND c.v = b.v)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |GROUP BY node ORDER BY node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankOracle,
+    "graph_triangles" -> graphTrianglesOracle)
+}

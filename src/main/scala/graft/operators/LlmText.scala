@@ -231,6 +231,64 @@ object LlmText {
       |  CAST(dup_frac_e6 <= 200000 AND top_frac_e6 <= 200000 AS INT) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** VOCABULARY PRUNING — corpus-level document-frequency filtering,
+    * the preprocessing step under tf-idf/BM25 indexing and classical
+    * quality pipelines: drop STOPWORDS (tokens in > 50% of documents —
+    * exact integer test `df * 2 > n_docs`, no float threshold) and
+    * HAPAX legomena (df == 1, the long noise tail that bloats any
+    * vocabulary-keyed structure), then recompose each document's
+    * surviving tokens IN ORIGINAL ORDER. Scale shape: one
+    * (doc, token)-distinct pass + one token-keyed groupBy builds the
+    * df table; the pruned vocabulary is vocabulary-sized (not
+    * corpus-sized), so the filter join BROADCASTS it against the
+    * positional token stream; reassembly is one doc_id-keyed shuffle.
+    * The n_docs scalar rides a broadcast 1-row cross join — nothing
+    * collects. Every-token-pruned documents surface with kept_text ''
+    * (the left join + zero-fill), not silently vanish. */
+  def llmVocabPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    val nDocs = documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val pruned = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 > col("n_docs") || col("df") === 1)
+      .select("tok")
+    val kept = toks.join(broadcast(pruned), Seq("tok"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        collect_list(struct(col("pos"), col("tok"))).as("lst"))
+      .select(col("doc_id"), col("n_after"),
+        expr("array_join(transform(array_sort(lst), x -> x.tok), ' ')")
+          .as("kept_text"))
+    documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_before"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_after"))
+      .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
+      .orderBy("doc_id")
+  }
+
+  val llmVocabPruneOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, toks[k] AS tok, k AS pos
+      |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS k FROM t)),
+      |dfc AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tok GROUP BY tok),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |pruned AS (SELECT tok FROM dfc, nd WHERE df * 2 > n_docs OR df = 1),
+      |kept AS (SELECT doc_id, pos, tok FROM tok
+      |         WHERE tok NOT IN (SELECT tok FROM pruned)),
+      |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+      |         STRING_AGG(tok, ' ' ORDER BY pos) AS kept_text
+      |       FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(LEN(string_split(d.text, ' ')) AS INT) AS n_before,
+      |  COALESCE(ag.n_after, 0) AS n_after,
+      |  COALESCE(ag.kept_text, '') AS kept_text
+      |FROM documents d LEFT JOIN ag USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Whitespace and BPE-ish-regex token counts. */
   def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
@@ -700,6 +758,7 @@ object LlmText {
     "llm_lang_id" -> (llmLangId _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_repetition_filter" -> (llmRepetitionFilter _),
+    "llm_vocab_prune" -> (llmVocabPrune _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_fingerprint" -> (llmFingerprint _))
 
@@ -720,6 +779,7 @@ object LlmText {
     "llm_lang_id" -> llmLangIdOracle,
     "llm_quality_score" -> llmQualityScoreOracle,
     "llm_repetition_filter" -> llmRepetitionFilterOracle,
+    "llm_vocab_prune" -> llmVocabPruneOracle,
     "llm_token_count" -> llmTokenCountOracle,
     "llm_fingerprint" -> llmFingerprintOracle)
 }

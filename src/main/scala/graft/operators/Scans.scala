@@ -131,6 +131,48 @@ object Scans {
     """SELECT event_id, user_id, value, event_type FROM events
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** DYNAMIC PARTITION OVERWRITE — the incremental-refresh write mode
+    * every partitioned 100 TB table lives by: a daily job recomputes
+    * ONE partition and overwrites ONLY the partitions present in its
+    * output, leaving every other partition's files physically
+    * untouched (static overwrite mode would drop the whole table
+    * first — the classic midnight data-loss foot-gun). Here the full
+    * orders table lands partitioned by priority, then a second write
+    * with `partitionOverwriteMode=dynamic` replaces just the
+    * '1-URGENT' partition with doubled totals. The graded read is the
+    * final table: urgent rows transformed, all others bit-identical
+    * originals — which only holds if the second write really did scope
+    * its overwrite to the one partition. Doubling a double is exact
+    * (×2 is a power of two), so no rounding enters the comparison;
+    * OperatorSpec additionally pins the MECHANISM by asserting the
+    * untouched partitions' files are the same paths after the second
+    * write. */
+  def exportPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/$procTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/orders_dynpart"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$procTag")
+    val base = orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("total"),
+        col("o_orderpriority"))
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+    base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("total", col("total") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(dest)
+    spark.read.parquet(dest)
+      .select("o_orderkey", "total", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val exportPartitionOverwriteOracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN 2 * t ELSE t END AS total,
+      |  o_orderpriority
+      |FROM (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS t,
+      |        o_orderpriority FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Morton (Z-order) value interleaving the low 8 bits of two integer
     * columns — the space-filling curve under Delta/Iceberg's
     * OPTIMIZE ZORDER. Static 8-step unroll, pure codegen arithmetic. */
@@ -181,6 +223,7 @@ object Scans {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_partition_pruning" -> (scanPartitionPruning _),
+    "export_partition_overwrite" -> (exportPartitionOverwrite _),
     "export_zorder" -> (exportZorder _),
     "scan_project" -> (scanProject _),
     "scan_filter_pushdown" -> (scanFilterPushdown _),
@@ -190,6 +233,7 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "scan_partition_pruning" -> scanPartitionPruningOracle,
+    "export_partition_overwrite" -> exportPartitionOverwriteOracle,
     "export_zorder" -> exportZorderOracle,
     "scan_project" -> scanProjectOracle,
     "scan_filter_pushdown" -> scanFilterPushdownOracle,

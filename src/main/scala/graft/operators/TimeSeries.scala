@@ -675,7 +675,95 @@ object TimeSeries {
       |FROM (SELECT event_type, ts, MAX(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** GAP FILL — the resampling move every time-series store (and every
+    * SQL engine's GENERATE_SERIES idiom) needs: hourly counts per
+    * event type with EVERY hour of the observed span present, missing
+    * buckets as explicit zero rows. A groupBy alone silently drops
+    * empty buckets — downstream interpolation, charting, and windowed
+    * models all need the dense grid. Shape: one groupBy for the sparse
+    * counts, a spine built from `sequence()` over the global [min,max]
+    * hour (bounds are a 1-row aggregate — the cross join broadcasts a
+    * single row, never a Cartesian blowup), left join + zero-fill. At
+    * 100 TB the spine is types × hours — metadata-sized next to the
+    * fact scan; the join shuffles the SPARSE side only. Bucket math is
+    * exact integer µs division, epoch-second output. */
+  def tsGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .withColumn("bucket_sec", expr("(unix_micros(ts) div 3600000000) * 3600"))
+    val counts = ev.groupBy("event_type", "bucket_sec")
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("bucket_sec")).as("t0"),
+      max(col("bucket_sec")).as("t1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(t0, t1, 3600)")).as("bucket_sec"))
+    spine.join(counts, Seq("event_type", "bucket_sec"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy("event_type", "bucket_sec")
+  }
+
+  val tsGapFillOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |  (DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000) * 3600 AS bucket_sec
+      |  FROM events),
+      |b AS (SELECT MIN(bucket_sec) AS t0, MAX(bucket_sec) AS t1 FROM ev),
+      |t AS (SELECT DISTINCT event_type FROM ev),
+      |s AS (SELECT t.event_type, CAST(u.g AS BIGINT) AS bucket_sec
+      |      FROM t, b, UNNEST(range(b.t0, b.t1 + 3600, 3600)) AS u(g)),
+      |c AS (SELECT event_type, bucket_sec, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM ev GROUP BY 1, 2)
+      |SELECT s.event_type, s.bucket_sec, COALESCE(c.n, 0) AS n
+      |FROM s LEFT JOIN c USING (event_type, bucket_sec)
+      |ORDER BY event_type, bucket_sec""".stripMargin
+
+  /** OHLC DOWNSAMPLING — the canonical time-series compaction: per
+    * (event_type, day), the first/highest/lowest/last `value` plus
+    * event count and exact-decimal turnover. Open/close are SELECTIONS
+    * (not accumulations) picked by a total order (ts, event_id) — the
+    * event_id tiebreak makes same-µs ties deterministic, so the
+    * cross-engine comparison is exact without any float tolerance; the
+    * one float aggregate (sum) goes through the DECIMAL(18,2) cast like
+    * every money sum in the suite. One window pass + one groupBy, both
+    * keyed by (event_type, day): a single shuffle at any scale. */
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val w = Window.partitionBy("event_type", "day")
+    val wOrd = w.orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val tsOhlcOracle: String =
+    """WITH r AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000 AS day,
+      |    value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type,
+      |      DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000
+      |      ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type,
+      |      DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000) AS cnt
+      |  FROM events)
+      |SELECT event_type, day,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+      |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gap_fill" -> (tsGapFill _),
+    "ts_ohlc" -> (tsOhlc _),
     "ts_tumbling" -> (tsTumbling _),
     "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
@@ -694,6 +782,8 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_gap_fill" -> tsGapFillOracle,
+    "ts_ohlc" -> tsOhlcOracle,
     "ts_tumbling" -> tsTumblingOracle,
     // the streaming executions must produce exactly the batch results
     "ts_tumbling_stream" -> tsTumblingOracle,

@@ -370,6 +370,143 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "top-gram fraction below the uniform floor")
   }
 
+  test("fixed-point pagerank matches a float reference and conserves rank") {
+    val ranks = run("graph_pagerank").collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    assert(ranks.size == 25 && ranks.values.forall(_ > 0))
+    // total rank can only LEAK (integer truncation + dangling nodes),
+    // never exceed the initial 1e9 mass
+    assert(ranks.values.sum <= 1000000000L)
+    // float reference on the driver from the (≤ nations²) edge list —
+    // the fixed-point truncation bound says they agree to ~1e-6
+    val edges = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("src"))
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("ok"), col("s_nationkey").as("dst")), "ok")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = ranks.keySet
+    var r = nodes.map(n => n -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / outw(s) }.sum).toMap
+      r = nodes.map(n => n -> (0.15 / nodes.size + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(ranks(n) / 1e9 - r(n)) < 1e-5,
+        s"node $n: fixed-point ${ranks(n) / 1e9} vs float ${r(n)}")
+    }
+  }
+
+  test("triangle counts match a driver-side brute force over the same graph") {
+    val got = run("graph_triangles").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "no triangles at all — vacuous fixture")
+    // rebuild the thresholded undirected edge set and enumerate
+    // triangles naively on the driver (≤ nations² edges)
+    val e = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("src"))
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("ok"), col("s_nationkey").as("dst")), "ok")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .filter { case (s, d, _) => s != d }
+      .groupBy { case (s, d, _) => (math.min(s, d), math.max(s, d)) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val tw = e.values.sum
+    val np = e.size.toLong
+    // NB: `e.collect { ... => (u, v) }` would rebuild a Map keyed by u,
+    // silently collapsing every u to a single edge — filter the Map and
+    // keep its keySet instead
+    val ed = e.filter { case (_, w) => w * np > tw }.keySet
+    val vs = ed.flatMap(p => Set(p._1, p._2)).toSeq.sorted
+    val triNodes = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- vs.combinations(3)
+      if ed((a, b)) && ed((b, c)) && ed((a, c))
+    } { triNodes(a) += 1; triNodes(b) += 1; triNodes(c) += 1 }
+    assert(got == triNodes.toMap, s"spark=$got brute=$triNodes")
+  }
+
+  test("gap fill produces the dense grid: span × types rows, counts conserved") {
+    val g = run("ts_gap_fill")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("b", expr("(unix_micros(ts) div 3600000000) * 3600"))
+    val Array(bounds) = ev.agg(min("b"), max("b"), count(lit(1))).collect()
+    val hours = (bounds.getLong(1) - bounds.getLong(0)) / 3600 + 1
+    val types = ev.select("event_type").distinct().count()
+    assert(g.count() == hours * types, "grid is not dense")
+    assert(g.agg(sum("n")).collect().head.getLong(0) == bounds.getLong(2),
+      "zero-filling changed the event total")
+    assert(g.filter(col("n") === 0).count() > 0,
+      "no empty buckets anywhere — gap filling untested by this fixture")
+  }
+
+  test("ohlc bars: low <= open/close <= high, totals conserved") {
+    val bars = run("ts_ohlc")
+    assert(bars.filter(col("open") < col("low") || col("open") > col("high") ||
+      col("close") < col("low") || col("close") > col("high") ||
+      col("low") > col("high")).count() == 0, "OHLC ordering violated")
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(bars.agg(sum("n_events")).collect().head.getLong(0) == ev.count())
+    // open really is the value of the (ts, event_id)-first event per bar
+    val first = ev.withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1).select(col("event_type"), col("day"), col("value").as("open"))
+    assert(bars.select("event_type", "day", "open").exceptAll(first).count() == 0)
+  }
+
+  test("vocabulary pruning: survivors are mid-frequency, order and counts consistent") {
+    val out = run("llm_vocab_prune")
+    assert(out.filter(col("n_after") > col("n_before")).count() == 0)
+    assert(out.filter(col("n_after") =!= size(split(col("kept_text"), " ")) &&
+      !(col("n_after") === 0 && col("kept_text") === "")).count() == 0,
+      "kept_text token count disagrees with n_after")
+    // pruning must have removed something somewhere
+    val removed = out.agg(sum(col("n_before") - col("n_after"))).collect().head.getLong(0)
+    assert(removed > 0, "vocabulary pruning removed nothing — vacuous fixture")
+    // every surviving token's ORIGINAL corpus df is mid-frequency:
+    // not a stopword (df*2 <= n_docs) and not hapax (df >= 2)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val df = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().groupBy("tok").count()
+    val keptToks = out.filter(col("n_after") > 0)
+      .select(explode(split(col("kept_text"), " ")).as("tok")).distinct()
+    assert(keptToks.join(df, "tok")
+      .filter(col("count") * 2 > nDocs || col("count") === 1).count() == 0,
+      "a pruned-class token survived")
+  }
+
+  test("dynamic partition overwrite leaves untouched partitions' files in place") {
+    val dir = java.nio.file.Files.createTempDirectory("dynpart").toString
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    def files(p: String): Set[String] = {
+      val d = java.nio.file.Paths.get(dir, s"o_orderpriority=$p")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val lowBefore = files("5-LOW")
+    val urgentBefore = files("1-URGENT")
+    base.filter(col("o_orderpriority") === "1-URGENT")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(dir)
+    assert(files("5-LOW") == lowBefore,
+      "dynamic overwrite rewrote a partition absent from its output")
+    assert(files("1-URGENT") != urgentBefore,
+      "the targeted partition was not rewritten")
+    graft.util.Scratch.deleteTree(dir)
+  }
+
   test("version GC at compaction equals the read-time versioned window") {
     val gc = run("kv_compact_versions")
     val window = run("kv_versioned_read")

@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
       "index join-back is not broadcast:\n" + p.take(800))
   }
 
+  test("graph edge aggregation broadcasts the dims (one fact-fact shuffle only)") {
+    // asserted on the edge build itself: the pagerank/triangle plans
+    // cut this lineage with localCheckpoint, so the final plans can't
+    // witness it
+    val p = graft.operators.Graph.tradeEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "customer/supplier dim joins are not broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), "edge build plans a CartesianProduct")
+  }
+
   test("no plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { k =>
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")
