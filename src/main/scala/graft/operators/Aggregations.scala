@@ -383,7 +383,84 @@ object Aggregations {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** EXACT MODE with a deterministic tie-break — the aggregate SQL
+    * left out (most-frequent value per group). Ties go to the SMALLEST
+    * value, so the answer is a pure function of the data, never of
+    * partition order — the property that makes it oracle-comparable at
+    * all. Shape: one groupBy on (group, value) collapses the input to
+    * ≤ |distinct values| rows per group, then a row_number window over
+    * that TINY grouped table picks (count desc, value asc) — the
+    * expensive pass is the first groupBy, which partial-aggregates
+    * map-side; the window never sees raw rows. Quantities are exact
+    * integers (DECIMAL→INT, no float equality anywhere). */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = lineitem(spark, sfDir)
+      .select(col("l_returnflag"), dec(col("l_quantity")).cast("int").as("qty"))
+      .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("qty").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n").as("n_mode"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggModeOracle: String =
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS INT) AS qty,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |        ORDER BY n DESC, qty ASC) AS rn FROM c)
+      |SELECT l_returnflag, qty AS mode_qty, n AS n_mode
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup move
+    * every 100 TB warehouse runs on: per-DAY partial aggregates are
+    * PERSISTED (here to parquet — the "daily partition of the metrics
+    * table" a nightly job appends), and the monthly rollup is computed
+    * by MERGING the partials — count=Σcount, sum=Σsum (associative
+    * because the money sum is DECIMAL-exact), min=min(min), max=max(max),
+    * avg derived at finish from the merged sum/count — WITHOUT
+    * rescanning the fact table. The graded comparison against a direct
+    * months-from-facts oracle proves the algebraic-merge identity that
+    * makes incremental view maintenance sound. At scale the partial
+    * table is days × groups (metadata-sized next to the facts), and a
+    * new day's merge touches one partial row per group. */
+  def aggPartialMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/$aggProcTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/orders_daily_partials"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$aggProcTag")
+    orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("s"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .write.mode("overwrite").parquet(dest)
+    spark.read.parquet(dest)
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        sum(col("s")).cast("decimal(18,2)").cast("double").as("sum_total"),
+        min(col("mn")).as("min_total"), max(col("mx")).as("max_total"))
+      .withColumn("avg_total", round(col("sum_total") / col("n_orders"), 6))
+      .orderBy("month")
+  }
+
+  /** Direct month-from-facts aggregation — equality with the merged
+    * partials IS the key's claim. */
+  val aggPartialMergeOracle: String =
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_total,
+      |  MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
+      |  ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*), 6) AS avg_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-process tag for scratch parquet (mirror of Scans.procTag). */
+  private val aggProcTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
+    "agg_partial_merge" -> (aggPartialMerge _),
     "agg_corr_exact" -> (aggCorrExact _),
     "agg_regr_slope" -> (aggRegrSlope _),
     "agg_percentiles" -> (aggPercentiles _),
@@ -399,6 +476,8 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" -> aggModeOracle,
+    "agg_partial_merge" -> aggPartialMergeOracle,
     "agg_corr_exact" -> aggCorrExactOracle,
     "agg_regr_slope" -> aggRegrSlopeOracle,
     "agg_percentiles" -> aggPercentilesOracle,

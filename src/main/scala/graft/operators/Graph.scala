@@ -159,11 +159,150 @@ object Graph {
        |  UNION ALL SELECT z FROM tri)
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** CONNECTED COMPONENTS on the thresholded undirected trade graph
+    * (same mean-weight edge set as `graph_triangles`): component id =
+    * min nationkey reachable. Resolution reuses [[LlmDedup
+    * .connectedComponents]]' large-star/small-star rounds — O(log n)
+    * rounds of equi-join + groupBy shuffles, convergence read from an
+    * accumulator, the 100 TB CC shape — here exercised on a graph
+    * whose edges came out of a fact⋈fact aggregation rather than a
+    * dedup pair generator. Nations isolated by the threshold stay
+    * their own singleton component (left join + coalesce, not an inner
+    * join that would silently drop them). The oracle is a recursive
+    * CTE computing min-label reachability — a genuinely different
+    * algorithm agreeing on the same fixpoint. */
+  def graphComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+    val (labels, _) = LlmDedup.connectedComponents(ed)
+    nation(spark, sfDir)
+      .join(labels.withColumnRenamed("doc_id", "node"),
+        col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cluster_id"), col("n_nationkey").cast("long"))
+          .as("component"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Min-label reachability as a recursive CTE: every node's component
+    * is the smallest label whose node can reach it along the
+    * symmetrized edge set. UNION (distinct) bounds the recursion. */
+  val graphComponentsOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |ed AS (SELECT u, v FROM und, tot WHERE w * np > tw),
+       |bidir AS (SELECT u AS a, v AS b FROM ed
+       |          UNION ALL SELECT v, u FROM ed),
+       |reach(node, lab) AS (
+       |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT)
+       |  FROM nation
+       |  UNION
+       |  SELECT b.b, r.lab FROM reach r JOIN bidir b ON b.a = r.node)
+       |SELECT n_nationkey, n_name, m.component
+       |FROM nation JOIN (SELECT node, MIN(lab) AS component
+       |                  FROM reach GROUP BY node) m
+       |  ON n_nationkey = m.node
+       |ORDER BY n_nationkey""".stripMargin
+
+  /** BFS HOP DISTANCE from a data-determined source — the unweighted
+    * shortest-path primitive (friend-of-friend radius, blast-radius
+    * queries). Source = the max-weighted-degree node (smallest key on
+    * ties): self-describing, so the key stays meaningful at every SF
+    * without a hard-coded seed that might land on an isolated node.
+    * Frontier iteration: each round joins the CURRENT frontier (nodes
+    * first reached last round) against the symmetrized edge list and
+    * assigns round+1 to nodes not yet reached — per round one equi-join
+    * + one distinct, lineage cut by localCheckpoint, loop bounded by
+    * the graph diameter (the standard distributed-BFS shape; at 100 TB
+    * each round is one shuffle over the frontier, never the full node
+    * set). Unreachable nodes report -1 rather than vanishing. The
+    * oracle walks the same graph with a depth-bounded recursive CTE and
+    * takes MIN(depth) — a different algorithm, same fixpoint. */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+        col("w"))
+      .localCheckpoint(true)
+    val bidir = ed.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionAll(ed.select(col("v").as("a"), col("u").as("b"), col("w")))
+    // weighted degree argmax (ties -> smallest node): a ≤ nations-row
+    // agg computed distributed, read back as ONE scalar
+    val src = bidir.groupBy("a").agg(sum(col("w")).as("dw"))
+      .orderBy(col("dw").desc, col("a").asc)
+      .limit(1).collect()(0).getLong(0)
+    var dist = nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("node"))
+      .withColumn("d", when(col("node") === src, 0L))
+      .localCheckpoint(true)
+    var round = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && round < 25) {
+      val frontier = dist.filter(col("d") === round).select(col("node").as("f"))
+      val reached = bidir.join(frontier, col("a") === col("f"))
+        .select(col("b").as("r")).distinct()
+      dist = dist.join(reached, col("node") === col("r"), "left")
+        .select(col("node"),
+          when(col("d").isNotNull, col("d"))
+            .when(col("r").isNotNull, lit(round + 1L)).as("d"))
+        .localCheckpoint(true)
+      round += 1
+      frontierSize = dist.filter(col("d") === round).count()
+    }
+    nation(spark, sfDir)
+      .join(dist, col("n_nationkey") === col("node"))
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("d"), lit(-1L)).as("dist"))
+      .orderBy("n_nationkey")
+  }
+
+  val graphBfsOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |ed AS (SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, w
+       |       FROM und, tot WHERE w * np > tw),
+       |bidir AS (SELECT u AS a, v AS b, w FROM ed
+       |          UNION ALL SELECT v, u, w FROM ed),
+       |srcn AS (SELECT a FROM (SELECT a, CAST(SUM(w) AS BIGINT) AS dw
+       |         FROM bidir GROUP BY a) ORDER BY dw DESC, a ASC LIMIT 1),
+       |reach(node, d) AS (
+       |  SELECT a, CAST(0 AS BIGINT) FROM srcn
+       |  UNION
+       |  SELECT b.b, r.d + 1 FROM reach r JOIN bidir b ON b.a = r.node
+       |  WHERE r.d < 25)
+       |SELECT n_nationkey, n_name, COALESCE(m.d, -1) AS dist
+       |FROM nation LEFT JOIN (SELECT node, MIN(d) AS d FROM reach GROUP BY node) m
+       |  ON n_nationkey = m.node
+       |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_components" -> (graphComponents _),
+    "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankOracle,
-    "graph_triangles" -> graphTrianglesOracle)
+    "graph_triangles" -> graphTrianglesOracle,
+    "graph_components" -> graphComponentsOracle,
+    "graph_bfs" -> graphBfsOracle)
 }

@@ -334,7 +334,55 @@ object Joins {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** NEAREST-NEIGHBOR AS-OF join — the bidirectional variant of
+    * `join_asof` (kdb's `aj` looks backward; nearest matching wants the
+    * closer of backward and forward): for each error event, the same
+    * user's click closest in time, ties to the PRIOR click so the
+    * answer is a pure function of the data. Same one-shuffle window
+    * formulation — two passes over one user-partitioned sort (last
+    * prior / first following click), never a range self-join — and the
+    * distance compare runs in exact integer microseconds on both
+    * engines. */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    events(spark, sfDir)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("prior_ts", last(col("click_ts"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_ts", first(col("click_ts"), ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "error")
+      .withColumn("nearest_click_ts",
+        when(col("prior_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prior_ts"))
+          .when(expr("unix_micros(ts) - unix_micros(prior_ts)") <=
+            expr("unix_micros(next_ts) - unix_micros(ts)"), col("prior_ts"))
+          .otherwise(col("next_ts")))
+      .select("event_id", "user_id", "ts", "nearest_click_ts")
+      .orderBy("event_id")
+  }
+
+  val joinAsofNearestOracle: String =
+    """SELECT event_id, user_id, ts, CASE
+      |    WHEN prior_ts IS NULL THEN next_ts
+      |    WHEN next_ts IS NULL THEN prior_ts
+      |    WHEN DATE_DIFF('microsecond', prior_ts, ts) <=
+      |         DATE_DIFF('microsecond', ts, next_ts) THEN prior_ts
+      |    ELSE next_ts END AS nearest_click_ts
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_ts,
+      |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM events)
+      |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_bucketed" -> (joinBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_broadcast" -> (joinBroadcast _),
@@ -351,6 +399,7 @@ object Joins {
     "join_range_bucket" -> (joinRangeBucket _))
 
   val oracle: Map[String, String] = Map(
+    "join_asof_nearest" -> joinAsofNearestOracle,
     "join_bucketed" -> joinBucketedOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,
     "join_broadcast" -> joinBroadcastOracle,

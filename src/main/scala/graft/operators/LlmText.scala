@@ -289,6 +289,73 @@ object LlmText {
       |FROM documents d LEFT JOIN ag USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): hash every k-gram (k=4 tokens), then from each
+    * window of w=5 consecutive k-gram hashes select the minimum,
+    * RIGHTMOST on ties — the guarantee-bearing selection rule (any
+    * shared run ≥ w+k-1 tokens shares a fingerprint, and selection
+    * density is ~2/(w+1) regardless of document length). The hash is
+    * md5 hex — string-ordered IDENTICALLY by both engines, so the
+    * per-window argmin can't diverge; the (min-hash, rightmost) pick is
+    * encoded as MIN over a single sortable string key (hash ‖
+    * zero-padded reversed position), a trick both engines evaluate
+    * exactly. Shape: one explode to k-grams, one w-wide self-join on
+    * gram position (constant ×w row factor — linear, never quadratic),
+    * one (doc, window) groupBy, one per-doc rollup: everything keys on
+    * doc_id, so the whole pipeline is embarrassingly parallel across
+    * documents at any corpus size. */
+  def llmWinnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 4
+    val w = 5
+    val grams = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        s"posexplode(transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)), i -> array_join(slice(toks, i, $k), ' ')))"))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+    // sortable selection key: min hash first, rightmost position on ties
+    // (9999999 - pos descends as pos ascends; 7 digits bound corpus-side
+    // gram counts at graded scale)
+    val keyed = grams.withColumn("sel",
+      concat(col("h"), lit("#"),
+        lpad((lit(9999999) - col("pos")).cast("string"), 7, "0")))
+    val windows = keyed.select(col("doc_id"), col("pos").as("s"))
+      .join(keyed.select(col("doc_id"), col("pos"), col("sel")), Seq("doc_id"))
+      .filter(col("pos") >= col("s") && col("pos") < col("s") + w)
+      .groupBy("doc_id", "s")
+      .agg(min(col("sel")).as("sel"), count(lit(1)).as("wn"))
+      // only FULL windows select (the tail windows shorter than w would
+      // over-select near document ends)
+      .filter(col("wn") === w)
+    windows.select(col("doc_id"), col("sel")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
+      .na.fill(0L, Seq("n_fps"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"))
+      .orderBy("doc_id")
+  }
+
+  val llmWinnowingOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, k AS pos,
+      |        md5(array_to_string(list_slice(toks, k, k + 3), ' ')) AS h
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(range(1, GREATEST(len(toks) - 3, 0) + 1)) AS k
+      |            FROM t)),
+      |keyed AS (SELECT doc_id, pos,
+      |    h || '#' || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS sel
+      |  FROM g),
+      |win AS (SELECT a.doc_id, a.pos AS s, MIN(b.sel) AS sel, COUNT(*) AS wn
+      |        FROM keyed a JOIN keyed b ON a.doc_id = b.doc_id
+      |          AND b.pos >= a.pos AND b.pos < a.pos + 5
+      |        GROUP BY a.doc_id, a.pos),
+      |fp AS (SELECT doc_id, CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_fps
+      |       FROM win WHERE wn = 5 GROUP BY doc_id),
+      |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |       FROM g GROUP BY doc_id)
+      |SELECT ng.doc_id, ng.n_grams, COALESCE(fp.n_fps, 0) AS n_fps
+      |FROM ng LEFT JOIN fp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Whitespace and BPE-ish-regex token counts. */
   def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)

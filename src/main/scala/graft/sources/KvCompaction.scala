@@ -175,4 +175,81 @@ object KvCompaction {
     CompactStats(before.size, KvFormat.dataFiles(store).size, cellsAfter,
       dropped = cellsBefore - expected)
   }
+
+  /** MINOR COMPACTION — HBase's other compaction kind: merge only the
+    * `mergeSmallest` smallest data files into one sorted file and leave
+    * every other file (and the rest of the store) physically untouched.
+    * NO garbage collection is permitted here BY CONTRACT: tombstone
+    * markers and old versions survive minor compactions and die only at
+    * the next MAJOR compaction (HBase's "deletes survive minor
+    * compactions") — a minor pass that purged markers could resurrect
+    * masked cells still sitting in the files it did NOT read. The point
+    * at 100 TB is cost: the small-files problem is concentrated in the
+    * flush tail (a day of micro-batch commits), and a minor pass pays
+    * IO proportional to the SMALL files only, not a full-store rewrite.
+    *
+    * Shape: victims = smallest files by the stats index's byte counts
+    * (file size fallback for index-less fixtures); ONLY those files are
+    * read (plain TSV lines — the writer guarantees tab/newline-free
+    * fields), merged through one range-partitioned sort, and written
+    * back into the live dir under the connector's own two-phase task
+    * commit; then the victims are deleted and their index entries
+    * pruned. A lossless guard (merged cells == victim cells) runs
+    * BEFORE any victim is deleted — on mismatch the merged file is
+    * removed and the store is exactly as before. Crash window: after
+    * the merged file commits but before the last victim unlink, a
+    * reader sees duplicate cells (HBase closes this with an atomic
+    * file-tracker swap; the single-dir layout documents it instead).
+    * Not concurrency-safe vs writers, same as [[compact]]. */
+  def minorCompact(spark: SparkSession, storeRaw: String,
+      mergeSmallest: Int): CompactStats = {
+    val store = Paths.get(storeRaw).normalize.toString
+    val before = KvFormat.dataFiles(store)
+    require(mergeSmallest >= 2, s"mergeSmallest must be >= 2, got $mergeSmallest")
+    require(before.size >= mergeSmallest,
+      s"graft-kv minor compact: ${before.size} files < $mergeSmallest under $store")
+    val meta = KvMeta.read(store)
+    val victims = before
+      .map(p => p -> meta.get(p.getFileName.toString).map(_.bytes)
+        .getOrElse(Files.size(p)))
+      .sortBy { case (p, sz) => (sz, p.toString) }
+      .take(mergeSmallest).map(_._1)
+    val victimNames = victims.map(_.getFileName.toString).toSet
+    val cellsBefore =
+      if (victimNames.forall(meta.contains)) victimNames.toSeq.map(meta(_).cells).sum
+      else {
+        import spark.implicits._
+        spark.read.textFile(victims.map(_.toString): _*).count()
+      }
+
+    import spark.implicits._
+    spark.read.textFile(victims.map(_.toString): _*)
+      .map { l =>
+        val a = l.split(KvFormat.SEP, 3)
+        require(a.length == 3, s"graft-kv minor compact: malformed cell line '$l'")
+        (a(0).toLong, a(1), a(2))
+      }
+      .toDF("rowkey", "qualifier", "value")
+      .repartitionByRange(1, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+
+    val merged = KvFormat.dataFiles(store)
+      .filterNot(f => before.contains(f))
+    val postMeta = KvMeta.read(store)
+    val mergedCells = merged.flatMap(f => postMeta.get(f.getFileName.toString))
+      .map(_.cells).sum
+    if (mergedCells != cellsBefore) {
+      merged.foreach(Files.deleteIfExists(_))
+      KvMeta.append(store, Seq.empty) // prune the dead entries
+      throw new IllegalArgumentException(
+        s"minor compaction lost cells: $cellsBefore expected, $mergedCells merged")
+    }
+    victims.foreach(Files.delete(_))
+    KvMeta.append(store, Seq.empty) // prune the victims' index entries
+    // postMeta still counts the victims (deleted just above) alongside
+    // the merged file, so the live total is its sum minus the victims
+    CompactStats(before.size, KvFormat.dataFiles(store).size,
+      postMeta.values.map(_.cells).sum - cellsBefore)
+  }
 }

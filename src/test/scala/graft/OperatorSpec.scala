@@ -433,6 +433,116 @@ class StreamingSpec extends SparkSpec {
     assert(got == triNodes.toMap, s"spark=$got brute=$triNodes")
   }
 
+  test("components agree with a driver-side union-find over the same edges") {
+    val got = run("graph_components").collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    assert(got.size == 25)
+    // rebuild the thresholded edge set (as in the triangle spec) and
+    // resolve components with a plain union-find on the driver
+    val e = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("src"))
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("ok"), col("s_nationkey").as("dst")), "ok")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .filter { case (s, d, _) => s != d }
+      .groupBy { case (s, d, _) => (math.min(s, d), math.max(s, d)) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val tw = e.values.sum
+    val np = e.size.toLong
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (0L until 25L).foreach(n => parent(n) = n)
+    e.foreach { case ((u, v), w) =>
+      if (w * np > tw) {
+        val (ru, rv) = (find(u.toLong), find(v.toLong))
+        // union by MIN root so the representative is the component min
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+    }
+    val brute = (0L until 25L).map(n => n -> find(n)).toMap
+    assert(got == brute, s"spark=$got union-find=$brute")
+    assert(brute.values.toSet.size > 1, "single component — vacuous fixture")
+  }
+
+  test("anomaly counts equal an exact driver-side recomputation") {
+    val got = run("ts_anomaly").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val cents = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val brute = cents.groupBy(_._1).map { case (t, rows) =>
+      val cs = rows.map(_._2)
+      val n = cs.length.toLong
+      val s = cs.sum
+      val m2 = cs.map(c => c * c).sum
+      val out = cs.count(c => {
+        val dev = n * c - s
+        dev * dev > 4L * (n * m2 - s * s)
+      }).toLong
+      t -> (n, out)
+    }
+    assert(got == brute, s"spark=$got brute=$brute")
+    // a 2σ rule that flags nothing (or everything) tests nothing
+    assert(got.values.exists(v => v._2 > 0 && v._2 < v._1))
+  }
+
+  test("mode is the argmax of the per-group frequency table") {
+    val got = run("agg_mode").collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getLong(2)))).toMap
+    val freq = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("int").as("q"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .groupBy(_._1._1)
+    freq.foreach { case (flag, m) =>
+      val best = m.map { case ((_, q), n) => (q, n) }.toSeq
+        .sortBy { case (q, n) => (-n, q) }.head
+      assert(got(flag) == best, s"$flag: spark=${got(flag)} brute=$best")
+    }
+  }
+
+  test("merged daily partials equal the direct monthly aggregate") {
+    val merged = run("agg_partial_merge")
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+      .withColumn("avg_total", round(col("sum_total") / col("n_orders"), 6))
+      .select(merged.columns.map(col): _*)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0,
+      "re-aggregated partials diverge from the direct aggregate")
+  }
+
+  test("nearest asof is at least as close as the backward asof") {
+    val nearest = run("join_asof_nearest")
+      .select(col("event_id"), col("ts"), col("nearest_click_ts"))
+    val backward = run("join_asof")
+      .select(col("event_id").as("b_id"), col("prior_click_ts"))
+    val j = nearest.join(backward, col("event_id") === col("b_id"))
+    // wherever a prior click exists, the nearest one can't be farther
+    assert(j.filter(col("prior_click_ts").isNotNull &&
+      abs(expr("unix_micros(nearest_click_ts) - unix_micros(ts)")) >
+        expr("unix_micros(ts) - unix_micros(prior_click_ts)")).count() == 0)
+    // a nearest match exists wherever ANY same-user click exists
+    assert(j.filter(col("prior_click_ts").isNotNull &&
+      col("nearest_click_ts").isNull).count() == 0)
+    // and the forward direction genuinely fires somewhere
+    assert(j.filter(col("nearest_click_ts") =!= col("prior_click_ts")).count() > 0,
+      "nearest never chose a forward click — vacuous fixture")
+  }
+
   test("gap fill produces the dense grid: span × types rows, counts conserved") {
     val g = run("ts_gap_fill")
     val ev = graft.sources.Tables.events(spark, sf)

@@ -155,6 +155,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "edge build plans a CartesianProduct")
   }
 
+  test("anomaly scoring broadcasts the per-type moment table") {
+    assert(plan("ts_anomaly").contains("BroadcastHashJoin"),
+      "ts_anomaly's stats join-back is not broadcast")
+  }
+
   test("no plan contains a CartesianProduct") {
     SparkEntry.queries.keys.foreach { k =>
       assert(!plan(k).contains("CartesianProduct"), s"$k plans a CartesianProduct")

@@ -99,6 +99,58 @@ class KvCompactionSpec extends SparkSpec {
     assert(SnapshotTool.run(spark, Seq("compact", "--store", store, "--target", "zero")) == 2)
   }
 
+  test("minor compaction merges only the smallest files and keeps the rest untouched") {
+    import spark.implicits._
+    val store = freshStore()
+    // one big file + three small ones (the flush tail)
+    cells.coalesce(1)
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    (0 until 3).foreach { i =>
+      Seq((1000L + i, s"tail$i", s"v$i")).toDF("rowkey", "qualifier", "value")
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    val bigFile = KvMeta.read(store).values.maxBy(_.bytes).file
+    val total = spark.read.format("graft-kv").load(store).count()
+    val stats = KvCompaction.minorCompact(spark, store, mergeSmallest = 3)
+    assert(stats.filesBefore == 4 && stats.filesAfter == 2, s"$stats")
+    assert(stats.cells == total, s"cell total drifted: $stats vs $total")
+    // the big file's bytes were never rewritten
+    assert(KvMeta.read(store).contains(bigFile),
+      "minor compaction touched a file outside the merge set")
+    val after = spark.read.format("graft-kv").load(store)
+    assert(after.count() == total)
+    // the merged file carries committed stats (index stays complete)
+    val meta = KvMeta.read(store)
+    assert(KvFormat.dataFiles(store).forall(f => meta.contains(f.getFileName.toString)))
+    // guards: too few files / bad arg fail loudly
+    intercept[IllegalArgumentException] { KvCompaction.minorCompact(spark, store, 1) }
+    intercept[IllegalArgumentException] { KvCompaction.minorCompact(spark, store, 5) }
+  }
+
+  test("tombstones survive minor compaction but not major") {
+    import spark.implicits._
+    val store = freshStore()
+    Seq((1L, "name", "alice"), (2L, "name", "bob"), (3L, "name", "carol"))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    Seq((1L, "name", KvCompaction.Tombstone))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    Seq((4L, "name", "dave"))
+      .toDF("rowkey", "qualifier", "value")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    KvCompaction.minorCompact(spark, store, mergeSmallest = 2)
+    val raw = spark.read.format("graft-kv").load(store)
+    assert(raw.filter(col("value") === KvCompaction.Tombstone).count() == 1,
+      "a minor compaction must carry tombstones through")
+    assert(raw.count() == 5)
+    // the same store major-compacted afterwards purges marker + masked cell
+    KvCompaction.compact(spark, store, 1, purgeTombstones = true)
+    val purged = spark.read.format("graft-kv").load(store)
+    assert(purged.filter(col("value") === KvCompaction.Tombstone).count() == 0)
+    assert(purged.count() == 3)
+  }
+
   test("version GC at major compaction keeps only the newest K versions") {
     import spark.implicits._
     val store = freshStore()
