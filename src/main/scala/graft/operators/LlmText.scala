@@ -309,8 +309,11 @@ object LlmText {
     val w = 5
     val grams = documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // CASE, not greatest(...): sequence(1, 0) DESCENDS in Spark —
+      // a sub-k-token document must yield zero grams (as the oracle's
+      // empty range does), not two bogus ones
       .select(col("doc_id"), expr(
-        s"posexplode(transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)), i -> array_join(slice(toks, i, $k), ' ')))"))
+        s"posexplode(CASE WHEN size(toks) >= $k THEN transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' ')) ELSE array() END)"))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
     // sortable selection key: min hash first, rightmost position on ties
     // (9999999 - pos descends as pos ascends; 7 digits bound corpus-side
@@ -826,6 +829,7 @@ object LlmText {
     "llm_quality_score" -> (llmQualityScore _),
     "llm_repetition_filter" -> (llmRepetitionFilter _),
     "llm_vocab_prune" -> (llmVocabPrune _),
+    "llm_winnowing" -> (llmWinnowing _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_fingerprint" -> (llmFingerprint _))
 
@@ -847,6 +851,7 @@ object LlmText {
     "llm_quality_score" -> llmQualityScoreOracle,
     "llm_repetition_filter" -> llmRepetitionFilterOracle,
     "llm_vocab_prune" -> llmVocabPruneOracle,
+    "llm_winnowing" -> llmWinnowingOracle,
     "llm_token_count" -> llmTokenCountOracle,
     "llm_fingerprint" -> llmFingerprintOracle)
 }

@@ -173,6 +173,35 @@ object Scans {
       |        o_orderpriority FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** SIZED-FILE EXPORT — `maxRecordsPerFile`, the knob that makes an
+    * export consumable at 100 TB: one writer task otherwise emits one
+    * arbitrarily-large file (unsplittable consumers, skewed downstream
+    * reads, object-store part limits), so the writer ROLLS files at a
+    * record cap. The graded read is content fidelity of the re-read
+    * (sizing must never drop or duplicate rows); OperatorSpec pins the
+    * MECHANISM — more than one file, every file within the cap — which
+    * the row-shaped oracle can't see. The deliberate `repartition(1)`
+    * models the worst case (all rows land on one writer task); the cap
+    * re-splits what the partitioning concentrated. */
+  def exportSizedFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/$procTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/orders_sized"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$procTag")
+    orders(spark, sfDir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).cast("double").as("total"),
+        col("o_orderpriority"))
+      .repartition(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000).parquet(dest)
+    spark.read.parquet(dest)
+      .select("o_orderkey", "total", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val exportSizedFilesOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |  o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Morton (Z-order) value interleaving the low 8 bits of two integer
     * columns — the space-filling curve under Delta/Iceberg's
     * OPTIMIZE ZORDER. Static 8-step unroll, pure codegen arithmetic. */
@@ -224,6 +253,7 @@ object Scans {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_partition_pruning" -> (scanPartitionPruning _),
     "export_partition_overwrite" -> (exportPartitionOverwrite _),
+    "export_sized_files" -> (exportSizedFiles _),
     "export_zorder" -> (exportZorder _),
     "scan_project" -> (scanProject _),
     "scan_filter_pushdown" -> (scanFilterPushdown _),
@@ -234,6 +264,7 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "scan_partition_pruning" -> scanPartitionPruningOracle,
     "export_partition_overwrite" -> exportPartitionOverwriteOracle,
+    "export_sized_files" -> exportSizedFilesOracle,
     "export_zorder" -> exportZorderOracle,
     "scan_project" -> scanProjectOracle,
     "scan_filter_pushdown" -> scanFilterPushdownOracle,

@@ -543,6 +543,100 @@ class StreamingSpec extends SparkSpec {
       "nearest never chose a forward click — vacuous fixture")
   }
 
+  test("bfs distances match a driver-side breadth-first search") {
+    val got = run("graph_bfs").collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    val e = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("src"))
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("ok"), col("s_nationkey").as("dst")), "ok")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .filter { case (s, d, _) => s != d }
+      .groupBy { case (s, d, _) => (math.min(s, d), math.max(s, d)) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val tw = e.values.sum
+    val np = e.size.toLong
+    val ed = e.filter { case (_, w) => w * np > tw }
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    ed.keys.foreach { case (u, v) =>
+      adj(u.toLong) ::= v.toLong; adj(v.toLong) ::= u.toLong
+    }
+    val srcNode = ed.toSeq
+      .flatMap { case ((u, v), w) => Seq((u.toLong, w), (v.toLong, w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (n, dw) => (-dw, n) }.head._1
+    val dist = scala.collection.mutable.Map(srcNode -> 0L)
+    var layer = List(srcNode); var d = 0L
+    while (layer.nonEmpty) {
+      d += 1
+      layer = layer.flatMap(adj).distinct.filterNot(dist.contains)
+      layer.foreach(n => dist(n) = d)
+    }
+    val brute = (0L until 25L).map(n => n -> dist.getOrElse(n, -1L)).toMap
+    assert(got == brute, s"spark=$got brute=$brute")
+    assert(brute.values.exists(_ > 0) && brute.values.exists(_ == -1L),
+      "fixture has no reachable or no unreachable node — vacuous")
+  }
+
+  test("winnowing fingerprint counts match a driver-side reference; density bounded") {
+    val got = run("llm_winnowing").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val k = 4; val w = 5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val grams = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      val keys = grams.zipWithIndex.map { case (g, i) =>
+        // same sortable key as the operator: hash ‖ reversed 1-based pos
+        md5hex(g) + "#" + f"${9999999 - (i + 1)}%07d"
+      }
+      if (grams.isEmpty) assert(!got.contains(id), s"doc $id should have no grams")
+      else {
+        val sel = (0 to keys.length - w).map(s => keys.slice(s, s + w).min).distinct
+        val (nGrams, nFps) = got(id)
+        assert(nGrams == grams.length, s"doc $id gram count")
+        assert(nFps == sel.length, s"doc $id: spark=$nFps brute=${sel.length}")
+        // winnowing density guarantee: at most one selection per window start
+        if (grams.length >= w) assert(nFps >= 1 && nFps <= grams.length - w + 1)
+      }
+    }
+  }
+
+  test("streamed upsert table equals the batch latest-per-user view") {
+    val got = run("ts_stream_upsert")
+    val direct = graft.sources.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    assert(got.exceptAll(direct).count() == 0 && direct.exceptAll(got).count() == 0,
+      "upsert state diverges from the batch latest-per-user view")
+  }
+
+  test("sized export rolls files at the record cap") {
+    val dir = java.nio.file.Files.createTempDirectory("sized").toString
+    graft.sources.Tables.orders(spark, sf)
+      .repartition(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", 500).parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).count().collect()
+    assert(perFile.length > 1, "record cap produced a single file")
+    assert(perFile.forall(_.getLong(1) <= 500),
+      "a file exceeds maxRecordsPerFile")
+    assert(perFile.map(_.getLong(1)).sum ==
+      graft.sources.Tables.orders(spark, sf).count())
+    graft.util.Scratch.deleteTree(dir)
+  }
+
   test("gap fill produces the dense grid: span × types rows, counts conserved") {
     val g = run("ts_gap_fill")
     val ev = graft.sources.Tables.events(spark, sf)
