@@ -152,6 +152,77 @@ object Aggregations {
       |  (1000000 * abs(approx_users - exact_users)) // exact_users AS err_pct_e6
       |FROM kmv JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** MERGEABLE-SKETCH DISTINCT — the property that makes approximate
+    * distinct count usable at 100 TB: KMV sketches (same k=64, 48-bit
+    * md5-prefix hash space as `agg_approx_hll`) are computed per
+    * (event_type, DAY) partition, then MERGED per type WITHOUT touching
+    * the base rows again. Merge = distinct-union of the partial min-k
+    * hash sets, re-take the k smallest. The identity that makes this
+    * sound: each of the global k smallest hashes is necessarily inside
+    * its own day's k smallest, so merged min-k == direct min-k EXACTLY
+    * (and when the global distinct count is under k, every day keeps
+    * its whole set, so the union IS the global set) — which is what the
+    * oracle checks by computing the sketch directly from the full
+    * table. This is the partial-aggregation contract any sketch must
+    * satisfy for map-side combine: a partition ships k longs upward,
+    * never its rows, and re-merging is associative and idempotent. */
+  def aggSketchMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val base = events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), h.as("h"))
+      .distinct()
+    val wd = Window.partitionBy("event_type", "day").orderBy("h")
+    // the per-day partial sketches: at most k hashes per (type, day)
+    val partials = base
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= 64)
+    // the merge: distinct-union of the partial sets, re-rank, kth value
+    val merged = partials.select("event_type", "h").distinct()
+    val est = merged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .withColumn("n_h", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === least(col("n_h"), lit(64L)))
+      .select(col("event_type"),
+        expr("case when n_h < 64 then n_h else (63 * 281474976710656) div h end")
+          .as("approx_users"))
+    val np = partials.groupBy("event_type")
+      .agg(countDistinct(col("day")).as("n_partials"))
+    val ex = events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(np, "event_type").join(ex, "event_type")
+      .select("event_type", "n_partials", "approx_users", "exact_users")
+      .orderBy("event_type")
+  }
+
+  /** Direct (unmerged) KMV from the full table — the merge identity
+    * means the partial-then-merge path must reproduce it bit-for-bit. */
+  val aggSketchMergeOracle: String =
+    """WITH hv AS (
+      |  SELECT DISTINCT event_type,
+      |    list_reduce(list_transform(range(1, 13),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_h
+      |  FROM hv),
+      |kmv AS (
+      |  SELECT event_type,
+      |    CASE WHEN n_h < 64 THEN n_h ELSE (63 * 281474976710656) // h END AS approx_users
+      |  FROM ranked WHERE rn = LEAST(n_h, 64)),
+      |np AS (SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials
+      |       FROM events GROUP BY 1),
+      |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      |       FROM events GROUP BY 1)
+      |SELECT kmv.event_type, n_partials, approx_users, exact_users
+      |FROM kmv JOIN np USING (event_type) JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** ROLLUP(region, nation) revenue. Spark sorts nulls first by default;
     * the oracle says NULLS FIRST explicitly. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -469,6 +540,7 @@ object Aggregations {
     "agg_having" -> (aggHaving _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_hll" -> (aggApproxHll _),
+    "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -486,6 +558,7 @@ object Aggregations {
     "agg_having" -> aggHavingOracle,
     "agg_count_distinct" -> aggCountDistinctOracle,
     "agg_approx_hll" -> aggApproxHllOracle,
+    "agg_sketch_merge" -> aggSketchMergeOracle,
     "agg_rollup" -> aggRollupOracle,
     "agg_cube" -> aggCubeOracle,
     "agg_grouping_sets" -> aggGroupingSetsOracle,

@@ -71,7 +71,13 @@ object KvCompaction {
     *    each (rowkey, qualifier-base) coordinate (HBase's VERSIONS=k,
     *    enforced — as in HBase — at major compaction, not at write);
     *  - `purgeTombstones = true` drops every cell at a coordinate
-    *    holding a [[Tombstone]] marker, marker included.
+    *    holding a [[Tombstone]] marker, marker included;
+    *  - `keepIf = Some(pred)` keeps only cells satisfying the predicate
+    *    (a Column over rowkey/qualifier/value) — the hook HBase's
+    *    time-to-live occupies: TTL is just `cell age <= ttl` evaluated
+    *    where HBase evaluates it, inside the major-compaction rewrite.
+    *    The predicate must be deterministic (it is evaluated once for
+    *    the survivor count and once in the rewrite).
     *
     * GC is expressed here as a filter/window pass BEFORE the range
     * shuffle for clarity; at 100 TB it collapses into the compaction's
@@ -83,7 +89,8 @@ object KvCompaction {
     * is "lossless modulo the declared policy", never silently lossy. */
   def compact(spark: SparkSession, storeRaw: String, targetFiles: Int,
       retainVersions: Option[Int] = None,
-      purgeTombstones: Boolean = false): CompactStats = {
+      purgeTombstones: Boolean = false,
+      keepIf: Option[org.apache.spark.sql.Column] = None): CompactStats = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     retainVersions.foreach(k =>
       require(k >= 1, s"retainVersions must be >= 1, got $k"))
@@ -117,8 +124,12 @@ object KvCompaction {
           .select("rowkey", "qualifier").distinct()
         raw.join(markers, Seq("rowkey", "qualifier"), "left_anti")
       }
-    val survivors = retainVersions match {
+    val retained = keepIf match {
       case None => unmasked
+      case Some(pred) => unmasked.filter(pred)
+    }
+    val survivors = retainVersions match {
+      case None => retained
       case Some(k) =>
         import org.apache.spark.sql.expressions.Window
         // unversioned qualifiers get base = qualifier, version = 0: each
@@ -126,7 +137,7 @@ object KvCompaction {
         val versioned = col("qualifier").rlike(VersionedQualifier)
         val w = Window.partitionBy(col("rowkey"), col("gc_base"))
           .orderBy(col("gc_version").desc, col("qualifier").desc)
-        unmasked
+        retained
           .withColumn("gc_base", when(versioned,
             regexp_extract(col("qualifier"), VersionedQualifier, 1))
             .otherwise(col("qualifier")))
@@ -140,7 +151,7 @@ object KvCompaction {
     // the policy's predicted survivor count — one counting job; a plain
     // compaction predicts cellsBefore for free
     val expected =
-      if (retainVersions.isEmpty && !purgeTombstones) cellsBefore
+      if (retainVersions.isEmpty && !purgeTombstones && keepIf.isEmpty) cellsBefore
       else survivors.count()
 
     survivors
@@ -251,5 +262,58 @@ object KvCompaction {
     // the merged file, so the live total is its sum minus the victims
     CompactStats(before.size, KvFormat.dataFiles(store).size,
       postMeta.values.map(_.cells).sum - cellsBefore)
+  }
+
+  /** Result of one bulk load: staged files adopted and cells carried. */
+  final case class BulkLoadStats(filesLoaded: Int, cells: Long)
+
+  /** BULK LOAD (HBase completebulkload): adopt pre-sorted, REGION-ALIGNED
+    * staged files into a live store by FILE MOVE — the ingest path that
+    * bypasses the write path entirely. The staging job (a Spark write
+    * elsewhere: `repartitionByRange(n, rowkey)` + `sortWithinPartitions`
+    * through the graft-kv writer) already produced exactly what a store
+    * file must be — sorted, stats-indexed, rowkey-disjoint — so loading
+    * is O(files) metadata work regardless of data volume: at 100 TB the
+    * cluster writes the files once and the "load" is a rename per file
+    * plus one index merge, the whole reason HBase bulk ingest exists.
+    *
+    * Preconditions enforced (load refuses, store untouched):
+    * every staged file has a committed stats entry (the load trusts the
+    * index for cell counts — an index-less file would load blind), and
+    * staged files are PAIRWISE DISJOINT in rowkey (region alignment; the
+    * range partitioner guarantees it, a hand-built staging dir may not).
+    *
+    * Crash window: some files adopted, index not yet merged — reads are
+    * directory-listing-based so every adopted cell is already visible
+    * and correct; the affected files merely lack stats (pruning and
+    * stats pushdown degrade, correctness does not) until a re-run or
+    * the next compaction rebuilds their entries. Adopted names carry a
+    * fresh tag so a staged name can never collide with a live file. */
+  def bulkLoad(stagingRaw: String, storeRaw: String): BulkLoadStats = {
+    val staging = Paths.get(stagingRaw).normalize.toString
+    val store = Paths.get(storeRaw).normalize.toString
+    require(staging != store, s"bulk load: staging dir IS the store: $store")
+    Files.createDirectories(Paths.get(store))
+    val files = KvFormat.dataFiles(staging)
+    require(files.nonEmpty, s"bulk load: no staged data files under $staging")
+    val meta = KvMeta.read(staging)
+    val names = files.map(_.getFileName.toString)
+    require(names.forall(meta.contains),
+      s"bulk load: staged file without a committed stats entry under $staging")
+    val byRange = names.map(meta(_)).sortBy(m => (m.minKey, m.maxKey))
+    byRange.sliding(2).foreach {
+      case Seq(a, b) => require(a.maxKey < b.minKey,
+        s"bulk load: staged files overlap in rowkey: ${a.file}[${a.minKey},${a.maxKey}] vs ${b.file}[${b.minKey},${b.maxKey}]")
+      case _ => ()
+    }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = byRange.zipWithIndex.map { case (m, i) =>
+      val newName = s"bulk-$tag-$i-${m.file}"
+      Files.move(Paths.get(staging, m.file), Paths.get(store, newName),
+        StandardCopyOption.ATOMIC_MOVE)
+      m.copy(file = newName)
+    }
+    KvMeta.append(store, adopted)
+    BulkLoadStats(adopted.size, adopted.map(_.cells).sum)
   }
 }

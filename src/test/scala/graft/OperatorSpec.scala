@@ -848,3 +848,46 @@ class StreamingSpec extends SparkSpec {
     assert(cells.exceptAll(restored).count() == 0)
   }
 }
+
+/** Round-8e invariants: the sketch-merge identity and TTL retention —
+  * properties the row-shaped oracles state but cannot explain. */
+class MaintenanceSpec extends SparkSpec {
+  test("KMV partial-then-merge equals the direct sketch; partials = days") {
+    val merged = run("agg_sketch_merge")
+    // the merge identity: computing the sketch per-day and merging must
+    // reproduce the DIRECT sketch from the full table, bit for bit
+    val ev = graft.sources.Tables.events(spark, sf)
+    val direct = ev
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("h")))
+      .withColumn("n_h", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("rn") === least(col("n_h"), lit(64L)))
+      .select(col("event_type"),
+        expr("case when n_h < 64 then n_h else (63 * 281474976710656) div h end")
+          .as("direct_approx"))
+    val joined = merged.join(direct, "event_type")
+    assert(joined.filter(col("approx_users") =!= col("direct_approx")).count() == 0,
+      "merged sketch diverged from the direct sketch — the merge is not lossless")
+    val days = ev.select(to_date(col("ts"))).distinct().count()
+    assert(merged.filter(col("n_partials") > days).count() == 0)
+    assert(merged.filter(col("n_partials") < 1).count() == 0)
+  }
+
+  test("TTL expiry: no surviving cell is older than the cutoff, younger cells all survive") {
+    val survived = run("kv_ttl_expiry")
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cutoff = ev.agg(date_format(date_sub(max(to_date(col("ts"))), 13), "yyyyMMdd"))
+      .collect()(0).getString(0)
+    assert(survived.filter(substring(col("qualifier"), 3, 8) < cutoff).count() == 0,
+      "an expired cell survived the TTL compaction")
+    val inWindow = ev.filter(date_format(to_date(col("ts")), "yyyyMMdd") >= cutoff).count()
+    val total = ev.count()
+    assert(survived.count() == inWindow, "a live cell was over-expired")
+    assert(inWindow < total, "fixture has no expirable cells — TTL untested")
+  }
+}

@@ -256,4 +256,72 @@ class KvCompactionSpec extends SparkSpec {
       "failed compaction stranded the store-sized tmp tree")
     assert(KvFormat.dataFiles(store).nonEmpty, "live store must be untouched")
   }
+
+  test("bulk load adopts region-aligned staged files by move; reads stay coherent") {
+    val store = freshStore()
+    val staging = freshStore()
+    // written half through the normal path, bulk half staged region-aligned
+    cells.filter(col("qualifier") === "acctbal")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    cells.filter(col("qualifier") =!= "acctbal")
+      .repartitionByRange(3, col("rowkey"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", staging).mode("append").save()
+    val filesBefore = KvFormat.dataFiles(store).size
+    val stagedCells = spark.read.format("graft-kv").load(staging).count()
+    val stats = KvCompaction.bulkLoad(staging, store)
+    // the load is a MOVE: staging is drained, the store gains exactly
+    // the staged files, and each adopted file carries its stats entry
+    assert(KvFormat.dataFiles(staging).isEmpty, "staged files were copied, not moved")
+    assert(KvFormat.dataFiles(store).size == filesBefore + stats.filesLoaded)
+    assert(stats.cells == stagedCells)
+    val meta = KvMeta.read(store)
+    assert(KvFormat.dataFiles(store).map(_.getFileName.toString).forall(meta.contains),
+      "an adopted file lost its stats entry (pruning would degrade)")
+    // adopted entries stay pairwise rowkey-disjoint (region alignment)
+    val adopted = meta.values.filter(_.file.startsWith("bulk-")).toSeq
+      .sortBy(_.minKey)
+    assert(adopted.size >= 2)
+    adopted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey, "adopted files overlap")
+      case _ => ()
+    }
+    // the store serves one coherent table: written + loaded == the model
+    val after = spark.read.format("graft-kv").load(store)
+    assert(after.exceptAll(cells).count() == 0 && cells.exceptAll(after).count() == 0)
+  }
+
+  test("bulk load refuses overlapping staged files and leaves the store untouched") {
+    val store = freshStore()
+    val staging = freshStore()
+    cells.filter(col("qualifier") === "acctbal")
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    // two appends split by rowkey PARITY: full-range overlap, not regions
+    (0 until 2).foreach { i =>
+      cells.filter(col("qualifier") === "name" && col("rowkey") % 2 === i)
+        .coalesce(1)
+        .write.format("graft-kv").option("path", staging).mode("append").save()
+    }
+    val before = KvFormat.dataFiles(store).map(_.getFileName.toString)
+    val e = intercept[IllegalArgumentException] { KvCompaction.bulkLoad(staging, store) }
+    assert(e.getMessage.contains("overlap"))
+    assert(KvFormat.dataFiles(store).map(_.getFileName.toString) == before,
+      "a refused bulk load mutated the live store")
+    assert(KvFormat.dataFiles(staging).size == 2,
+      "a refused bulk load consumed staged files")
+  }
+
+  test("keepIf GC predicate drops exactly the predicted cells, lossless otherwise") {
+    val store = freshStore()
+    fragmented(store, 3)
+    val keep = col("qualifier") =!= "name"
+    val expected = cells.filter(keep).count()
+    val droppedExpected = cells.count() - expected
+    val stats = KvCompaction.compact(spark, store, targetFiles = 2, keepIf = Some(keep))
+    assert(stats.dropped == droppedExpected)
+    val after = spark.read.format("graft-kv").load(store)
+    assert(after.count() == expected)
+    assert(after.filter(col("qualifier") === "name").count() == 0,
+      "a cell failing the keep predicate survived the rewrite")
+  }
 }
