@@ -526,10 +526,42 @@ object Aggregations {
       |  ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*), 6) AS avg_total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** FIXED-WIDTH HISTOGRAM — the profiling primitive every engine ships
+    * (DuckDB `histogram`, Spark `width_bucket`): lineitem extendedprice
+    * binned into $10,000-wide buckets per returnflag, with count and
+    * exact decimal mass per bin. The bucket id is EXACT INTEGER math —
+    * price → DECIMAL(18,2) → cents (×100 is lossless: TPC-H money has
+    * exactly 2 decimals, so the decimal product's fraction is zero and
+    * truncate-vs-round cast cannot diverge between engines) → BIGINT
+    * `div` — because a float `floor(price/width)` would let a boundary
+    * value land in different bins per engine. One partial+final
+    * HashAggregate over a pruned 3-column scan: bin cardinality is
+    * data-range/width (~60 bins), so at 100 TB the shuffle carries a
+    * few hundred rows per mapper regardless of input size. */
+  def aggHistFixed(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .withColumn("bucket",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000000"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("sum_price"))
+      .withColumn("bucket_lo", col("bucket") * 10000)
+      .select("l_returnflag", "bucket", "bucket_lo", "n", "sum_price")
+      .orderBy("l_returnflag", "bucket")
+
+  val aggHistFixedOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000 AS bucket,
+      |  (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000) * 10000 AS bucket_lo,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
   /** Per-process tag for scratch parquet (mirror of Scans.procTag). */
   private val aggProcTag: String = java.util.UUID.randomUUID().toString.take(8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_fixed" -> (aggHistFixed _),
     "agg_mode" -> (aggMode _),
     "agg_partial_merge" -> (aggPartialMerge _),
     "agg_corr_exact" -> (aggCorrExact _),
@@ -548,6 +580,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_hist_fixed" -> aggHistFixedOracle,
     "agg_mode" -> aggModeOracle,
     "agg_partial_merge" -> aggPartialMergeOracle,
     "agg_corr_exact" -> aggCorrExactOracle,

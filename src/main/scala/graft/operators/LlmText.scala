@@ -811,7 +811,55 @@ object LlmText {
       |    '\+?\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CHARACTER-BIGRAM ENTROPY FILTER — the information-theoretic
+    * quality gate (low entropy = machine-generated or repetitive junk;
+    * the C4/Gopher-family heuristics carry an entropy-style cut):
+    * per-doc Shannon entropy over the character-bigram distribution,
+    * via the identity H = ln(n) − (Σ c·ln c)/n which needs only one
+    * grouped count pass. Docs at or above the 4.0-nat cut survive
+    * (the fixture corpus spans ~3.2-4.6 nats, so the cut prunes a real
+    * low-entropy tail at every SF instead of passing vacuously).
+    * Determinism: the only float reduction is Σ c·ln c (≤ ~600 terms
+    * per doc, abs error ~1e-13 against a ~1e0 ROUND-6 grid); the
+    * explicit `length >= 2` guard matters because Spark's
+    * `sequence(1, 0)` counts DOWN (yielding phantom bigrams) where
+    * DuckDB's `range(1, 1)` is empty. Shape at 100 TB: explode →
+    * one groupBy(doc, bigram) → one groupBy(doc); all shuffles are
+    * keyed by doc_id, so this is per-document parallel with no
+    * global state. */
+  def llmEntropyFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = documents(spark, sfDir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    bi.groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .withColumn("entropy",
+        r6(log(col("n_bigrams").cast("double")) -
+          col("sclc") / col("n_bigrams").cast("double")))
+      .filter(col("entropy") >= 4.0)
+      .select("doc_id", "lang", "n_bigrams", "entropy")
+      .orderBy("doc_id")
+  }
+
+  val llmEntropyFilterOracle: String =
+    """WITH bi AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg
+      |  FROM (SELECT doc_id, lang, text, UNNEST(range(1, len(text))) AS i
+      |        FROM documents WHERE len(text) >= 2)),
+      |cnt AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      |ent AS (SELECT doc_id, lang,
+      |    CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    ROUND(LN(CAST(SUM(c) AS DOUBLE)) -
+      |      SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_bigrams, entropy FROM ent
+      |WHERE entropy >= 4.0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_entropy_filter" -> (llmEntropyFilter _),
     "llm_inverted_index" -> (llmInvertedIndex _),
     "llm_bm25_topk" -> (llmBm25Topk _),
     "llm_decontaminate" -> (llmDecontaminate _),
@@ -834,6 +882,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_entropy_filter" -> llmEntropyFilterOracle,
     "llm_inverted_index" -> llmInvertedIndexOracle,
     "llm_bm25_topk" -> llmBm25TopkOracle,
     "llm_decontaminate" -> llmDecontaminateOracle,

@@ -946,7 +946,55 @@ object Sources {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** WAL REPLAY — the HBase recovery path (distributed log split →
+    * per-region replay) as a graded key: an append-only edit log is
+    * split BY REGION into separate files, then each (rowkey, qualifier)
+    * coordinate replays to its highest-seqid entry, delete markers
+    * suppress the cell, and the surviving puts flush into a graft-kv
+    * store (the memstore-flush step). Events plays the WAL directly:
+    * rowkey = user_id, qualifier = event_type, seq = event_id (unique,
+    * monotone — a real WAL's per-region sequence id), op = delete when
+    * value < 5.0. Last-write-wins is a rank-1 window keyed by the cell
+    * coordinate — ONE shuffle at any scale, and the region partitioning
+    * of the log mirrors how a 1000-region cluster replays logs in
+    * parallel with no cross-region coordination. The oracle recomputes
+    * the final state straight from events, so the log write, split
+    * read-back, replay, and store roundtrip must all be lossless. */
+  def kvWalReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val walDir = scratch(sfDir, "kv_wal_log")
+    events(spark, sfDir).select(
+        col("user_id").as("rowkey"),
+        col("event_type").as("qualifier"),
+        col("event_id").as("seq"),
+        when(col("value") < 5.0, "delete").otherwise("put").as("op"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) AS STRING)").as("value"),
+        (col("user_id") % 4).as("region"))
+      .write.mode("overwrite").partitionBy("region").parquet(walDir)
+    val replayed = spark.read.parquet(walDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("rowkey", "qualifier").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && col("op") === "put")
+      .select("rowkey", "qualifier", "value")
+    val store = freshStorePath(sfDir, "kv_wal_store")
+    replayed.write.format("graft-kv").option("path", store).mode("append").save()
+    spark.read.format("graft-kv").load(store).orderBy("rowkey", "qualifier")
+  }
+
+  val kvWalReplayOracle: String =
+    """WITH wal AS (SELECT user_id AS rowkey, event_type AS qualifier,
+      |    event_id AS seq,
+      |    CASE WHEN value < 5.0 THEN 'delete' ELSE 'put' END AS op,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+      |  FROM events),
+      |last AS (SELECT rowkey, qualifier, op, value,
+      |    ROW_NUMBER() OVER (PARTITION BY rowkey, qualifier ORDER BY seq DESC) AS rn
+      |  FROM wal)
+      |SELECT rowkey, qualifier, value FROM last
+      |WHERE rn = 1 AND op = 'put' ORDER BY rowkey, qualifier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv_wal_replay" -> (kvWalReplay _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
@@ -976,6 +1024,7 @@ object Sources {
     "export_bucketed" -> (exportBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "kv_wal_replay" -> kvWalReplayOracle,
     "source_text_roundtrip" -> sourceTextRoundtripOracle,
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,

@@ -855,7 +855,79 @@ object TimeSeries {
       |FROM ev JOIN st USING (event_type)
       |GROUP BY ev.event_type ORDER BY event_type""".stripMargin
 
+  /** LAGGED CROSS-CORRELATION — "does click volume predict purchase
+    * volume k hours later?": Pearson corr between the dense hourly
+    * click-count series and the purchase-count series shifted by lag
+    * 0..3. Built the `agg_corr_exact` way: both series are INTEGER
+    * counts on a zero-filled hourly spine (so the moment sums Σx Σy Σxy
+    * Σx² Σy² are exact in any partition order), then one identical
+    * closed-form double expression + ROUND 6 on both engines. Shape at
+    * 100 TB: the only data-sized pass is the first groupBy(hour) —
+    * everything after runs on the spine (hours × 4 lags), which is
+    * metadata-sized; the self-join on shifted hours broadcasts. */
+  def tsLagCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val counts = ev.groupBy("h").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    val bounds = ev.agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
+    val spine = bounds.select(explode(expr("sequence(t0, t1)")).as("h"))
+    val dense = spine.join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("a", "b"))
+    val lags = spark.range(0L, 4L).select(col("id").as("lag"))
+    // pair x=clicks(h) with y=purchases(h+lag); inner join trims the
+    // ragged tail so every lag correlates over exactly t1-t0+1-lag pairs
+    val pairs = dense.select(col("h"), col("a")).crossJoin(broadcast(lags))
+      .join(broadcast(dense.select(col("h").as("h2"), col("b"))),
+        col("h2") === col("h") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).cast("decimal(28,2)").as("n"),
+        sum(col("a")).cast("decimal(28,2)").as("sx"),
+        sum(col("b")).cast("decimal(28,2)").as("sy"),
+        sum(col("a") * col("b")).cast("decimal(38,4)").as("sxy"),
+        sum(col("a") * col("a")).cast("decimal(38,4)").as("sxx"),
+        sum(col("b") * col("b")).cast("decimal(38,4)").as("syy"))
+      .select(col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        r6((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")))).as("corr"))
+      .orderBy("lag")
+  }
+
+  val tsLagCorrOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h
+      |  FROM events),
+      |counts AS (SELECT h,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM ev GROUP BY 1),
+      |b AS (SELECT MIN(h) AS t0, MAX(h) AS t1 FROM ev),
+      |spine AS (SELECT UNNEST(range(t0, t1 + 1)) AS h FROM b),
+      |dense AS (SELECT s.h, COALESCE(c.a, 0) AS a, COALESCE(c.b, 0) AS b
+      |  FROM spine s LEFT JOIN counts c ON s.h = c.h),
+      |lags AS (SELECT UNNEST(range(0, 4)) AS lag),
+      |pairs AS (SELECT l.lag, x.a, y.b
+      |  FROM dense x CROSS JOIN lags l JOIN dense y ON y.h = x.h + l.lag),
+      |m AS (SELECT lag, CAST(COUNT(*) AS DECIMAL(28,2)) AS n,
+      |    CAST(SUM(a) AS DECIMAL(28,2)) AS sx, CAST(SUM(b) AS DECIMAL(28,2)) AS sy,
+      |    CAST(SUM(a * b) AS DECIMAL(38,4)) AS sxy,
+      |    CAST(SUM(a * a) AS DECIMAL(38,4)) AS sxx,
+      |    CAST(SUM(b * b) AS DECIMAL(38,4)) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+      |FROM m ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_lag_corr" -> (tsLagCorr _),
     "ts_gap_fill" -> (tsGapFill _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -878,6 +950,7 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_lag_corr" -> tsLagCorrOracle,
     "ts_gap_fill" -> tsGapFillOracle,
     "ts_anomaly" -> tsAnomalyOracle,
     "ts_stream_upsert" -> tsStreamUpsertOracle,

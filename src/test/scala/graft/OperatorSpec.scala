@@ -891,3 +891,61 @@ class MaintenanceSpec extends SparkSpec {
     assert(inWindow < total, "fixture has no expirable cells — TTL untested")
   }
 }
+
+/** Round-8f invariants: histogram mass conservation, WAL last-write-wins,
+  * cross-correlation geometry, and the entropy upper bound. */
+class ReplaySpec extends SparkSpec {
+  test("histogram conserves row count and every bucket's mass sits in its range") {
+    val h = run("agg_hist_fixed")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    assert(h.agg(sum(col("n"))).collect()(0).getLong(0) == li.count(),
+      "histogram dropped or double-counted rows")
+    assert(h.filter(col("bucket_lo") =!= col("bucket") * 10000).count() == 0)
+    assert(h.filter(col("n") <= 0).count() == 0, "an empty bucket was emitted")
+    // every member price lies in [lo, lo+width) ⇒ the bucket's mass must too
+    assert(h.filter(col("sum_price") < col("n") * col("bucket_lo") ||
+      col("sum_price") >= col("n") * (col("bucket_lo") + 10000)).count() == 0,
+      "a bucket holds mass outside its own range — bucket id math is wrong")
+  }
+
+  test("WAL replay is last-write-wins with delete suppression") {
+    val st = run("kv_wal_replay")
+    assert(st.groupBy("rowkey", "qualifier").count()
+      .filter(col("count") > 1).count() == 0,
+      "replay left more than one version at a coordinate")
+    // recompute the winners via max_by — an independent expression path
+    // from the ranked-window replay
+    val ev = graft.sources.Tables.events(spark, sf)
+    val win = ev.groupBy(col("user_id").as("rowkey"),
+        col("event_type").as("qualifier"))
+      .agg(expr("max_by(value < 5.0, event_id)").as("del"))
+    assert(st.count() == win.filter(!col("del")).count(),
+      "surviving cell count diverges from independently computed winners")
+    assert(st.join(win.filter(col("del")), Seq("rowkey", "qualifier"),
+      "left_semi").count() == 0,
+      "a cell whose last WAL entry was a delete survived replay")
+    assert(win.filter(col("del")).count() > 0,
+      "fixture exercises no deletes — tombstone suppression untested")
+  }
+
+  test("lag correlation: 4 lags over a shrinking overlap, |corr| <= 1") {
+    val rows = run("ts_lag_corr").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val np = rows.map(_.getLong(1))
+    (1 until 4).foreach(i =>
+      assert(np(i) == np(i - 1) - 1, "overlap must shrink by 1 per lag"))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9,
+      s"corr out of [-1,1] at lag ${r.getLong(0)}"))
+  }
+
+  test("bigram entropy is bounded by ln(n) and the cut prunes a real tail") {
+    val kept = run("llm_entropy_filter")
+    assert(kept.filter(col("entropy") >
+      expr("round(ln(cast(n_bigrams as double)), 6) + 1e-9")).count() == 0,
+      "entropy exceeded its uniform-distribution upper bound ln(n)")
+    assert(kept.filter(col("entropy") < 4.0).count() == 0)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(kept.count() > 0 && kept.count() < total,
+      "the entropy cut is vacuous on the fixture — threshold needs retuning")
+  }
+}
