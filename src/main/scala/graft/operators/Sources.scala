@@ -112,6 +112,43 @@ object Sources {
       |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** SCHEMA EVOLUTION — the long-lived-dataset reality at 100 TB: a
+    * column is added mid-stream and years of already-written files are
+    * never rewritten. Old-schema files (3 columns, even orderkeys) and
+    * new-schema files (+`o_orderstatus`, odd orderkeys) land in sibling
+    * dirs; the read merges parquet FOOTERS (`mergeSchema=true` — an
+    * O(files) metadata union, no data pass) and serves the union schema
+    * with NULL for the column the old files never had. The oracle
+    * recomputes the same union from the base table, so both the write
+    * split and the merged read must be lossless. Footer-merge cost is
+    * why Spark gates this behind an option: at 1M files the union runs
+    * distributed over footers only — still no data rewrite, which is
+    * the entire point vs a 100 TB backfill. */
+  def sourceSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "orders_schema_evo")
+    graft.util.Scratch.deleteTree(dest)
+    val o = orders(spark, sfDir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dest/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$dest/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dest/v1", s"$dest/v2")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val sourceSchemaEvolutionOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Parquet → raw text lines → read back (the log-file shape every
     * ingest pipeline starts from): one `<doc_id>\t<text>` line per
     * document, split on the FIRST tab at read (document text is
@@ -890,6 +927,39 @@ object Sources {
   /** split∘merge must be the identity on the model cells. */
   val kvSplitOracle: String = Scans.scanKvModelOracle
 
+  /** REGION MERGE — the other half of the HBase region lifecycle (see
+    * [[kvSplit]]): two adjacent child regions physically merge back into
+    * one store via [[graft.sources.KvCompaction.mergeRegions]] — a pure
+    * METADATA operation (adjacency proven from the stats index, files
+    * adopted by rename, parents retired after the merged index commits;
+    * zero data bytes read or rewritten no matter the region size, which
+    * is why HBase merges are cheap even on TB regions). The graded read
+    * is the MERGED store, so adoption must be lossless: the oracle is
+    * the split∘merge identity, same as `kv_split` — but here the merge
+    * is a physical store operation, not a two-dir unioned read. */
+  def kvRegionMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val parent = freshKvStore(spark, sfDir, "supplier_kv_rmerge_parent")
+    val Array(row) = parent.agg(min(col("rowkey")), max(col("rowkey"))).collect()
+    val splitAt = (row.getLong(0) + row.getLong(1)) / 2
+    val (childA, childB) = (freshStorePath(sfDir, "supplier_kv_rmerge_a"),
+      freshStorePath(sfDir, "supplier_kv_rmerge_b"))
+    parent.filter(col("rowkey") <= splitAt)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", childA).mode("append").save()
+    parent.filter(col("rowkey") > splitAt)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", childB).mode("append").save()
+    val merged = scratch(sfDir, "supplier_kv_rmerge_merged")
+    graft.util.Scratch.deleteTree(merged)
+    graft.sources.KvCompaction.mergeRegions(childA, childB, merged)
+    spark.read.format("graft-kv").load(merged)
+      .orderBy("rowkey", "qualifier")
+  }
+
+  val kvRegionMergeOracle: String = Scans.scanKvModelOracle
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -995,6 +1065,8 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv_wal_replay" -> (kvWalReplay _),
+    "kv_region_merge" -> (kvRegionMerge _),
+    "source_schema_evolution" -> (sourceSchemaEvolution _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
@@ -1025,6 +1097,8 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "kv_wal_replay" -> kvWalReplayOracle,
+    "kv_region_merge" -> kvRegionMergeOracle,
+    "source_schema_evolution" -> sourceSchemaEvolutionOracle,
     "source_text_roundtrip" -> sourceTextRoundtripOracle,
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,
     "source_json_roundtrip" -> sourceJsonRoundtripOracle,

@@ -157,7 +157,63 @@ object Windows {
       |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
       |ORDER BY p_partkey""".stripMargin
 
+  /** INTERVAL COALESCING (gaps-and-islands) — the range-union operator
+    * every temporal engine ships (merge overlapping validity intervals):
+    * per customer, each order opens a deterministic activity interval
+    * [orderdate, orderdate + (orderkey % 120 + 30) days]; overlapping or
+    * touching intervals coalesce into islands, reported with their
+    * extent, member count, and covered-day span. Classic two-window
+    * formulation: a running `max(end)` over strictly-preceding rows
+    * flags island starts (`start > prev_max`), a running sum of flags
+    * numbers the islands, one groupBy collapses them — two window passes
+    * + one agg over a SINGLE customer-keyed shuffle, no self-join. The
+    * window order key ends in the unique orderkey so frames are
+    * total-ordered and both engines see identical islands; all interval
+    * math is exact DATE + INT arithmetic. On the fixture ~30% of
+    * intervals merge, so both merged and singleton islands are graded. */
+  def winIntervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy("k")
+      .orderBy(col("s").asc, col("e").asc, col("uid").asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sfDir)
+      .select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 120 + 30).cast("int")).as("e"),
+        col("o_orderkey").as("uid"))
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("k").as("o_custkey"), col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"),
+        (datediff(max(col("e")), min(col("s"))) + 1).cast("long").as("span_days"))
+      .orderBy("o_custkey", "island")
+  }
+
+  val winIntervalMergeOracle: String =
+    """WITH iv AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 120 + 30 AS INT) AS e,
+      |    o_orderkey AS uid FROM orders),
+      |f AS (SELECT k, s, e, uid,
+      |    MAX(e) OVER (PARTITION BY k ORDER BY s, e, uid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |g AS (SELECT k, s, e,
+      |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY k ORDER BY s, e, uid
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f)
+      |SELECT k AS o_custkey, CAST(island AS BIGINT) AS island,
+      |  MIN(s) AS island_start, MAX(e) AS island_end,
+      |  COUNT(*) AS n_intervals,
+      |  CAST(DATE_DIFF('day', MIN(s), MAX(e)) + 1 AS BIGINT) AS span_days
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_interval_merge" -> (winIntervalMerge _),
     "win_cume_nth" -> (winCumeNth _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_rank_dense_ntile" -> (winRankDenseNtile _),
@@ -167,6 +223,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_interval_merge" -> winIntervalMergeOracle,
     "win_cume_nth" -> winCumeNthOracle,
     "win_topk_per_group" -> winTopkPerGroupOracle,
     "win_rank_dense_ntile" -> winRankDenseNtileOracle,

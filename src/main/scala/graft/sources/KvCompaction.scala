@@ -316,4 +316,74 @@ object KvCompaction {
     KvMeta.append(store, adopted)
     BulkLoadStats(adopted.size, adopted.map(_.cells).sum)
   }
+
+  /** Result of one region merge: files adopted from each parent and the
+    * cell total carried through (all counts from the stats index — the
+    * merge itself reads zero data bytes). */
+  final case class MergeStats(filesA: Int, filesB: Int, cells: Long)
+
+  /** REGION MERGE — the inverse of a region split, done the way HBase's
+    * `merge_region` does it: a pure METADATA operation. Two ADJACENT
+    * regions (every rowkey in A strictly below every rowkey in B,
+    * proven from the stats index alone) merge by ADOPTING both parents'
+    * data files into one store dir via rename — O(files) driver
+    * metadata, zero data bytes read or rewritten, regardless of region
+    * size. Files WITHIN a parent may overlap each other in rowkey
+    * (normal multi-flush state; the next major compaction re-sorts) —
+    * only the region-level ranges must be disjoint, exactly HBase's
+    * adjacency precondition.
+    *
+    * Refusal (both parents and the dest untouched): a parent with no
+    * data files, a data file without a committed stats entry (adjacency
+    * would be unprovable without reading data), overlapping region
+    * ranges, or a dest that already holds data files.
+    *
+    * Crash window: some files adopted, parents not yet retired — reads
+    * of the merged dir are directory-listing-based so adopted cells are
+    * visible and correct; a re-run refuses (dest non-empty) and the
+    * un-moved remainder stays readable in its parent, so no cell is
+    * ever unreachable. Parents are retired (deleted) only after the
+    * merged index commits — HBase's catalog-janitor step. */
+  def mergeRegions(aRaw: String, bRaw: String, mergedRaw: String): MergeStats = {
+    val a = Paths.get(aRaw).normalize.toString
+    val b = Paths.get(bRaw).normalize.toString
+    val merged = Paths.get(mergedRaw).normalize.toString
+    require(a != b && a != merged && b != merged,
+      s"region merge: parents and dest must be three distinct dirs")
+    val (filesA, filesB) = (KvFormat.dataFiles(a), KvFormat.dataFiles(b))
+    require(filesA.nonEmpty && filesB.nonEmpty,
+      s"region merge: a parent region has no data files ($a: ${filesA.size}, $b: ${filesB.size})")
+    val (metaA, metaB) = (KvMeta.read(a), KvMeta.read(b))
+    // stats for LIVE files only — a stale index entry for a deleted
+    // file must not widen a region's proven range
+    def liveStats(files: Seq[java.nio.file.Path],
+        meta: Map[String, KvFileMeta], dir: String): Seq[KvFileMeta] =
+      files.map { f =>
+        val n = f.getFileName.toString
+        require(meta.contains(n),
+          s"region merge: $dir/$n has no committed stats entry — adjacency unprovable")
+        meta(n)
+      }
+    val (statsA, statsB) = (liveStats(filesA, metaA, a), liveStats(filesB, metaB, b))
+    val (maxA, minB) = (statsA.map(_.maxKey).max, statsB.map(_.minKey).min)
+    require(maxA < minB,
+      s"region merge: regions are not adjacent (A max rowkey $maxA >= B min rowkey $minB)")
+    require(KvFormat.dataFiles(merged).isEmpty,
+      s"region merge: dest already holds data files: $merged")
+    Files.createDirectories(Paths.get(merged))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    def adopt(dir: String, stats: Seq[KvFileMeta], side: String): Seq[KvFileMeta] =
+      stats.map { m =>
+        val newName = s"merge-$tag-$side-${m.file}"
+        Files.move(Paths.get(dir, m.file), Paths.get(merged, newName),
+          StandardCopyOption.ATOMIC_MOVE)
+        m.copy(file = newName)
+      }
+    val adopted = adopt(a, statsA, "a") ++ adopt(b, statsB, "b")
+    KvMeta.append(merged, adopted)
+    // retire the emptied parents (data already safely adopted)
+    graft.util.Scratch.deleteTree(a)
+    graft.util.Scratch.deleteTree(b)
+    MergeStats(statsA.size, statsB.size, adopted.map(_.cells).sum)
+  }
 }

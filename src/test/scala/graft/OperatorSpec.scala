@@ -949,3 +949,37 @@ class ReplaySpec extends SparkSpec {
       "the entropy cut is vacuous on the fixture — threshold needs retuning")
   }
 }
+
+/** Round-8g invariants: interval-island geometry and schema-evolution
+  * NULL semantics ([[graft.sources.KvCompactionSpec]] owns the region-
+  * merge mechanism tests). */
+class LifecycleSpec extends SparkSpec {
+  test("interval islands are disjoint per customer and conserve intervals") {
+    val isl = run("win_interval_merge")
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(isl.agg(sum(col("n_intervals"))).collect()(0).getLong(0) == o.count(),
+      "coalescing dropped or duplicated source intervals")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("island")
+    val overlaps = isl
+      .withColumn("prev_end", lag(col("island_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("island_start") <= col("prev_end"))
+    assert(overlaps.count() == 0,
+      "adjacent islands overlap — they should have been merged")
+    assert(isl.filter(col("n_intervals") > 1).count() > 0,
+      "no interval ever merged — the fixture makes the operator vacuous")
+    assert(isl.filter(col("span_days") <= 0).count() == 0)
+  }
+
+  test("schema evolution serves NULL exactly where the old files lack the column") {
+    val df = run("source_schema_evolution")
+    assert(df.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderstatus").isNotNull).count() == 0,
+      "an old-schema row invented a value for the added column")
+    assert(df.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_orderstatus").isNull).count() == 0,
+      "a new-schema row lost its column value in the footer merge")
+    assert(df.count() == graft.sources.Tables.orders(spark, sf).count())
+  }
+}

@@ -311,6 +311,71 @@ class KvCompactionSpec extends SparkSpec {
       "a refused bulk load consumed staged files")
   }
 
+  test("region merge adopts adjacent parents by metadata move and retires them") {
+    val a = freshStore()
+    val b = freshStore()
+    val merged = freshStore()
+    val bounds = cells.agg(min(col("rowkey")), max(col("rowkey"))).collect().head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    cells.filter(col("rowkey") <= mid)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", a).mode("append").save()
+    cells.filter(col("rowkey") > mid)
+      .repartitionByRange(2, col("rowkey"), col("qualifier"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", b).mode("append").save()
+    KvReadStats.reset(a)
+    KvReadStats.reset(b)
+    val stats = KvCompaction.mergeRegions(a, b, merged)
+    assert(KvReadStats.forDir(a).linesRead.get() == 0 &&
+      KvReadStats.forDir(b).linesRead.get() == 0,
+      "region merge read data lines — it must be metadata-only")
+    assert(!Files.exists(java.nio.file.Paths.get(a)) &&
+      !Files.exists(java.nio.file.Paths.get(b)),
+      "merged parents were not retired")
+    assert(stats.cells == cells.count())
+    val after = spark.read.format("graft-kv").load(merged)
+    assert(after.exceptAll(cells).count() == 0 && cells.exceptAll(after).count() == 0)
+    val meta = KvMeta.read(merged)
+    assert(KvFormat.dataFiles(merged).map(_.getFileName.toString).forall(meta.contains),
+      "an adopted file lost its stats entry (pruning would degrade)")
+  }
+
+  test("region merge refuses overlapping parents and a non-empty dest") {
+    val a = freshStore()
+    val b = freshStore()
+    // parity split: full-range overlap — NOT adjacent regions
+    cells.filter(col("rowkey") % 2 === 0)
+      .write.format("graft-kv").option("path", a).mode("append").save()
+    cells.filter(col("rowkey") % 2 === 1)
+      .write.format("graft-kv").option("path", b).mode("append").save()
+    val dest = freshStore()
+    val e = intercept[IllegalArgumentException] {
+      KvCompaction.mergeRegions(a, b, dest)
+    }
+    assert(e.getMessage.contains("adjacent"))
+    assert(KvFormat.dataFiles(a).nonEmpty && KvFormat.dataFiles(b).nonEmpty,
+      "a refused merge consumed parent files")
+    // adjacent parents, but the dest already holds data: refuse too
+    val lo = freshStore()
+    val hi = freshStore()
+    val bounds = cells.agg(min(col("rowkey")), max(col("rowkey"))).collect().head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    cells.filter(col("rowkey") <= mid)
+      .write.format("graft-kv").option("path", lo).mode("append").save()
+    cells.filter(col("rowkey") > mid)
+      .write.format("graft-kv").option("path", hi).mode("append").save()
+    val occupied = freshStore()
+    cells.limit(5)
+      .write.format("graft-kv").option("path", occupied).mode("append").save()
+    val e2 = intercept[IllegalArgumentException] {
+      KvCompaction.mergeRegions(lo, hi, occupied)
+    }
+    assert(e2.getMessage.contains("dest already holds"))
+    assert(KvFormat.dataFiles(lo).nonEmpty && KvFormat.dataFiles(hi).nonEmpty)
+  }
+
   test("keepIf GC predicate drops exactly the predicted cells, lossless otherwise") {
     val store = freshStore()
     fragmented(store, 3)
