@@ -381,7 +381,47 @@ object Joins {
       |  FROM events)
       |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
 
+  /** NULL-SAFE EQUI-JOIN (`<=>` / IS NOT DISTINCT FROM) — the join
+    * variant that treats NULL as a joinable value instead of silently
+    * dropping it, which matters exactly where warehouse pipelines grow
+    * NULL group keys (an "unknown" bucket on both sides of a
+    * summary-to-summary join must match ITSELF, not vanish). Both sides
+    * aggregate events on a deterministically-nulled key (every 10th
+    * event_id / every 7th user_id falls into the NULL bucket), then
+    * inner-join with `<=>`: a plain `=` would lose the NULL row from
+    * each side; the null-safe join returns it matched 1:1. Catalyst
+    * still plans `EqualNullSafe` as a HASH join (null hashes like any
+    * key under null-safe semantics), so the shape is one shuffle per
+    * side — no fallback to nested-loop, which is why this is safe at
+    * 100 TB where a BNLJ would not be. */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val left = ev
+      .withColumn("k", when(col("event_id") % 10 === 0, lit(null))
+        .otherwise(col("event_type")))
+      .groupBy("k").agg(count(lit(1)).as("n_left"))
+    val right = ev
+      .withColumn("k", when(col("user_id") % 7 === 0, lit(null))
+        .otherwise(col("event_type")))
+      .groupBy("k").agg(count(lit(1)).as("n_right"))
+    left.join(right, left("k") <=> right("k"))
+      .select(left("k").as("k"), col("n_left"), col("n_right"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  val joinNullSafeOracle: String =
+    """WITH l AS (SELECT CASE WHEN event_id % 10 = 0 THEN NULL
+      |    ELSE event_type END AS k, COUNT(*) AS n_left
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+      |    ELSE event_type END AS k, COUNT(*) AS n_right
+      |  FROM events GROUP BY 1)
+      |SELECT l.k, n_left, n_right FROM l JOIN r
+      |ON l.k IS NOT DISTINCT FROM r.k
+      |ORDER BY l.k NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_bucketed" -> (joinBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -399,6 +439,7 @@ object Joins {
     "join_range_bucket" -> (joinRangeBucket _))
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" -> joinNullSafeOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
     "join_bucketed" -> joinBucketedOracle,
     "join_skew_salted" -> joinSkewSaltedOracle,

@@ -858,7 +858,42 @@ object LlmText {
       |SELECT doc_id, lang, n_bigrams, entropy FROM ent
       |WHERE entropy >= 4.0 ORDER BY doc_id""".stripMargin
 
+  /** TRAINING-SHARD ASSIGNMENT — the last step before data loaders see
+    * the corpus: every document lands in one of 16 shards by a salted
+    * content-independent hash (first md5 hex nibble of the salted
+    * doc_id, mapped via alphabet position — the one hex-to-int idiom
+    * both engines share with no hex-cast), so the assignment is
+    * deterministic, reshuffle-free to recompute, and uniform (md5
+    * nibbles are unbiased; the spec pins max/min shard skew < 2×).
+    * Reported per shard: doc count, exact total characters (the
+    * token-budget proxy a loader balances by), and the id range. At
+    * 100 TB this is the partitioner of the final `partitionBy("shard")`
+    * export — one hash evaluation per row, one shuffle, 16 writer
+    * groups; the same salt trick as `llm_sample_stratified` means
+    * shard membership never changes across runs or engines. */
+  def llmShardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"),
+          substring(md5(concat(lit("shard1:"), col("doc_id").cast("string"))), 1, 1)) - 1)
+          .cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+
+  val llmShardAssignOracle: String =
+    """SELECT CAST(strpos('0123456789abcdef',
+      |    substr(md5('shard1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_shard_assign" -> (llmShardAssign _),
     "llm_entropy_filter" -> (llmEntropyFilter _),
     "llm_inverted_index" -> (llmInvertedIndex _),
     "llm_bm25_topk" -> (llmBm25Topk _),
@@ -882,6 +917,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_shard_assign" -> llmShardAssignOracle,
     "llm_entropy_filter" -> llmEntropyFilterOracle,
     "llm_inverted_index" -> llmInvertedIndexOracle,
     "llm_bm25_topk" -> llmBm25TopkOracle,

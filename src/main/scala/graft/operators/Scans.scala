@@ -250,7 +250,53 @@ object Scans {
       |WHERE user_id BETWEEN 10 AND 19 AND value >= 100 AND value < 150
       |ORDER BY event_id""".stripMargin
 
+  /** DYNAMIC PARTITION PRUNING — static pruning's runtime sibling and
+    * one of the biggest scan-cost levers on a partitioned 100 TB fact
+    * table: the fact is partitioned by `event_type`, and the partitions
+    * to read are only known AFTER the dimension side's filter runs
+    * (here: the event types whose exact-decimal value mass exceeds the
+    * corpus mean — a data-determined, SF-portable cut that always keeps
+    * some types and drops some). Catalyst injects a
+    * `dynamicpruningexpression` into the fact scan's partition filters,
+    * reusing the dim side's broadcast, so the pruned partitions' files
+    * are never opened — at 1000 partitions and a 1-in-5 dim filter
+    * that is 80% of scan IO gone at runtime, with no static predicate
+    * anywhere in the query. PlanSpec asserts the pruning subquery is
+    * really in the plan (the result alone can't prove files were
+    * skipped). */
+  def scanDynamicPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = s"/tmp/graft_export/$procTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events_dpp"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_export/$procTag")
+    val ev = events(spark, sfDir)
+    ev.select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    val fact = spark.read.parquet(dest)
+    // exact-decimal mean cut: 5 * type_mass > total_mass (all decimal
+    // algebra, so both engines agree at the boundary); at least one
+    // type is always above the mean and at least one below
+    val total = ev.agg(sum(dec(col("value")))).collect()(0).getDecimal(0)
+    val dim = ev.groupBy("event_type")
+      .agg(sum(dec(col("value"))).as("s"))
+      .filter(col("s") * 5 > lit(total))
+      .select("event_type")
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val scanDynamicPruningOracle: String =
+    """WITH dim AS (SELECT event_type FROM events GROUP BY 1
+      |  HAVING SUM(CAST(value AS DECIMAL(18,2))) * 5 >
+      |    (SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM events))
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_dynamic_pruning" -> (scanDynamicPruning _),
     "scan_partition_pruning" -> (scanPartitionPruning _),
     "export_partition_overwrite" -> (exportPartitionOverwrite _),
     "export_sized_files" -> (exportSizedFiles _),
@@ -262,6 +308,7 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "scan_dynamic_pruning" -> scanDynamicPruningOracle,
     "scan_partition_pruning" -> scanPartitionPruningOracle,
     "export_partition_overwrite" -> exportPartitionOverwriteOracle,
     "export_sized_files" -> exportSizedFilesOracle,

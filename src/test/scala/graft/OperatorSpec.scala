@@ -972,6 +972,36 @@ class LifecycleSpec extends SparkSpec {
     assert(isl.filter(col("span_days") <= 0).count() == 0)
   }
 
+  test("shard assignment is uniform, total, and deterministic") {
+    val shards = run("llm_shard_assign")
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(shards.agg(sum(col("n_docs"))).collect()(0).getLong(0) == total,
+      "sharding dropped or duplicated documents")
+    val counts = shards.select("n_docs").collect().map(_.getLong(0))
+    assert(counts.length == 16, s"expected 16 shards, got ${counts.length}")
+    // at sf0.001 a shard holds only ~31 docs, so binomial noise makes
+    // max/min ratios swing — bound each side against the MEAN instead
+    // (still fails hard if the hash concentrates or starves shards)
+    val mean = total.toDouble / counts.length
+    assert(counts.max < 2.0 * mean && counts.min > mean / 3.0,
+      s"shard skew vs mean $mean: max=${counts.max}, min=${counts.min}")
+    // deterministic: a second run assigns identically
+    val again = run("llm_shard_assign")
+    assert(shards.exceptAll(again).count() == 0 && again.exceptAll(shards).count() == 0)
+  }
+
+  test("null-safe join matches the NULL buckets 1:1; a plain join drops them") {
+    val df = run("join_null_safe")
+    assert(df.filter(col("k").isNull).count() == 1,
+      "the NULL bucket must match itself exactly once")
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.filter(col("event_id") % 10 === 0).count() > 0,
+      "fixture has no NULL-bucket rows — the key is vacuous")
+    val nullRow = df.filter(col("k").isNull).collect()(0)
+    assert(nullRow.getLong(1) == ev.filter(col("event_id") % 10 === 0).count())
+    assert(nullRow.getLong(2) == ev.filter(col("user_id") % 7 === 0).count())
+  }
+
   test("schema evolution serves NULL exactly where the old files lack the column") {
     val df = run("source_schema_evolution")
     assert(df.filter(col("o_orderkey") % 2 === 0 &&

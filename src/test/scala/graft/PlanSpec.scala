@@ -166,6 +166,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scan_dynamic_pruning injects a runtime pruning filter into the fact scan") {
+    val p = plan("scan_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamicpruningexpression in the fact scan — DPP did not fire:\n" + p.take(1200))
+  }
+
+  test("null-safe join plans as a hash join, never a nested loop") {
+    val p = plan("join_null_safe")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "EqualNullSafe fell out of the hash-join path:\n" + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no graded plan contains an unpartitioned (single-task) Window") {
     // An empty partitionSpec moves the ENTIRE input to one task — the
     // round-2 llm_pack_chunks scale-killer. Checked on the optimized
