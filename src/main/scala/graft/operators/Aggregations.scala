@@ -560,7 +560,79 @@ object Aggregations {
   /** Per-process tag for scratch parquet (mirror of Scans.procTag). */
   private val aggProcTag: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** EXACT SKEWNESS / EXCESS KURTOSIS per returnflag — the 3rd/4th
+    * standardized moments every profiler ships (`skewness()`,
+    * `kurtosis()`), built the `agg_corr_exact` way but one step
+    * further: quantity → exact integer CENTS (≤5000), whose 2nd/3rd/4th
+    * powers stay in BIGINT (≤6.25e14/row) and sum exactly in
+    * DECIMAL(38,0) — so the four power sums are bit-identical in any
+    * partition order. Both moments are scale-invariant, so cents need
+    * no rescaling. The closed forms then use ONLY IEEE
+    * correctly-rounded double ops (+,−,×,÷,sqrt; `m2^1.5` is written
+    * `m2*sqrt(m2)` specifically because POWER is not correctly rounded
+    * and could flip ROUND-6 at a boundary) in identical expression
+    * order on both engines. One partial+final HashAggregate over a
+    * 2-column scan — the 100 TB plan for any moment statistic. */
+  def aggSkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    lineitem(spark, sfDir)
+      .select(col("l_returnflag"), q.as("c"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("c").cast("decimal(28,0)")).cast("decimal(38,0)").as("s1"),
+        sum((col("c") * col("c")).cast("decimal(28,0)")).cast("decimal(38,0)").as("s2"),
+        sum((col("c") * col("c") * col("c")).cast("decimal(28,0)")).cast("decimal(38,0)").as("s3"),
+        sum((col("c") * col("c") * col("c") * col("c")).cast("decimal(28,0)")).cast("decimal(38,0)").as("s4"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m1", col("s1").cast("double") / col("nd"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("nd") - col("m1") * col("m1"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("nd")
+          - lit(3.0) * col("m1") * col("s2").cast("double") / col("nd")
+          + lit(2.0) * col("m1") * col("m1") * col("m1"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("nd")
+          - lit(4.0) * col("m1") * col("s3").cast("double") / col("nd")
+          + lit(6.0) * col("m1") * col("m1") * col("s2").cast("double") / col("nd")
+          - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        r6(col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+        r6(col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggSkewKurtosisOracle: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2,
+      |    CAST(SUM(CAST(c * c * c AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s3,
+      |    CAST(SUM(CAST(c * c * c * c AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s4
+      |  FROM (SELECT l_returnflag,
+      |      CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |    FROM lineitem) GROUP BY l_returnflag),
+      |a AS (SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+      |    CAST(s4 AS DOUBLE) AS s4d
+      |  FROM s),
+      |b AS (SELECT l_returnflag, n, nd, m1, s2d, s3d, s4d,
+      |    s2d / nd - m1 * m1 AS m2,
+      |    s3d / nd - 3.0 * m1 * s2d / nd + 2.0 * m1 * m1 * m1 AS m3,
+      |    s4d / nd - 4.0 * m1 * s3d / nd + 6.0 * m1 * m1 * s2d / nd
+      |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+      |  FROM a)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+      |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+      |FROM b ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_kurtosis" -> (aggSkewKurtosis _),
     "agg_hist_fixed" -> (aggHistFixed _),
     "agg_mode" -> (aggMode _),
     "agg_partial_merge" -> (aggPartialMerge _),
@@ -580,6 +652,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_skew_kurtosis" -> aggSkewKurtosisOracle,
     "agg_hist_fixed" -> aggHistFixedOracle,
     "agg_mode" -> aggModeOracle,
     "agg_partial_merge" -> aggPartialMergeOracle,

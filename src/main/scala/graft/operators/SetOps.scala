@@ -78,7 +78,42 @@ object SetOps {
       |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** BAG-SEMANTICS set ops (`ALL` variants) — multiplicity arithmetic,
+    * not membership: INTERSECT ALL keeps min(m,n) copies of each row,
+    * EXCEPT ALL keeps m−n. The multi-status customer key makes
+    * multiplicities real (a customer with 3 'O' orders and 1 'F' order
+    * contributes 1 to INTERSECT ALL and 2 to EXCEPT ALL — the DISTINCT
+    * variants above see only membership). Spark plans both as one
+    * count-aggregate per side + a join on the row value — same single
+    * shuffle as the DISTINCT forms, so bag semantics cost nothing extra
+    * at scale. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val setIntersectAllOracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val setExceptAllOracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
     "sort_multikey_limit" -> (sortMultikeyLimit _),
     "set_union_all" -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
@@ -86,6 +121,8 @@ object SetOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "set_intersect_all" -> setIntersectAllOracle,
+    "set_except_all" -> setExceptAllOracle,
     "sort_multikey_limit" -> sortMultikeyLimitOracle,
     "set_union_all" -> setUnionAllOracle,
     "set_union_distinct" -> setUnionDistinctOracle,

@@ -926,7 +926,49 @@ object TimeSeries {
       |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
       |FROM m ORDER BY lag""".stripMargin
 
+  /** PER-WINDOW EXACT DISTINCT — "unique users per hour", the metric
+    * behind every DAU/HAU dashboard and the canonical expensive
+    * windowed aggregate: COUNT(DISTINCT user_id) per tumbling hour,
+    * plus the returning-user split (users also active in the PREVIOUS
+    * hour — a window self-reference done as one lag-keyed semi-join on
+    * the already-aggregated (hour, user) pairs, never on raw events).
+    * Shape at 100 TB: one groupBy(hour, user) collapses raw events to
+    * the distinct pairs (map-side partial), then per-hour counts and
+    * the prev-hour membership join both run on the collapsed set —
+    * every shuffle is keyed by (hour[, user]) and the raw table is
+    * touched exactly once. Exact distinct per window stays feasible at
+    * scale precisely because of that pre-collapse; `agg_approx_hll`
+    * and `agg_sketch_merge` are the sketch path when it does not. */
+  def tsTumblingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("user_id"))
+      .distinct()
+    val prev = pairs.select((col("h") + 1).as("h"), col("user_id"))
+    val ret = pairs.join(prev, Seq("h", "user_id"), "left_semi")
+      .groupBy("h").agg(count(lit(1)).as("n_returning"))
+    pairs.groupBy("h").agg(count(lit(1)).as("n_distinct_users"))
+      .join(ret, Seq("h"), "left")
+      .na.fill(0L, Seq("n_returning"))
+      .select(col("h"), col("n_distinct_users"), col("n_returning"))
+      .orderBy("h")
+  }
+
+  val tsTumblingDistinctOracle: String =
+    """WITH pairs AS (SELECT DISTINCT
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    user_id FROM events),
+      |ret AS (SELECT p.h, COUNT(*) AS n_returning
+      |  FROM pairs p WHERE EXISTS (SELECT 1 FROM pairs q
+      |    WHERE q.h = p.h - 1 AND q.user_id = p.user_id)
+      |  GROUP BY 1)
+      |SELECT p.h,
+      |  COUNT(*) AS n_distinct_users,
+      |  COALESCE(MAX(r.n_returning), 0) AS n_returning
+      |FROM pairs p LEFT JOIN ret r ON p.h = r.h
+      |GROUP BY p.h ORDER BY p.h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_tumbling_distinct" -> (tsTumblingDistinct _),
     "ts_lag_corr" -> (tsLagCorr _),
     "ts_gap_fill" -> (tsGapFill _),
     "ts_ohlc" -> (tsOhlc _),
@@ -950,6 +992,7 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_tumbling_distinct" -> tsTumblingDistinctOracle,
     "ts_lag_corr" -> tsLagCorrOracle,
     "ts_gap_fill" -> tsGapFillOracle,
     "ts_anomaly" -> tsAnomalyOracle,

@@ -1012,4 +1012,46 @@ class LifecycleSpec extends SparkSpec {
       "a new-schema row lost its column value in the footer merge")
     assert(df.count() == graft.sources.Tables.orders(spark, sf).count())
   }
+
+  test("bag-semantics set ops obey the multiset partition identity") {
+    // for every key with m copies left / n right: min(m,n) + max(m-n,0) = m,
+    // so |A INTERSECT ALL B| + |A EXCEPT ALL B| = |A| exactly
+    val o = graft.sources.Tables.orders(spark, sf)
+    val leftCount = o.filter(col("o_orderstatus") === "O").count()
+    val both = run("set_intersect_all").count() + run("set_except_all").count()
+    assert(both == leftCount,
+      s"INTERSECT ALL + EXCEPT ALL = $both, left side = $leftCount")
+    // and the ALL variants must dominate the DISTINCT ones
+    assert(run("set_intersect_all").count() >= run("set_intersect").count())
+  }
+
+  test("exact moments agree with Spark's built-in skewness/kurtosis") {
+    val mine = run("agg_skew_kurtosis").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val builtin = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("s"), kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    mine.foreach { case (flag, (s, k)) =>
+      assert(math.abs(s - builtin(flag)._1) < 1e-4,
+        s"$flag skewness $s vs built-in ${builtin(flag)._1}")
+      assert(math.abs(k - builtin(flag)._2) < 1e-4,
+        s"$flag kurtosis $k vs built-in ${builtin(flag)._2}")
+    }
+  }
+
+  test("windowed distinct: returning users bounded and hour counts verified") {
+    val df = run("ts_tumbling_distinct")
+    assert(df.filter(col("n_returning") > col("n_distinct_users")).count() == 0,
+      "an hour reports more returning users than distinct users")
+    assert(df.filter(col("n_returning") > 0).count() > 0,
+      "fixture has no returning users — the split is vacuous")
+    // independent recomputation of one hour via countDistinct
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("user_id"))
+    val probe = df.orderBy(col("n_distinct_users").desc).collect()(0)
+    val direct = ev.filter(col("h") === probe.getLong(0))
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(probe.getLong(1) == direct)
+  }
 }
