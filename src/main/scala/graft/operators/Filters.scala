@@ -47,6 +47,39 @@ object Filters {
       |  CAST(SUM(CAST(NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM NULL AS INT)) AS BIGINT) AS n_nullsafe_eq_null
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** CORRELATED SCALAR SUBQUERY — "orders 1.5× above their own
+    * customer's average": the query shape users write, and the shape a
+    * naive engine executes as one subquery PER ROW. Catalyst
+    * DECORRELATES it — both correlated aggregates rewrite to one
+    * grouped aggregate per customer joined back to orders — so the
+    * executed plan is two shuffles total (agg + join) at any scale,
+    * never O(rows) subquery executions; PlanSpec pins the decorrelated
+    * shape (an Aggregate-join, no per-row subquery node survives).
+    * The 1.5×-average predicate is EXACT INTEGER algebra
+    * (2·cents·count > 3·Σcents — no decimal division, whose rounding
+    * scale differs between engines, and no float average anywhere near
+    * the comparison boundary). */
+  def filterCorrelated(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$sfDir/orders.parquet` o
+         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 *
+         |    (SELECT COUNT(*) FROM parquet.`$sfDir/orders.parquet` o2
+         |     WHERE o2.o_custkey = o.o_custkey)
+         |  > 3 * (SELECT SUM(CAST(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |         FROM parquet.`$sfDir/orders.parquet` o2
+         |         WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+
+  val filterCorrelatedOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 *
+      |    (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 3 * (SELECT SUM(CAST(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Nested CASE WHEN pricing tiers over orders. */
   def projectCaseWhen(spark: SparkSession, sfDir: String): DataFrame =
     orders(spark, sfDir)
@@ -66,11 +99,13 @@ object Filters {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_correlated" -> (filterCorrelated _),
     "filter_in_like_between" -> (filterInLikeBetween _),
     "filter_null_semantics" -> (filterNullSemantics _),
     "project_case_when" -> (projectCaseWhen _))
 
   val oracle: Map[String, String] = Map(
+    "filter_correlated" -> filterCorrelatedOracle,
     "filter_in_like_between" -> filterInLikeBetweenOracle,
     "filter_null_semantics" -> filterNullSemanticsOracle,
     "project_case_when" -> projectCaseWhenOracle)

@@ -967,7 +967,58 @@ object TimeSeries {
       |FROM pairs p LEFT JOIN ret r ON p.h = r.h
       |GROUP BY p.h ORDER BY p.h""".stripMargin
 
+  /** FORWARD FILL (LOCF) — the other resampling mode next to
+    * `ts_gap_fill`'s zero-fill: each event type's hourly series carries
+    * the LAST observed value across empty hours (sensor/price
+    * semantics, where absence means "unchanged" not "zero"). The
+    * per-hour observation is the value of that hour's final event
+    * (argmax by the unique event_id — deterministic in both engines,
+    * where a timestamp argmax could tie); the fill is one
+    * `last(value, ignoreNulls)` over an unbounded-preceding frame on
+    * the dense spine. Hours before a type's first observation stay
+    * NULL — LOCF has nothing to carry. Shape at 100 TB: one
+    * data-sized groupBy(type, hour), then the window runs on the
+    * metadata-sized spine (types × hours), partitioned by type — the
+    * same "reduce first, analyze the reduction" shape as
+    * `ts_lag_corr`. */
+  def tsFillForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val lastPerHour = ev.groupBy("event_type", "h")
+      .agg(expr("max_by(value, event_id)").as("v_obs"))
+    val bounds = ev.agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(t0, t1)")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(lastPerHour, Seq("event_type", "h"), "left")
+      .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("v_obs").isNull.cast("int"))
+      .select("event_type", "h", "v_filled", "is_gap")
+      .orderBy("event_type", "h")
+  }
+
+  val tsFillForwardOracle: String =
+    """WITH ev AS (SELECT event_type, event_id, value,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h
+      |  FROM events),
+      |obs AS (SELECT event_type, h, arg_max(value, event_id) AS v_obs
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT MIN(h) AS t0, MAX(h) AS t1 FROM ev),
+      |t AS (SELECT DISTINCT event_type FROM ev),
+      |s AS (SELECT t.event_type, CAST(u.g AS BIGINT) AS h
+      |  FROM t, b, UNNEST(range(b.t0, b.t1 + 1)) AS u(g))
+      |SELECT s.event_type, s.h,
+      |  LAST_VALUE(o.v_obs IGNORE NULLS) OVER (PARTITION BY s.event_type
+      |    ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+      |  CAST(o.v_obs IS NULL AS INT) AS is_gap
+      |FROM s LEFT JOIN obs o ON s.event_type = o.event_type AND s.h = o.h
+      |ORDER BY s.event_type, s.h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_fill_forward" -> (tsFillForward _),
     "ts_tumbling_distinct" -> (tsTumblingDistinct _),
     "ts_lag_corr" -> (tsLagCorr _),
     "ts_gap_fill" -> (tsGapFill _),
@@ -992,6 +1043,7 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_fill_forward" -> tsFillForwardOracle,
     "ts_tumbling_distinct" -> tsTumblingDistinctOracle,
     "ts_lag_corr" -> tsLagCorrOracle,
     "ts_gap_fill" -> tsGapFillOracle,

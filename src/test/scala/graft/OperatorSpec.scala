@@ -1040,6 +1040,38 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("forward fill carries only observed values, never invents or drops one") {
+    val df = run("ts_fill_forward")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+    assert(df.filter(col("is_gap") === 0).count() ==
+      ev.distinct().count(), "observed (type, hour) cells disagree with the source")
+    assert(df.filter(col("is_gap") === 0 && col("v_filled").isNull).count() == 0,
+      "an observed hour lost its value")
+    assert(df.filter(col("is_gap") === 1 && col("v_filled").isNotNull).count() > 0,
+      "fixture has no filled gaps — LOCF is vacuous")
+    // every filled value must EXIST among the type's observations
+    val obs = run("ts_fill_forward").filter(col("is_gap") === 0)
+      .select(col("event_type"), col("v_filled").as("v"))
+    val invented = df.filter(col("v_filled").isNotNull)
+      .select(col("event_type"), col("v_filled").as("v"))
+      .join(obs, Seq("event_type", "v"), "left_anti")
+    assert(invented.count() == 0, "LOCF produced a value never observed for its type")
+  }
+
+  test("correlated filter equals the explicit aggregate-join formulation") {
+    val sub = run("filter_correlated")
+    val o = graft.sources.Tables.orders(spark, sf)
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val per = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("s"))
+    val manual = o.join(per, Seq("o_custkey"))
+      .filter(col("cents") * 2 * col("cnt") > col("s") * 3)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(sub.exceptAll(manual).count() == 0 && manual.exceptAll(sub).count() == 0,
+      "correlated-subquery result diverges from its decorrelated equivalent")
+  }
+
   test("windowed distinct: returning users bounded and hour counts verified") {
     val df = run("ts_tumbling_distinct")
     assert(df.filter(col("n_returning") > col("n_distinct_users")).count() == 0,

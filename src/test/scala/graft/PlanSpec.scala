@@ -179,6 +179,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("correlated scalar subqueries decorrelate into aggregate joins") {
+    val qe = run("filter_correlated").queryExecution
+    // after decorrelation no per-row scalar subquery survives — the
+    // optimized plan is aggregates + joins only
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val survivors = qe.optimizedPlan.expressions.flatMap(_.collect {
+      case s: ScalarSubquery => s
+    })
+    assert(survivors.isEmpty,
+      "a correlated scalar subquery survived optimization (per-row execution at scale)")
+    assert(qe.optimizedPlan.toString.contains("Join"),
+      "decorrelation should produce an aggregate join")
+  }
+
   test("no graded plan contains an unpartitioned (single-task) Window") {
     // An empty partitionSpec moves the ENTIRE input to one task — the
     // round-2 llm_pack_chunks scale-killer. Checked on the optimized
