@@ -631,7 +631,56 @@ object Aggregations {
       |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
       |FROM b ORDER BY l_returnflag""".stripMargin
 
+  /** WEIGHTED MEDIAN — the robust-statistics sibling of
+    * `agg_percentiles`: the extendedprice at which half the total
+    * QUANTITY mass (not half the rows) has been seen, per returnflag.
+    * Definition: the smallest price p with 2·cumweight(p) ≥ totalweight
+    * — all weight arithmetic in exact integer quantity-cents, so the
+    * threshold test cannot drift between engines, and the selected
+    * price is tie-run-stable (if the threshold lands inside a run of
+    * equal prices, every order of the run selects the same price; the
+    * unique trailing sort keys make each row's cumsum deterministic
+    * anyway). Shape: one returnflag-keyed shuffle carrying BOTH the
+    * running cumsum and the per-flag total as framed windows, then a
+    * min-aggregate over the qualifying rows — no self-join, no second
+    * pass over the data. */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("l_returnflag")
+      .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_returnflag")
+    lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("w"))
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(all))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("price")).as("weighted_median"),
+        max(col("tw")).as("total_weight_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggWeightedMedianOracle: String =
+    """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    l_extendedprice AS price,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag, price,
+      |    SUM(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY price, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM t)
+      |SELECT l_returnflag, MIN(price) AS weighted_median,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight_cents
+      |FROM c WHERE cw * 2 >= tw
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_skew_kurtosis" -> (aggSkewKurtosis _),
     "agg_hist_fixed" -> (aggHistFixed _),
     "agg_mode" -> (aggMode _),
@@ -652,6 +701,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_median" -> aggWeightedMedianOracle,
     "agg_skew_kurtosis" -> aggSkewKurtosisOracle,
     "agg_hist_fixed" -> aggHistFixedOracle,
     "agg_mode" -> aggModeOracle,

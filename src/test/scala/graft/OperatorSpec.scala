@@ -1072,6 +1072,40 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("PITR equals full-log replay, and tail deletes really kill snapshot cells") {
+    val pitr = run("kv_pitr_restore")
+    val full = run("kv_wal_replay")
+    assert(pitr.exceptAll(full).count() == 0 && full.exceptAll(pitr).count() == 0,
+      "snapshot + roll-forward diverges from replaying the whole log")
+    // the composition is only proven if the tail actually changed state:
+    // some coordinate must exist whose pre-S value a tail entry replaced
+    val ev = graft.sources.Tables.events(spark, sf)
+    val Array(b) = ev.agg(min(col("event_id")), max(col("event_id"))).collect()
+    val s = (b.getLong(0) + b.getLong(1)) / 2
+    val touched = ev.filter(col("event_id") > s)
+      .select(col("user_id"), col("event_type")).distinct()
+    val preS = ev.filter(col("event_id") <= s)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(touched.join(preS, Seq("user_id", "event_type"), "left_semi").count() > 0,
+      "no coordinate spans the snapshot point — roll-forward is vacuous")
+  }
+
+  test("weighted median satisfies its defining mass property per group") {
+    val wm = run("agg_weighted_median").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("w"))
+    wm.foreach { case (flag, (m, tw)) =>
+      val below = li.filter(col("l_returnflag") === flag && col("p") < m)
+        .agg(coalesce(sum(col("w")), lit(0L))).collect()(0).getLong(0)
+      val upTo = li.filter(col("l_returnflag") === flag && col("p") <= m)
+        .agg(sum(col("w"))).collect()(0).getLong(0)
+      assert(below * 2 < tw, s"$flag: half the mass already below the median")
+      assert(upTo * 2 >= tw, s"$flag: median does not reach half the mass")
+    }
+  }
+
   test("windowed distinct: returning users bounded and hour counts verified") {
     val df = run("ts_tumbling_distinct")
     assert(df.filter(col("n_returning") > col("n_distinct_users")).count() == 0,
