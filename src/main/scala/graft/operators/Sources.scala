@@ -1115,7 +1115,40 @@ object Sources {
   /** PITR must equal full-log replay from scratch. */
   val kvPitrRestoreOracle: String = kvWalReplayOracle
 
+  /** UNPIVOT (melt) — the inverse of [[pivotStatusByPriority]] and the
+    * other half of the reshape surface: the wide per-priority status
+    * counts fold back to long (priority, status, n) rows, zero cells
+    * included — so the graded result proves the unpivot emitted every
+    * (id, column) pair, not just the populated ones. Unpivot is a
+    * zero-shuffle projection (each input row explodes to its value
+    * columns in place); the only shuffles here belong to the pivot
+    * that builds the wide input. The oracle rebuilds the long form
+    * relationally: distinct priorities × the fixed status list, left
+    * joined to the direct counts with COALESCE 0. */
+  def pivotUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val pivotUnpivotOracle: String =
+    """WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |st AS (SELECT * FROM (VALUES ('F'), ('O'), ('P')) s(o_orderstatus)),
+      |c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O', 'P') GROUP BY 1, 2)
+      |SELECT pr.o_orderpriority, st.o_orderstatus, COALESCE(c.n, 0) AS n
+      |FROM pr CROSS JOIN st
+      |LEFT JOIN c ON c.o_orderpriority = pr.o_orderpriority
+      |  AND c.o_orderstatus = st.o_orderstatus
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_unpivot" -> (pivotUnpivot _),
     "kv_pitr_restore" -> (kvPitrRestore _),
     "kv_wal_replay" -> (kvWalReplay _),
     "kv_region_merge" -> (kvRegionMerge _),
@@ -1149,6 +1182,7 @@ object Sources {
     "export_bucketed" -> (exportBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "pivot_unpivot" -> pivotUnpivotOracle,
     "kv_pitr_restore" -> kvPitrRestoreOracle,
     "kv_wal_replay" -> kvWalReplayOracle,
     "kv_region_merge" -> kvRegionMergeOracle,

@@ -1072,6 +1072,16 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("pivot then unpivot conserves every order exactly once") {
+    val long = run("pivot_unpivot")
+    assert(long.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      graft.sources.Tables.orders(spark, sf).count(),
+      "melt dropped or duplicated counts")
+    assert(long.count() ==
+      long.select("o_orderpriority").distinct().count() * 3,
+      "unpivot must emit every (priority, status) cell, zeros included")
+  }
+
   test("PITR equals full-log replay, and tail deletes really kill snapshot cells") {
     val pitr = run("kv_pitr_restore")
     val full = run("kv_wal_replay")
