@@ -892,7 +892,104 @@ object LlmText {
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DATASET REBALANCING — the temperature-sampling / language-
+    * equalization step every multilingual corpus goes through: compute
+    * a per-language keep RATE that equalizes character mass to the
+    * smallest language, then apply it with the salted-hash thresholding
+    * the sampling keys already use — so membership is deterministic,
+    * rerun-stable, and engine-portable. The rate test is EXACT INTEGER:
+    * a doc's 3-nibble md5 bucket b ∈ [0,4096) keeps iff
+    * b·mass < min_mass·4096 (cross-multiplied — no ppm rounding, no
+    * float near the threshold); the reported keep_ppm is the same
+    * ratio in integer parts-per-million. Shape at 100 TB: one groupBy
+    * per language for masses (a handful of rows, broadcast back), one
+    * hash evaluation per doc, one grouped count of survivors — no
+    * shuffle of the corpus beyond the language-keyed aggregates. */
+  def llmDatasetRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    def nib(i: Int): String =
+      s"(instr('0123456789abcdef', substring(md5(concat('rebal1:', cast(doc_id as string))), $i, 1)) - 1)"
+    val d = documents(spark, sfDir)
+      .withColumn("bucket",
+        expr(s"${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}").cast("long"))
+    val mass = d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+    val minMass = mass.agg(min(col("mass")).as("min_mass"))
+    val kept = d.join(broadcast(mass), "lang").crossJoin(broadcast(minMass))
+      .filter(col("bucket") * col("mass") < col("min_mass") * 4096)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+    mass.crossJoin(broadcast(minMass))
+      .join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_sampled", "sampled_chars"))
+      .select(col("lang"), col("n_docs"), col("mass"),
+        expr("(min_mass * 1000000) div mass").as("keep_ppm"),
+        col("n_sampled"), col("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  val llmDatasetRebalanceOracle: String =
+    """WITH d AS (SELECT lang, n_chars,
+      |    (strpos('0123456789abcdef', substr(md5('rebal1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256 +
+      |    (strpos('0123456789abcdef', substr(md5('rebal1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5('rebal1:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS bucket
+      |  FROM documents),
+      |mass AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |  FROM d GROUP BY 1),
+      |mm AS (SELECT MIN(mass) AS min_mass FROM mass),
+      |kept AS (SELECT d.lang, COUNT(*) AS n_sampled,
+      |    CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+      |  FROM d JOIN mass ON d.lang = mass.lang CROSS JOIN mm
+      |  WHERE d.bucket * mass.mass < mm.min_mass * 4096
+      |  GROUP BY 1)
+      |SELECT mass.lang, mass.n_docs, mass.mass,
+      |  (mm.min_mass * 1000000) // mass.mass AS keep_ppm,
+      |  COALESCE(kept.n_sampled, 0) AS n_sampled,
+      |  COALESCE(kept.sampled_chars, 0) AS sampled_chars
+      |FROM mass CROSS JOIN mm LEFT JOIN kept ON mass.lang = kept.lang
+      |ORDER BY mass.lang""".stripMargin
+
+  /** N-GRAM NOVELTY — "how much of this document is text the corpus
+    * has not seen before it": the fraction of a doc's DISTINCT word
+    * bigrams whose global first occurrence (min doc_id) is this doc.
+    * The dedup family asks "is this a copy"; novelty asks the ordered
+    * complement — early docs score 1.0, later near-copies score near
+    * 0 — the freshness metric incremental crawls cut on. Two shuffles
+    * at any scale: one gram-keyed (min doc_id per gram — map-side
+    * partial min), one doc-keyed rollup; the join back to pairs stays
+    * on the gram key, so no corpus-wide state beyond the gram table.
+    * Ratio is exact-int-to-double under ROUND 6. */
+  def llmNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(tokenWindows("t", 2))).as("g"))
+      .distinct()
+    val first = pairs.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    pairs.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        r6(col("n_novel").cast("double") / col("n_grams").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  val llmNgramNoveltyOracle: String =
+    """WITH pairs AS (SELECT DISTINCT doc_id, t[k] || ' ' || t[k+1] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS k
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE len(string_split(text, ' ')) >= 2))),
+      |first AS (SELECT g, MIN(doc_id) AS first_doc FROM pairs GROUP BY 1)
+      |SELECT p.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  ROUND(CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      |FROM pairs p JOIN first f ON p.g = f.g
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dataset_rebalance" -> (llmDatasetRebalance _),
+    "llm_ngram_novelty" -> (llmNgramNovelty _),
     "llm_shard_assign" -> (llmShardAssign _),
     "llm_entropy_filter" -> (llmEntropyFilter _),
     "llm_inverted_index" -> (llmInvertedIndex _),
@@ -917,6 +1014,8 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_dataset_rebalance" -> llmDatasetRebalanceOracle,
+    "llm_ngram_novelty" -> llmNgramNoveltyOracle,
     "llm_shard_assign" -> llmShardAssignOracle,
     "llm_entropy_filter" -> llmEntropyFilterOracle,
     "llm_inverted_index" -> llmInvertedIndexOracle,

@@ -1072,6 +1072,35 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("rebalancing keeps everything from the smallest language and prunes the rest") {
+    val rb = run("llm_dataset_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    val minLang = rb.minBy(_._3)
+    assert(minLang._4 == 1000000L, "smallest language must have keep_ppm = 1e6")
+    assert(minLang._5 == minLang._2, "smallest language must keep every doc")
+    val big = rb.maxBy(_._3)
+    assert(big._4 < 1000000L && big._5 < big._2,
+      "largest language must be down-sampled")
+    // realized sample tracks the target rate within binomial noise (±40% rel)
+    rb.foreach { case (lang, nDocs, _, ppm, nSampled) =>
+      val expected = nDocs.toDouble * ppm / 1e6
+      assert(math.abs(nSampled - expected) <= math.max(6.0, expected * 0.4),
+        s"$lang: sampled $nSampled vs expected ~$expected at $ppm ppm")
+    }
+  }
+
+  test("novelty is 1.0 for the first doc and in [0,1] everywhere") {
+    val nv = run("llm_ngram_novelty")
+    val firstDoc = nv.orderBy("doc_id").collect()(0)
+    assert(firstDoc.getDouble(3) == 1.0,
+      "the corpus's first doc must be entirely novel")
+    // 0 is legal: a doc whose every gram appeared in an earlier doc
+    assert(nv.filter(col("novelty") < 0 || col("novelty") > 1 + 1e-9).count() == 0)
+    assert(nv.filter(col("n_novel") > col("n_grams")).count() == 0)
+    assert(nv.filter(col("novelty") < 1.0).count() > 0,
+      "no doc shares any gram — novelty is vacuous on this fixture")
+  }
+
   test("jaccard similarity is bounded, symmetric-free, and intersection-consistent") {
     val j = run("graph_jaccard")
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1 + 1e-9).count() == 0,
