@@ -175,6 +175,47 @@ object Joins {
       |  FROM events)
       |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
 
+  /** AS-OF WITH TOLERANCE — the kdb/QuestDB `asof ... within` variant:
+    * a prior match STALER than the tolerance (1 hour) is rejected, not
+    * returned — matching against hour-old state is wrong in most
+    * monitoring joins, and the tolerance is where that contract lives.
+    * Same single user-keyed window pass as [[joinAsof]] (the tolerance
+    * adds one exact integer-µs comparison per row, no extra shuffle);
+    * the rejected matches become NULL + matched=0, so the graded
+    * result proves both the match path and the rejection path. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, sfDir)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("prior", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .withColumn("in_tol",
+        col("prior").isNotNull &&
+          expr("unix_micros(ts) - unix_micros(prior)") <= 3600000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("in_tol"), col("prior")).as("matched_click_ts"),
+        col("in_tol").cast("int").as("matched"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofToleranceOracle: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN in_tol THEN prior END AS matched_click_ts,
+      |  CAST(in_tol AS INT) AS matched
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type, prior,
+      |    prior IS NOT NULL AND
+      |      DATE_DIFF('microsecond', prior, ts) <= 3600000000 AS in_tol
+      |  FROM (
+      |    SELECT event_id, user_id, ts, event_type,
+      |      LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      |    FROM events))
+      |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+
   /** Interval join: per purchase, count same-user clicks in the
     * preceding hour. Equi key (user_id) drives the shuffle; the range
     * predicate is applied post-match. */
@@ -421,6 +462,7 @@ object Joins {
       |ORDER BY l.k NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_null_safe" -> (joinNullSafe _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_bucketed" -> (joinBucketed _),
@@ -439,6 +481,7 @@ object Joins {
     "join_range_bucket" -> (joinRangeBucket _))
 
   val oracle: Map[String, String] = Map(
+    "join_asof_tolerance" -> joinAsofToleranceOracle,
     "join_null_safe" -> joinNullSafeOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
     "join_bucketed" -> joinBucketedOracle,

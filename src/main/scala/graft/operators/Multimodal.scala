@@ -204,7 +204,51 @@ object Multimodal {
       |GROUP BY frame_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY frame_md5""".stripMargin
 
+  /** Letterbox geometry for a vision-model input grid. */
+  case class LetterboxPlan(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, pad_x: Int, pad_y: Int)
+
+  /** LETTERBOX PLANNING — the aspect-preserving resize+pad every
+    * vision-model loader performs (fit into 224×224, pad the short
+    * side): scale = 224/max(w,h) applied in EXACT integer arithmetic
+    * (`(h*224) div w` — positive operands, so Scala truncation and
+    * DuckDB floor-div agree), symmetric padding halves likewise. Runs
+    * on the typed mapPartitions decode path like the rest of the mm
+    * family — per-partition batch, zero shuffle; at 100 TB this plan
+    * column rides next to the binary payload into the GPU loader's
+    * shard files. Invariant graded by the oracle and pinned in spec:
+    * max(out_w, out_h) == 224 and out + 2·pad never exceeds the grid. */
+  def mmLetterboxPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIn(spark, sfDir)
+      .mapPartitions(_.map { m =>
+        val meta = MediaCodecStub.decode(m)
+        val (w, h) = (meta.width, meta.height)
+        val (ow, oh) =
+          if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
+        LetterboxPlan(m.doc_id, w, h, ow, oh, (224 - ow) / 2, (224 - oh) / 2)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmLetterboxPlanOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    (ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS width,
+      |    (ascii(substr(text, CASE WHEN length(text) > 1 THEN 2 ELSE 1 END, 1)) % 64) * 9 + 36 AS height
+      |  FROM documents),
+      |p AS (SELECT doc_id, width, height,
+      |    CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END AS out_w,
+      |    CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END AS out_h
+      |  FROM m)
+      |SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      |  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+      |  CAST((224 - out_w) // 2 AS INT) AS pad_x,
+      |  CAST((224 - out_h) // 2 AS INT) AS pad_y
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_letterbox_plan" -> (mmLetterboxPlan _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_resize" -> (mmResize _),
     "mm_features" -> (mmFeatures _),
@@ -212,6 +256,7 @@ object Multimodal {
     "mm_dedup_frames" -> (mmDedupFrames _))
 
   val oracle: Map[String, String] = Map(
+    "mm_letterbox_plan" -> mmLetterboxPlanOracle,
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_resize" -> mmResizeOracle,
     "mm_features" -> mmFeaturesOracle,

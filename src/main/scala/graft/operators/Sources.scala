@@ -1115,6 +1115,48 @@ object Sources {
   /** PITR must equal full-log replay from scratch. */
   val kvPitrRestoreOracle: String = kvWalReplayOracle
 
+  /** MALFORMED-ROW HANDLING — at 100 TB, corrupt input lines are a
+    * certainty, and the difference between PERMISSIVE (quarantine) and
+    * FAILFAST (abort) is an operational contract every ingest pipeline
+    * sets explicitly. Orders render to CSV with every 97th key's line
+    * deliberately mangled (a type-unparseable first field); the
+    * PERMISSIVE read with `columnNameOfCorruptRecord` parses the good
+    * lines and lands each bad line's RAW TEXT in the quarantine column
+    * instead of killing the job. Graded: the good/quarantined split and
+    * an exact checksum over the PARSED keys — so a row silently dropped
+    * OR silently mis-parsed both fail the oracle (which recomputes the
+    * split from the injection rule). Scale: the read is a plain
+    * line-splittable CSV scan; quarantine costs one extra string
+    * column on bad rows only. */
+  def sourceCsvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "orders_csv_malformed")
+    orders(spark, sfDir)
+      .select(when(col("o_orderkey") % 97 === 0,
+          concat(lit("X"), col("o_orderkey").cast("string"), lit(",bad")))
+        .otherwise(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)")))
+        .as("value"))
+      .write.mode("overwrite").text(dest)
+    spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, _quarantine STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .csv(dest)
+      .agg(count(col("o_orderkey")).as("n_good"),
+        count(col("_quarantine")).as("n_quarantined"),
+        sum(col("o_orderkey")).as("key_checksum"),
+        sum(dec(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("sum_price_good"))
+  }
+
+  val sourceCsvMalformedOracle: String =
+    """SELECT
+      |  COUNT(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS n_good,
+      |  COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS n_quarantined,
+      |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS BIGINT) AS key_checksum,
+      |  CAST(CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price_good
+      |FROM orders""".stripMargin
+
   /** UNPIVOT (melt) — the inverse of [[pivotStatusByPriority]] and the
     * other half of the reshape surface: the wide per-priority status
     * counts fold back to long (priority, status, n) rows, zero cells
@@ -1148,6 +1190,7 @@ object Sources {
       |ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_malformed" -> (sourceCsvMalformed _),
     "pivot_unpivot" -> (pivotUnpivot _),
     "kv_pitr_restore" -> (kvPitrRestore _),
     "kv_wal_replay" -> (kvWalReplay _),
@@ -1182,6 +1225,7 @@ object Sources {
     "export_bucketed" -> (exportBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "source_csv_malformed" -> sourceCsvMalformedOracle,
     "pivot_unpivot" -> pivotUnpivotOracle,
     "kv_pitr_restore" -> kvPitrRestoreOracle,
     "kv_wal_replay" -> kvWalReplayOracle,

@@ -1072,6 +1072,43 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("as-of tolerance exercises both match and rejection, never a stale match") {
+    val df = run("join_asof_tolerance")
+    assert(df.filter(col("matched") === 1).count() > 0, "no in-tolerance match")
+    assert(df.filter(col("matched") === 0).count() > 0,
+      "no rejection — tolerance is vacuous on this fixture")
+    assert(df.filter(col("matched") === 1 &&
+      expr("unix_micros(ts) - unix_micros(matched_click_ts)") > 3600000000L).count() == 0,
+      "a stale match leaked past the tolerance")
+    assert(df.filter(col("matched") === 0 && col("matched_click_ts").isNotNull).count() == 0)
+    // tolerance only ever NULLs matches relative to the untolerated as-of
+    val base = run("join_asof").select(col("event_id"), col("prior_click_ts"))
+    val joined = df.join(base, "event_id")
+    assert(joined.filter(col("matched") === 1 &&
+      col("matched_click_ts") =!= col("prior_click_ts")).count() == 0,
+      "tolerance changed WHICH row matches — it may only reject")
+  }
+
+  test("CSV quarantine splits exactly on the injection rule") {
+    val row = run("source_csv_malformed").collect()(0)
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(row.getLong(0) + row.getLong(1) == total,
+      "good + quarantined must cover every line")
+    assert(row.getLong(1) > 0, "no quarantined rows — malformed handling untested")
+  }
+
+  test("letterbox plans always fill one grid axis and never overflow the grid") {
+    val lp = run("mm_letterbox_plan")
+    assert(lp.filter(greatest(col("out_w"), col("out_h")) =!= 224).count() == 0,
+      "a plan fills neither axis — wrong scale factor")
+    assert(lp.filter(col("out_w") + col("pad_x") * 2 > 224 ||
+      col("out_h") + col("pad_y") * 2 > 224).count() == 0,
+      "content plus padding overflows the grid")
+    assert(lp.filter((col("width") >= col("height")) =!=
+      (col("out_w") >= col("out_h"))).count() == 0,
+      "aspect orientation flipped in the plan")
+  }
+
   test("rebalancing keeps everything from the smallest language and prunes the rest") {
     val rb = run("llm_dataset_rebalance").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toList
