@@ -149,6 +149,60 @@ object LlmVector {
     * the partition/bucketing key, so a query touches one partition;
     * more cells (a real k-means) shrink each list. Deterministic here
     * because the quantizer is the (r6-stabilized) label-centroid set. */
+  /** CENTROID DRIFT MONITOR — the ML-ops check between two corpus
+    * vintages: per label, the L2 distance between the embedding
+    * centroid of the FIRST half of the id range and the SECOND half
+    * (the split point is data-determined, exact integer midpoint). A
+    * drifting label means its examples shifted in embedding space —
+    * the signal that retrains quantizers and recalls datasets. Numeric
+    * discipline is the IVF family's: per-(label, half, pos) component
+    * means ROUND-6'd BEFORE differencing (the only unordered float
+    * reduction is a ≤n-term mean of [-1,1] floats, ~1e-13 abs error
+    * against a 1e-6 grid), then the 64-term distance sum and sqrt are
+    * identical expression trees on both engines. Shape at 100 TB: one
+    * component-exploded groupBy (label × half × 64 rows out), the
+    * drift join runs on that metadata-sized centroid table. */
+  def llmCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val Array(b) = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val cents = e
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("half", when(col("vec_id") <= mid, 1).otherwise(2))
+      .groupBy("label", "pos", "half")
+      .agg(r6(avg(col("v").cast("double"))).as("c"), count(lit(1)).as("n"))
+    val c1 = cents.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("c").as("c1"), col("n").as("n1"))
+    val c2 = cents.filter(col("half") === 2)
+      .select(col("label"), col("pos"), col("c").as("c2"), col("n").as("n2"))
+    c1.join(c2, Seq("label", "pos"))
+      .groupBy("label")
+      // n is per-(label,pos,half) vector count — identical across pos,
+      // so min() is just "the" half size
+      .agg(min(col("n1")).as("n_first"), min(col("n2")).as("n_second"),
+        r6(sqrt(sum((col("c1") - col("c2")) * (col("c1") - col("c2"))))).as("drift_l2"))
+      .select(col("label").cast("int").as("label"), col("n_first"),
+        col("n_second"), col("drift_l2"))
+      .orderBy("label")
+  }
+
+  val llmCentroidDriftOracle: String =
+    """WITH b AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM embeddings),
+      |ex AS (SELECT vec_id, label, pos,
+      |    CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v,
+      |    CASE WHEN vec_id <= b.mid THEN 1 ELSE 2 END AS half
+      |  FROM embeddings CROSS JOIN b CROSS JOIN range(0, 64) r(pos)),
+      |cents AS (SELECT label, pos, half, ROUND(AVG(v), 6) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ex GROUP BY 1, 2, 3),
+      |c1 AS (SELECT label, pos, c AS c1, n AS n1 FROM cents WHERE half = 1),
+      |c2 AS (SELECT label, pos, c AS c2, n AS n2 FROM cents WHERE half = 2)
+      |SELECT CAST(label AS INT) AS label,
+      |  MIN(n1) AS n_first, MIN(n2) AS n_second,
+      |  ROUND(SQRT(SUM((c1 - c2) * (c1 - c2))), 6) AS drift_l2
+      |FROM c1 JOIN c2 USING (label, pos)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val ex = embeddings(spark, sfDir)
@@ -715,6 +769,7 @@ object LlmVector {
     "llm_ann_recall" -> (llmAnnRecall _),
     "llm_sim_cosine_topk" -> (llmSimCosineTopk _),
     "llm_ann_lsh" -> (llmAnnLsh _),
+    "llm_centroid_drift" -> (llmCentroidDrift _),
     "llm_ann_ivf" -> (llmAnnIvf _),
     "llm_ann_ivf_kmeans" -> (llmAnnIvfKmeans _),
     "llm_ann_ivf_probe2" -> (llmAnnIvfProbe2 _),
@@ -727,6 +782,7 @@ object LlmVector {
     "llm_ann_recall" -> llmAnnRecallOracle,
     "llm_sim_cosine_topk" -> llmSimCosineTopkOracle,
     "llm_ann_lsh" -> llmAnnLshOracle,
+    "llm_centroid_drift" -> llmCentroidDriftOracle,
     "llm_ann_ivf" -> llmAnnIvfOracle,
     "llm_ann_ivf_kmeans" -> llmAnnIvfKmeansOracle,
     "llm_ann_ivf_probe2" -> llmAnnIvfProbe2Oracle,

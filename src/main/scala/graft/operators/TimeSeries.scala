@@ -1017,7 +1017,39 @@ object TimeSeries {
       |FROM s LEFT JOIN obs o ON s.event_type = o.event_type AND s.h = o.h
       |ORDER BY s.event_type, s.h""".stripMargin
 
+  /** SEASONAL PROFILE — the hour-of-day × day-of-week activity matrix
+    * behind every traffic dashboard, in PURE INTEGER epoch arithmetic:
+    * `dow = (epoch_days + 4) % 7` (1970-01-01 was a Thursday; 0 =
+    * Sunday) and `hod = epoch_hours % 24` — deliberately NOT the
+    * engines' dayofweek()/EXTRACT, whose numbering conventions differ
+    * (Spark 1=Sunday, DuckDB 0=Sunday) and whose timezone handling
+    * can shift a bucket; integer division from the same UTC micros
+    * cannot. Share is exact integer parts-per-million. One
+    * partial+final aggregate to a 7×24-row result at any scale. */
+  def tsSeasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("dow", expr("((us div 86400000000) + 4) % 7"))
+      .withColumn("hod", expr("(us div 3600000000) % 24"))
+    val total = ev.count()
+    ev.groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", expr(s"(n * 1000000) div ${total}L"))
+      .orderBy("dow", "hod")
+  }
+
+  val tsSeasonalProfileOracle: String =
+    """WITH ev AS (SELECT
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS us
+      |  FROM events)
+      |SELECT (us // 86400000000 + 4) % 7 AS dow,
+      |  (us // 3600000000) % 24 AS hod,
+      |  COUNT(*) AS n,
+      |  (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM ev) AS share_ppm
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_profile" -> (tsSeasonalProfile _),
     "ts_fill_forward" -> (tsFillForward _),
     "ts_tumbling_distinct" -> (tsTumblingDistinct _),
     "ts_lag_corr" -> (tsLagCorr _),
@@ -1043,6 +1075,7 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_seasonal_profile" -> tsSeasonalProfileOracle,
     "ts_fill_forward" -> tsFillForwardOracle,
     "ts_tumbling_distinct" -> tsTumblingDistinctOracle,
     "ts_lag_corr" -> tsLagCorrOracle,

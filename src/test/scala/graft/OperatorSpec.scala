@@ -1072,6 +1072,36 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("centroid drift is non-negative and halves partition every label") {
+    val d = run("llm_centroid_drift")
+    assert(d.filter(col("drift_l2") < 0).count() == 0)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    d.collect().foreach { r =>
+      val n = e.filter(col("label") === r.getInt(0)).count()
+      assert(r.getLong(1) + r.getLong(2) == n,
+        s"label ${r.getInt(0)}: halves ${r.getLong(1)}+${r.getLong(2)} != $n")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0,
+        s"label ${r.getInt(0)}: a half is empty — drift undefined")
+    }
+    assert(d.filter(col("drift_l2") > 0).count() > 0,
+      "all drifts zero — the two halves are identical, monitor vacuous")
+  }
+
+  test("seasonal profile covers the full 7x24 grid and shares sum to ~1e6 ppm") {
+    val p = run("ts_seasonal_profile")
+    // sf0.001 has ~1000 events over 168 cells — tolerate a thin tail of
+    // empty cells, but the grid must be essentially covered
+    assert(p.count() >= 150 && p.count() <= 168,
+      s"grid coverage ${p.count()}/168 out of range")
+    assert(p.filter(col("dow") < 0 || col("dow") > 6 ||
+      col("hod") < 0 || col("hod") > 23).count() == 0)
+    val ppm = p.agg(sum(col("share_ppm"))).collect()(0).getLong(0)
+    // integer div truncates each cell, so the sum undershoots by < 168
+    assert(ppm <= 1000000L && ppm > 1000000L - 168L, s"share sum $ppm")
+    assert(p.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      graft.sources.Tables.events(spark, sf).count())
+  }
+
   test("as-of tolerance exercises both match and rejection, never a stale match") {
     val df = run("join_asof_tolerance")
     assert(df.filter(col("matched") === 1).count() > 0, "no in-tolerance match")
