@@ -679,7 +679,36 @@ object Aggregations {
       |FROM c WHERE cw * 2 >= tw
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BOOLEAN AGGREGATES — every/any/count_if, the predicates-as-
+    * aggregates surface (SQL:2023 standardizes EVERY/ANY; both engines
+    * ship bool_and/bool_or/count_if). Booleans render as INT (the
+    * external comparator's bool canonicalization across engines is
+    * unverified; int is). Exact thresholds on integer cents so the
+    * predicate itself cannot drift. */
+  def aggBoolAggs(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("CAST(bool_and(cents > 100000) AS INT)").as("all_over_1k"),
+        expr("CAST(bool_or(cents > 40000000) AS INT)").as("any_over_400k"),
+        expr("count_if(cents BETWEEN 10000000 AND 20000000)").as("n_mid_band"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val aggBoolAggsOracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(bool_and(cents > 100000) AS INT) AS all_over_1k,
+      |  CAST(bool_or(cents > 40000000) AS INT) AS any_over_400k,
+      |  CAST(count_if(cents BETWEEN 10000000 AND 20000000) AS BIGINT) AS n_mid_band,
+      |  COUNT(*) AS n
+      |FROM (SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool_aggs" -> (aggBoolAggs _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_skew_kurtosis" -> (aggSkewKurtosis _),
     "agg_hist_fixed" -> (aggHistFixed _),
@@ -701,6 +730,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_bool_aggs" -> aggBoolAggsOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
     "agg_skew_kurtosis" -> aggSkewKurtosisOracle,
     "agg_hist_fixed" -> aggHistFixedOracle,

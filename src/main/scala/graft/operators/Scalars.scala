@@ -230,7 +230,34 @@ object Scalars {
       |  '{"okey":' || l_orderkey || ',"flag":"' || l_returnflag || '"}' AS js
       |FROM lineitem ORDER BY okey, line""".stripMargin
 
+  /** BITWISE SURFACE — AND/OR/XOR, shifts, popcount: the ops flag
+    * columns, bitmap encodings, and hash mixing lean on. All exact
+    * integer semantics; the only cross-engine syntax split is XOR
+    * (Spark `^` vs DuckDB `xor()` — DuckDB's `^` is exponentiation,
+    * the classic porting trap, pinned here on purpose). */
+  def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir)
+      .select(col("p_partkey"),
+        expr("p_partkey & 255").as("b_and"),
+        expr("p_partkey | 4096").as("b_or"),
+        expr("p_partkey ^ 1365").as("b_xor"),
+        expr("shiftleft(p_partkey, 3)").as("b_shl"),
+        expr("shiftright(p_partkey, 2)").as("b_shr"),
+        expr("CAST(bit_count(p_partkey) AS INT)").as("b_pop"))
+      .orderBy("p_partkey")
+
+  val bitwiseFuncsOracle: String =
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS b_and,
+      |  p_partkey | 4096 AS b_or,
+      |  xor(p_partkey, 1365) AS b_xor,
+      |  p_partkey << 3 AS b_shl,
+      |  p_partkey >> 2 AS b_shr,
+      |  CAST(bit_count(p_partkey) AS INT) AS b_pop
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_bitwise_funcs" -> (bitwiseFuncs _),
     "map_funcs" -> (mapFuncs _),
     "struct_funcs" -> (structFuncs _),
     "str_funcs" -> (strFuncs _),
@@ -243,6 +270,7 @@ object Scalars {
     "str_split_explode" -> (strSplitExplode _))
 
   val oracle: Map[String, String] = Map(
+    "scalar_bitwise_funcs" -> bitwiseFuncsOracle,
     "map_funcs" -> mapFuncsOracle,
     "struct_funcs" -> structFuncsOracle,
     "str_funcs" -> strFuncsOracle,

@@ -212,7 +212,33 @@ object Windows {
       |  CAST(DATE_DIFF('day', MIN(s), MAX(e)) + 1 AS BIGINT) AS span_days
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** RATIO-TO-REPORT — each order's share of its customer's lifetime
+    * spend (Oracle's RATIO_TO_REPORT, BigQuery's safe share-of-total):
+    * numerator and denominator both exact integer cents via one
+    * unordered full-partition window (associative sum — frame order
+    * irrelevant), ratio is exact-int-to-double division under ROUND 6.
+    * One customer-keyed shuffle, no self-join against the aggregate. */
+  def winRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Window.partitionBy("o_custkey")
+    orders(spark, sfDir)
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("total", sum(col("cents")).over(all))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        r6(col("cents").cast("double") / col("total").cast("double")).as("spend_share"))
+      .orderBy("o_orderkey")
+  }
+
+  val winRatioToReportOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  ROUND(CAST(cents AS DOUBLE) / CAST(SUM(cents)
+      |    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS spend_share
+      |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ratio_to_report" -> (winRatioToReport _),
     "win_interval_merge" -> (winIntervalMerge _),
     "win_cume_nth" -> (winCumeNth _),
     "win_topk_per_group" -> (winTopkPerGroup _),
@@ -223,6 +249,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_ratio_to_report" -> winRatioToReportOracle,
     "win_interval_merge" -> winIntervalMergeOracle,
     "win_cume_nth" -> winCumeNthOracle,
     "win_topk_per_group" -> winTopkPerGroupOracle,

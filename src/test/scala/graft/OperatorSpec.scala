@@ -1072,6 +1072,32 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("ratio-to-report shares sum to ~1 per customer") {
+    val shares = run("win_ratio_to_report")
+      .groupBy("o_custkey").agg(sum(col("spend_share")).as("s"))
+    // each share rounds to 6 decimals; a customer has ≤ ~30 orders
+    assert(shares.filter(abs(col("s") - 1.0) > 1e-4).count() == 0,
+      "per-customer spend shares do not sum to 1")
+  }
+
+  test("bitwise outputs satisfy their algebraic identities") {
+    val b = run("scalar_bitwise_funcs")
+    assert(b.filter(col("b_and") < 0 || col("b_and") > 255).count() == 0)
+    assert(b.filter(col("b_shl") =!= col("p_partkey") * 8).count() == 0,
+      "shift-left-3 must equal multiply-by-8")
+    assert(b.filter(col("b_xor") =!= expr("(p_partkey | 1365) - (p_partkey & 1365)"))
+      .count() == 0, "xor identity a^b == (a|b)-(a&b) violated")
+  }
+
+  test("boolean aggregates partition counts coherently") {
+    val ba = run("agg_bool_aggs")
+    assert(ba.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      graft.sources.Tables.orders(spark, sf).count())
+    assert(ba.filter(col("n_mid_band") > col("n")).count() == 0)
+    assert(ba.filter(col("all_over_1k") === 1).count() > 0,
+      "bool_and never true — threshold miscalibrated")
+  }
+
   test("centroid drift is non-negative and halves partition every label") {
     val d = run("llm_centroid_drift")
     assert(d.filter(col("drift_l2") < 0).count() == 0)
