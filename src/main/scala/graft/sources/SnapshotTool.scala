@@ -18,6 +18,8 @@ import org.apache.spark.sql.SparkSession
   *   cleanup --root R --before EPOCH_SEC
   *   clone   --root R --name N --to <new kv store dir>
   *   compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
+  *   merge-regions --a <region store> --b <region store> --dest <merged store>
+  *   bulk-load --staging <staged dir> --store <kv store dir>
   *   list    --root R
   *
   * `run` returns a process exit code and is the unit under test; `main`
@@ -151,6 +153,18 @@ object SnapshotTool {
             retainVersions = retain, purgeTombstones = purge)
           ok(s"compacted ${need("store")}: ${stats.filesBefore} files -> " +
             s"${stats.filesAfter} (${stats.cells} cells, ${stats.dropped} GC'd)")
+        case "merge-regions" =>
+          // HBase merge_region: adopt two ADJACENT region stores into
+          // one by metadata rename — zero data bytes; parents retired
+          val stats = KvCompaction.mergeRegions(need("a"), need("b"), need("dest"))
+          ok(s"merged ${need("a")} + ${need("b")} into ${need("dest")} " +
+            s"(${stats.filesA}+${stats.filesB} files, ${stats.cells} cells, 0 bytes rewritten)")
+        case "bulk-load" =>
+          // HBase completebulkload: adopt region-aligned staged files
+          // into a live store — staging drained by move, not copy
+          val stats = KvCompaction.bulkLoad(need("staging"), need("store"))
+          ok(s"bulk-loaded ${stats.filesLoaded} file(s), ${stats.cells} cells " +
+            s"into ${need("store")}")
         case "list" =>
           // stamped snapshots list their created_at so a cleanup cutoff
           // can be chosen from the listing alone. The per-name stamp
@@ -181,7 +195,7 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
          |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
@@ -192,6 +206,8 @@ object SnapshotTool {
          |  cleanup --root R --before EPOCH_SEC
          |  clone   --root R --name N --to <new kv store dir>
          |  compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
+         |  merge-regions --a <region store> --b <region store> --dest <merged store>
+         |  bulk-load --staging <staged dir> --store <kv store dir>
          |  list    --root R""".stripMargin)
     2
   }

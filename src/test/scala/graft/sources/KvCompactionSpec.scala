@@ -376,6 +376,64 @@ class KvCompactionSpec extends SparkSpec {
     assert(KvFormat.dataFiles(lo).nonEmpty && KvFormat.dataFiles(hi).nonEmpty)
   }
 
+  test("region merge crash window: partially adopted cells stay readable, re-run refuses") {
+    val a = freshStore()
+    val b = freshStore()
+    val merged = freshStore()
+    val bounds = cells.agg(min(col("rowkey")), max(col("rowkey"))).collect().head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    cells.filter(col("rowkey") <= mid).coalesce(1)
+      .write.format("graft-kv").option("path", a).mode("append").save()
+    cells.filter(col("rowkey") > mid).coalesce(1)
+      .write.format("graft-kv").option("path", b).mode("append").save()
+    // simulate the crash window: one of A's files adopted by hand (the
+    // exact move the merge performs), index not yet merged, parents live
+    Files.createDirectories(java.nio.file.Paths.get(merged))
+    val f = KvFormat.dataFiles(a).head
+    Files.move(f, java.nio.file.Paths.get(merged, s"merge-crash-0-${f.getFileName}"))
+    // every cell remains reachable: adopted ones in merged, the rest in parents
+    val visible = spark.read.format("graft-kv").load(merged)
+      .unionByName(spark.read.format("graft-kv").load(b))
+    assert(visible.exceptAll(cells).count() == 0 && cells.exceptAll(visible).count() == 0,
+      "a cell became unreachable inside the crash window")
+    // a recovery re-run must refuse the non-empty dest, not double-adopt
+    val e = intercept[IllegalArgumentException] {
+      KvCompaction.mergeRegions(a, b, merged)
+    }
+    assert(e.getMessage.contains("dest already holds") ||
+      e.getMessage.contains("no data files"),
+      s"unexpected refusal: ${e.getMessage}")
+  }
+
+  test("merge-regions and bulk-load are driveable from the CLI") {
+    val a = freshStore()
+    val b = freshStore()
+    val merged = freshStore()
+    val bounds = cells.agg(min(col("rowkey")), max(col("rowkey"))).collect().head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    cells.filter(col("rowkey") <= mid)
+      .write.format("graft-kv").option("path", a).mode("append").save()
+    cells.filter(col("rowkey") > mid)
+      .write.format("graft-kv").option("path", b).mode("append").save()
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    assert(cli("merge-regions", "--a", a, "--b", b, "--dest", merged) == 0)
+    val after = spark.read.format("graft-kv").load(merged)
+    assert(after.exceptAll(cells).count() == 0 && cells.exceptAll(after).count() == 0)
+    // bulk-load: stage region-aligned files, adopt into the merged store
+    val staging = freshStore()
+    cells.select(col("rowkey"), lit("cliq").as("qualifier"), col("value"))
+      .repartitionByRange(2, col("rowkey"))
+      .sortWithinPartitions("rowkey", "qualifier")
+      .write.format("graft-kv").option("path", staging).mode("append").save()
+    assert(cli("bulk-load", "--staging", staging, "--store", merged) == 0)
+    assert(KvFormat.dataFiles(staging).isEmpty, "CLI bulk load must drain staging")
+    assert(spark.read.format("graft-kv").load(merged)
+      .filter(col("qualifier") === "cliq").count() == cells.count())
+    // error surface: a refused merge exits 1 (same-dir parents)
+    assert(cli("merge-regions", "--a", merged, "--b", merged, "--dest", merged) == 1)
+    assert(cli("bulk-load", "--staging", staging) == 2) // missing --store
+  }
+
   test("keepIf GC predicate drops exactly the predicted cells, lossless otherwise") {
     val store = freshStore()
     fragmented(store, 3)
