@@ -503,6 +503,54 @@ object LlmDedup {
     connectedComponents(pairs)._1.orderBy("doc_id")
   }
 
+  /** CLUSTER RESOLUTION — the step after [[llmDedupClusters]] that
+    * actually changes the corpus: per near-dup cluster, WHICH document
+    * survives (deterministic policy: lowest doc_id — crawl-order-first,
+    * the common production choice) and what discarding the rest saves.
+    * This is the curation ledger reviewers sign off on before a
+    * destructive dedup run: member count, total chars, chars
+    * reclaimed. The canonical's own size comes from `min_by(n_chars,
+    * doc_id)` on the unique doc_id — deterministic in both engines
+    * where a min-by-size policy could tie. Cost on top of clusters:
+    * one broadcast-joinable doc-stats join + one cluster-keyed
+    * groupBy — the clusters pass (LSH + log-round CC) dominates. */
+  def llmDedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = llmDedupClusters(spark, sfDir)
+    clusters.join(documents(spark, sfDir).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("canonical_doc"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("chars_total"),
+        (sum(col("n_chars")) - expr("min_by(n_chars, doc_id)")).as("chars_saved"))
+      .orderBy("cluster_id")
+  }
+
+  val llmDedupCanonicalOracle: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+       |  WHERE ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) >= 0.9),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+       |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id, MIN(cl.doc_id) AS canonical_doc,
+       |  COUNT(*) AS n_members,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(d.n_chars) - arg_min(d.n_chars, cl.doc_id) AS BIGINT) AS chars_saved
+       |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Transitive closure by recursive CTE — exact reference for the
     * propagation result (UNION-distinct terminates on cyclic graphs). */
   val llmDedupClustersOracle: String =
@@ -595,6 +643,7 @@ object LlmDedup {
     "llm_dedup_minhash" -> (llmDedupMinhash _),
     "llm_minhash_jaccard" -> (llmMinhashJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
+    "llm_dedup_canonical" -> (llmDedupCanonical _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_embed" -> (llmDedupEmbed _))
 
@@ -605,6 +654,7 @@ object LlmDedup {
     "llm_dedup_minhash" -> llmDedupMinhashOracle,
     "llm_minhash_jaccard" -> llmMinhashJaccardOracle,
     "llm_dedup_clusters" -> llmDedupClustersOracle,
+    "llm_dedup_canonical" -> llmDedupCanonicalOracle,
     "llm_dedup_simhash" -> llmDedupSimhashOracle,
     "llm_dedup_embed" -> llmDedupEmbedOracle)
 }

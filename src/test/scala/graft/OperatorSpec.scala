@@ -1072,6 +1072,23 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("cluster resolution: canonical is a member, savings are the non-canonical mass") {
+    val res = run("llm_dedup_canonical")
+    val clusters = run("llm_dedup_clusters")
+    assert(res.filter(col("n_members") < 2).count() == 0,
+      "a singleton reached the resolution ledger")
+    // every canonical really is its cluster's minimum member
+    val minPerCluster = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("m"))
+    assert(res.join(minPerCluster, "cluster_id")
+      .filter(col("canonical_doc") =!= col("m")).count() == 0)
+    // savings never exceed the total and are positive for real clusters
+    assert(res.filter(col("chars_saved") >= col("chars_total") ||
+      col("chars_saved") <= 0).count() == 0)
+    // ledger covers exactly the clustered docs
+    assert(res.agg(sum(col("n_members"))).collect()(0).getLong(0) == clusters.count())
+  }
+
   test("ratio-to-report shares sum to ~1 per customer") {
     val shares = run("win_ratio_to_report")
       .groupBy("o_custkey").agg(sum(col("spend_share")).as("s"))
