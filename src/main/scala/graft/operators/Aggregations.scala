@@ -707,7 +707,82 @@ object Aggregations {
       |  FROM orders)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SKETCH INTERSECTION — the theta-sketch set-algebra move that lets
+    * 100 TB pipelines answer "how many users did BOTH X and Y" from
+    * two tiny sketches instead of a full distinct-join: KMV sketches
+    * (same k=64, 48-bit md5-prefix space as `agg_approx_hll`) of the
+    * click and purchase user sets; their KMV UNION (k smallest of the
+    * combined min-k sets — sound because every global k-min hash is in
+    * its side's k-min) estimates |A∪B|; the fraction of union-sketch
+    * hashes present in BOTH sides estimates Jaccard; their product
+    * (integer `div`) estimates the intersection. Every step is exact
+    * integer/md5 arithmetic — the ESTIMATOR is approximate, its
+    * computation is bit-deterministic, so the oracle mirrors it
+    * hash-for-hash. Below k distinct the sketch degrades to exact —
+    * also graded (small SFs take that path). Exact intersection rides
+    * along for the error report. */
+  def aggSketchIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    def userHashes(t: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .select(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    def sketch(h: DataFrame): DataFrame = h.orderBy("h").limit(64)
+    val (hA, hB) = (userHashes("click"), userHashes("purchase"))
+    val (sA, sB) = (sketch(hA), sketch(hB))
+    val unionSketch = sketch(sA.unionByName(sB).distinct()).localCheckpoint()
+    val kk = unionSketch.count()
+    val hk = unionSketch.agg(max(col("h"))).collect()(0).getLong(0)
+    val unionDistinctTotal = hA.unionByName(hB).distinct().count()
+    val unionEst = if (unionDistinctTotal < 64) unionDistinctTotal
+      else (63L * 281474976710656L) / hk
+    val jNum = unionSketch
+      .join(sA, Seq("h"), "left_semi")
+      .join(sB, Seq("h"), "left_semi")
+      .count()
+    val interExact = ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .count()
+    import spark.implicits._
+    Seq((kk, unionEst, jNum, jNum * unionEst / kk, interExact))
+      .toDF("k_union", "union_est", "n_common_hashes", "inter_est", "inter_exact")
+  }
+
+  val aggSketchIntersectOracle: String =
+    """WITH ha AS (SELECT DISTINCT
+      |    list_reduce(list_transform(range(1, 13),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM events WHERE event_type = 'click'),
+      |hb AS (SELECT DISTINCT
+      |    list_reduce(list_transform(range(1, 13),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM events WHERE event_type = 'purchase'),
+      |sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+      |sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+      |us AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+      |       ORDER BY h LIMIT 64),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_union, MAX(h) AS hk FROM us),
+      |tot AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_tot
+      |        FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+      |ue AS (SELECT CASE WHEN tot.n_tot < 64 THEN tot.n_tot
+      |         ELSE (63 * 281474976710656) // stats.hk END AS union_est,
+      |         stats.k_union AS k_union
+      |       FROM stats CROSS JOIN tot),
+      |jn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common_hashes FROM us
+      |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+      |ix AS (SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |SELECT ue.k_union, CAST(ue.union_est AS BIGINT) AS union_est,
+      |  jn.n_common_hashes,
+      |  CAST((jn.n_common_hashes * ue.union_est) // ue.k_union AS BIGINT) AS inter_est,
+      |  ix.inter_exact
+      |FROM ue CROSS JOIN jn CROSS JOIN ix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_intersect" -> (aggSketchIntersect _),
     "agg_bool_aggs" -> (aggBoolAggs _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_skew_kurtosis" -> (aggSkewKurtosis _),
@@ -730,6 +805,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_sketch_intersect" -> aggSketchIntersectOracle,
     "agg_bool_aggs" -> aggBoolAggsOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,
     "agg_skew_kurtosis" -> aggSkewKurtosisOracle,

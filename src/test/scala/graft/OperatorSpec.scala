@@ -1072,6 +1072,28 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("sketch intersection: estimates bounded, degrades to exact below k") {
+    val r = run("agg_sketch_intersect").collect()(0)
+    val (k, uEst, jNum, iEst, iExact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(jNum <= k, "more common hashes than the union sketch holds")
+    assert(iEst <= uEst, "intersection estimate exceeds the union estimate")
+    // true union for the error bound
+    val ev = graft.sources.Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val trueUnion = a.union(b).distinct().count()
+    if (trueUnion < 64) {
+      assert(uEst == trueUnion && iEst == iExact,
+        "below k the sketch must be exact")
+    } else {
+      assert(math.abs(uEst - trueUnion).toDouble / trueUnion < 0.5,
+        s"union estimate $uEst vs true $trueUnion beyond plausible KMV error")
+      assert(math.abs(iEst - iExact).toDouble / math.max(iExact, 1L) < 0.5,
+        s"intersection estimate $iEst vs exact $iExact beyond plausible error")
+    }
+  }
+
   test("cluster resolution: canonical is a member, savings are the non-canonical mass") {
     val res = run("llm_dedup_canonical")
     val clusters = run("llm_dedup_clusters")
