@@ -237,7 +237,45 @@ object Windows {
       |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** ACTIVITY STREAKS — longest run of CONSECUTIVE active days per
+    * user (the engagement metric every product dashboard carries):
+    * classic dense-rank islands on the distinct (user, day) set —
+    * `day − row_number()` is constant exactly within a consecutive
+    * run, so one groupBy over that difference measures every streak
+    * and a max picks the longest. All integer epoch-day arithmetic;
+    * the raw table collapses to distinct (user, day) FIRST (map-side),
+    * so the window and both aggregates run on the collapsed set — at
+    * 100 TB the only data-sized pass is that first distinct. */
+  def winStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak_days"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  val winStreaksOracle: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000 AS day
+      |  FROM events),
+      |g AS (SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest_streak_days,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streaks" -> (winStreaks _),
     "win_ratio_to_report" -> (winRatioToReport _),
     "win_interval_merge" -> (winIntervalMerge _),
     "win_cume_nth" -> (winCumeNth _),
@@ -249,6 +287,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_streaks" -> winStreaksOracle,
     "win_ratio_to_report" -> winRatioToReportOracle,
     "win_interval_merge" -> winIntervalMergeOracle,
     "win_cume_nth" -> winCumeNthOracle,

@@ -1072,6 +1072,19 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("streaks: longest <= active days, streak pieces partition the days") {
+    val s = run("win_streaks")
+    assert(s.filter(col("longest_streak_days") > col("n_active_days")).count() == 0)
+    assert(s.filter(col("longest_streak_days") < 1).count() == 0)
+    val days = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    assert(s.agg(sum(col("n_active_days"))).collect()(0).getLong(0) == days.count(),
+      "streak pieces must partition the distinct active days")
+    assert(s.filter(col("n_streaks") > 1).count() > 0,
+      "every user has one unbroken streak — gap handling untested")
+  }
+
   test("sketch intersection: estimates bounded, degrades to exact below k") {
     val r = run("agg_sketch_intersect").collect()(0)
     val (k, uEst, jNum, iEst, iExact) =
