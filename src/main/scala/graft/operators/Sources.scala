@@ -1115,6 +1115,35 @@ object Sources {
   /** PITR must equal full-log replay from scratch. */
   val kvPitrRestoreOracle: String = kvWalReplayOracle
 
+  /** COMPRESSION CODECS — a 100 TB pipeline never ships uncompressed
+    * text: gzip'd CSV is the classic interchange shape (unsplittable —
+    * one task per file, which is exactly why many small .gz files beat
+    * one big one) and zstd parquet is the modern lake default. Graded:
+    * orders → .csv.gz → read-back identity (the decompression path must
+    * be lossless); OperatorSpec pins the MECHANISM — the files really
+    * are .gz and materially smaller than the plain-text bytes, and a
+    * zstd parquet roundtrip holds too (the result alone can't prove
+    * compression happened). */
+  def sourceCompressedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = scratch(sfDir, "orders_csv_gz")
+    orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)").as("total_str"))
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(dest)
+    spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, total_str STRING")
+      .option("header", "true").csv(dest)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("total_str").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val sourceCompressedRoundtripOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** MALFORMED-ROW HANDLING — at 100 TB, corrupt input lines are a
     * certainty, and the difference between PERMISSIVE (quarantine) and
     * FAILFAST (abort) is an operational contract every ingest pipeline
@@ -1191,6 +1220,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_malformed" -> (sourceCsvMalformed _),
+    "source_compressed_roundtrip" -> (sourceCompressedRoundtrip _),
     "pivot_unpivot" -> (pivotUnpivot _),
     "kv_pitr_restore" -> (kvPitrRestore _),
     "kv_wal_replay" -> (kvWalReplay _),
@@ -1226,6 +1256,7 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "source_csv_malformed" -> sourceCsvMalformedOracle,
+    "source_compressed_roundtrip" -> sourceCompressedRoundtripOracle,
     "pivot_unpivot" -> pivotUnpivotOracle,
     "kv_pitr_restore" -> kvPitrRestoreOracle,
     "kv_wal_replay" -> kvWalReplayOracle,

@@ -1072,6 +1072,38 @@ class LifecycleSpec extends SparkSpec {
       "correlated-subquery result diverges from its decorrelated equivalent")
   }
 
+  test("compressed roundtrip really compresses: .gz files, smaller bytes, zstd parquet too") {
+    run("source_compressed_roundtrip").count()
+    val o = graft.sources.Tables.orders(spark, sf)
+    // locate the written .gz dir (same per-process scratch layout)
+    val roots = new java.io.File("/tmp/graft_export").listFiles()
+    val gzDirs = roots.flatMap(r => Option(r.listFiles()).getOrElse(Array.empty))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName == "orders_csv_gz")
+    assert(gzDirs.nonEmpty, "compressed output dir not found")
+    val parts = gzDirs.head.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".csv.gz")),
+      "output parts are not gzip files")
+    // the same content uncompressed for a size comparison
+    val plainDir = java.nio.file.Files.createTempDirectory("plain_csv").toString
+    o.select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)").as("t"))
+      .write.mode("overwrite").option("header", "true").csv(plainDir)
+    val gzBytes = parts.map(_.length()).sum
+    val plainBytes = new java.io.File(plainDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    assert(gzBytes * 2 < plainBytes,
+      s"gzip bytes $gzBytes not materially smaller than plain $plainBytes")
+    // zstd parquet roundtrip holds as well
+    val zDir = java.nio.file.Files.createTempDirectory("zstd_parquet").toString + "/t"
+    o.write.option("compression", "zstd").parquet(zDir)
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == o.count() &&
+      back.exceptAll(o).count() == 0 && o.exceptAll(back).count() == 0)
+    assert(new java.io.File(zDir).listFiles()
+      .exists(_.getName.endsWith(".zstd.parquet")), "parquet files are not zstd-coded")
+  }
+
   test("streaks: longest <= active days, streak pieces partition the days") {
     val s = run("win_streaks")
     assert(s.filter(col("longest_streak_days") > col("n_active_days")).count() == 0)
