@@ -65,10 +65,10 @@ object TimeSeries {
         src.schema
       })
     }
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir)
-      .withColumn("ts", eventsTsFromNanos)
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir))
   }
 
   /** Run a streaming frame to completion through a per-process memory

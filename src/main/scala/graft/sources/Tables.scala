@@ -39,9 +39,26 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     enableNanosAsLong(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", eventsTsFromNanos)
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Both observed `events.parquet` layouts normalize to one session
+    * TimestampType (UTC) `ts` column:
+    *  - INT64 TIMESTAMP(NANOS) — read as LongType under the legacy conf,
+    *    then truncated to µs exactly (the original driver layout);
+    *  - TIMESTAMP(MICROS) `isAdjustedToUTC=false` — read natively as
+    *    TIMESTAMP_NTZ (the round-8 testdata refresh), reinterpreted as
+    *    UTC; the session timezone is pinned to UTC, so the cast is a
+    *    type-tag change on identical micros, and DuckDB reads the same
+    *    file as the same naive values.
+    * Shared by batch and stream readers so the two can never diverge. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", eventsTsFromNanos)
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** The two halves of the ns workaround, shared with the streaming
     * reader (operators.TimeSeries.tsTumblingStream) so batch and stream
