@@ -612,11 +612,14 @@ object LlmText {
     * (integer division — no cross-engine double rounding). */
   def llmDatasetMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
-      // digit-less source names: Spark's cast('' as int) yields NULL
-      // while DuckDB's CAST errors — coalesce to 0 on BOTH engines so
-      // the parity doesn't hinge on the fixture's name contract
+      // digit-less source names: a plain cast('' as int) THROWS under
+      // Spark 4's ANSI mode (and DuckDB's CAST errors too) — TRY_CAST +
+      // coalesce to 0 on BOTH engines so the key neither crashes nor
+      // diverges when a source name carries no digits
       .withColumn("src_num",
-        coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(0)))
+        coalesce(
+          expr("try_cast(regexp_extract(source, '(\\\\d+)', 1) as int)"),
+          lit(0)))
       // membership: hash6 / 16^6 < rate_ppm / 1e6, cross-multiplied to
       // exact integer arithmetic (hash6 < 2^24, so both products fit a
       // long with room to spare)

@@ -52,6 +52,15 @@ object KvCompaction {
     * compactions, die at major compaction" contract. */
   val Tombstone = "__TOMBSTONE__"
 
+  /** TEST-ONLY crash injection for the swap: invoked after the live dir
+    * has been moved aside but before the rewritten tmp dir takes its
+    * place — the exact window where a naive swap would leave NO live
+    * store. Runs inside the same try as the second move, so a thrown
+    * exception exercises the rollback path (old dir restored, tmp
+    * reclaimed, original error propagated). Production value is a
+    * no-op; specs swap it in and MUST restore it in a finally. */
+  private[graft] var betweenSwapMoves: () => Unit = () => ()
+
   /** Result of one compaction: file counts before/after, the cell total
     * carried through, and the cells intentionally garbage-collected by
     * the retention/tombstone policy (0 for a plain compaction, whose
@@ -168,8 +177,10 @@ object KvCompaction {
     }
 
     Files.move(Paths.get(store), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(tmp), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      betweenSwapMoves() // no-op in production; crash injection in specs
+      Files.move(Paths.get(tmp), Paths.get(store), StandardCopyOption.ATOMIC_MOVE)
+    } catch {
       case scala.util.control.NonFatal(e) =>
         // the live path must never be left empty: put the old data back
         // so readers see the pre-compaction store instead of nothing.

@@ -52,13 +52,24 @@ object Tables {
     *    type-tag change on identical micros, and DuckDB reads the same
     *    file as the same naive values.
     * Shared by batch and stream readers so the two can never diverge. */
-  def normalizeEventsTs(df: DataFrame): DataFrame =
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    // the NTZ->TimestampType cast below is micros-preserving ONLY under
+    // a UTC session timezone; enforce that at the point that relies on
+    // it instead of trusting every entrypoint to have pinned it
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events ts normalization requires spark.sql.session.timeZone=UTC, got $tz")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", eventsTsFromNanos)
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"unrecognized events.parquet ts type $other — expected INT64 nanos " +
+          "(LongType under the legacy conf), TIMESTAMP, or TIMESTAMP_NTZ")
     }
+  }
 
   /** The two halves of the ns workaround, shared with the streaming
     * reader (operators.TimeSeries.tsTumblingStream) so batch and stream

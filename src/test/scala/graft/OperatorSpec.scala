@@ -1351,4 +1351,30 @@ class LifecycleSpec extends SparkSpec {
       .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
     assert(probe.getLong(1) == direct)
   }
+
+  test("dataset mix keeps digit-less source names (TRY_CAST parity guard)") {
+    // the ADVICE-flagged divergence: a source with no digits made
+    // Spark's cast('' as int) yield NULL (row silently mis-bucketed)
+    // while DuckDB's CAST errored; both sides now coalesce to 0. Build
+    // a fixture dir whose documents.parquet holds such a source.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mix_digitless").toString
+    Seq(
+      (1L, "alpha text", "en", "webcrawl", 10L), // digit-less source
+      (2L, "beta text", "en", "webcrawl", 9L),
+      (3L, "gamma text", "en", "cc_2021", 10L),
+      (4L, "delta text", "en", "cc_2022", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LlmText.llmDatasetMix(spark, dir).collect()
+    val bySource = out.map(r => r.getString(0) -> r).toMap
+    // the digit-less source must appear, count BOTH its docs, and get
+    // the src_num=0 rate band (100000 ppm) — not vanish via a NULL cast
+    assert(bySource.contains("webcrawl"), s"digit-less source dropped: ${bySource.keys}")
+    assert(bySource("webcrawl").getLong(1) == 2L, "digit-less rows were NULL-dropped")
+    out.foreach { r =>
+      val ppm = r.getLong(3)
+      assert(ppm >= 0 && ppm <= 1000000, s"achieved_ppm out of range: $r")
+    }
+  }
 }

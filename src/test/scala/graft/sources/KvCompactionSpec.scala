@@ -236,6 +236,31 @@ class KvCompactionSpec extends SparkSpec {
       "failed compaction mutated the live store")
   }
 
+  test("a crash between the two swap moves rolls the old store back") {
+    val store = freshStore()
+    fragmented(store, 3)
+    val beforeCells = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier").collect()
+    // kill in the EXACT window where the live path holds nothing: the
+    // old dir is moved aside, the rewritten tmp not yet in place
+    val boom = new RuntimeException("injected crash between swap moves")
+    KvCompaction.betweenSwapMoves = () => throw boom
+    val e = try intercept[RuntimeException] {
+      KvCompaction.compact(spark, store, targetFiles = 1)
+    } finally KvCompaction.betweenSwapMoves = () => ()
+    assert(e eq boom, s"the injected failure must stay the primary error, got $e")
+    // readers must see the PRE-compaction store, not an empty dir...
+    val after = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier").collect()
+    assert(after.sameElements(beforeCells),
+      "rollback must restore the pre-compaction store at the live path")
+    // ...and neither scratch tree may be stranded (tmp is store-sized)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$store.compact-tmp")),
+      "crashed swap stranded the store-sized tmp tree")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$store.compact-old")),
+      "rollback must move .compact-old back, not copy it")
+  }
+
   test("a fired lossless-rewrite guard reclaims the tmp tree") {
     val store = freshStore()
     fragmented(store, 3)
