@@ -32,7 +32,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object KvSnapshots {
 
   final case class SnapEntry(file: String, bytes: Long, md5: String, cells: Long,
-      sharedFrom: Option[String])
+      sharedFrom: Option[String], perms: Option[String] = None)
+
+  /** TEST-ONLY fault injection for export's distributed copy: invoked
+    * inside a copy task, with the file name, just before the file's
+    * bytes move — after OTHER tasks may already have published their
+    * files. A thrown exception fails the export job mid-copy, which is
+    * exactly the partial state the manifest-as-commit-mark must keep
+    * invisible. Production value is a no-op; specs swap it in and MUST
+    * restore it in a finally. */
+  private[graft] var exportCopyFault: String => Unit = _ => ()
+
+  /** Posix permission string ("rw-r--r--") of a file, None where the
+    * filesystem doesn't speak posix — the reference's -chmod/-chuser
+    * family preserves file attributes across an export; recording them
+    * in the manifest lets import restore them even after the source is
+    * gone. */
+  private def permsOf(p: Path): Option[String] =
+    try Some(java.nio.file.attribute.PosixFilePermissions.toString(
+      Files.getPosixFilePermissions(p)))
+    catch { case _: UnsupportedOperationException => None }
+
+  private def applyPerms(p: Path, perms: Option[String]): Unit =
+    perms.foreach { s =>
+      try Files.setPosixFilePermissions(p,
+        java.nio.file.attribute.PosixFilePermissions.fromString(s))
+      catch { case _: UnsupportedOperationException => () }
+    }
 
   /** Outcome of an `export`: how many files were actually copied vs
     * skipped because the destination already held verified bytes (the
@@ -115,7 +141,7 @@ object KvSnapshots {
       val n = f.getFileName.toString
       val m = meta.getOrElse(n,
         sys.error(s"snapshot $name: no write-commit stats for $n"))
-      SnapEntry(n, m.bytes, m.md5, m.cells, None)
+      SnapEntry(n, m.bytes, m.md5, m.cells, None, permsOf(f))
     }
   }
 
@@ -125,7 +151,8 @@ object KvSnapshots {
       if (entries.isEmpty) "[]"
       else entries.map { e =>
         val shared = e.sharedFrom.map(b => s""", "shared_from": "$b"""").getOrElse("")
-        s"""    {"file": "${e.file}", "bytes": ${e.bytes}, "md5": "${e.md5}", "cells": ${e.cells}$shared}"""
+        val perms = e.perms.map(p => s""", "perms": "$p"""").getOrElse("")
+        s"""    {"file": "${e.file}", "bytes": ${e.bytes}, "md5": "${e.md5}", "cells": ${e.cells}$shared$perms}"""
       }.mkString("[\n", ",\n", "\n  ]")
     val stamp = createdAt.map(t => s"""  "created_at": $t,\n""").getOrElse("")
     val json =
@@ -144,7 +171,8 @@ object KvSnapshots {
 
   private val EntryRe =
     ("""\{"file": "([^"]+)", "bytes": (\d+), "md5": "([0-9a-f]{32})", """ +
-      """"cells": (\d+)(?:, "shared_from": "([^"]+)")?\}""").r
+      """"cells": (\d+)(?:, "shared_from": "([^"]+)")?""" +
+      """(?:, "perms": "([rwx-]{9})")?\}""").r
   private val NFilesRe = """"n_files": (\d+)""".r
 
   /** Parsed, structurally validated manifest of a committed snapshot.
@@ -162,7 +190,7 @@ object KvSnapshots {
       .getOrElse(sys.error(s"snapshot $name has a corrupt manifest (no n_files)"))
     val entries = EntryRe.findAllMatchIn(text).map(m =>
       SnapEntry(m.group(1), m.group(2).toLong, m.group(3), m.group(4).toLong,
-        Option(m.group(5)))).toSeq
+        Option(m.group(5)), Option(m.group(6)))).toSeq
     require(entries.size == nFiles,
       s"snapshot $name has a corrupt manifest (${entries.size} entries, n_files=$nFiles)")
     // import reads manifests written OUTSIDE this process: a crafted
@@ -336,6 +364,14 @@ object KvSnapshots {
         (n.endsWith(".tmp") || (n.endsWith(KvFormat.SUFFIX) && !expected(n))) })
       .foreach(Files.delete)
     finally stray.close()
+    // CURRENT source-file posix perms, read once on the driver
+    // (O(files) metadata): the export preserves what the files carry
+    // NOW — an operator's post-create chmod travels with the copy,
+    // the reference's file-attribute preservation story — and the
+    // destination manifest records them so a later import can restore
+    // attrs even after the source is gone
+    val livePerms: Map[String, Option[String]] =
+      entries.map(e => e.file -> permsOf(srcData.resolve(e.file))).toMap
     val stats = if (entries.isEmpty) ExportStats(0, 0) else {
       val nBins = math.min(entries.size, mappers)
       val binOf = packBins(entries.map(e => (e.file, e.bytes)), nBins)
@@ -349,25 +385,29 @@ object KvSnapshots {
       // survived from a PREVIOUS export count as resumed.
       val preExisting = entries.map(_.file)
         .filter(f => Files.exists(destData.resolve(f))).toSet
-      val binned: Seq[Seq[(String, String, String, Long, Boolean)]] =
+      val binned: Seq[Seq[(String, String, String, Long, Boolean, Option[String])]] =
         (0 until nBins).map(b => entries.filter(e => binOf(e.file) == b)
           .map(e => (srcData.resolve(e.file).toString,
-            destData.resolve(e.file).toString, e.md5, e.bytes, preExisting(e.file))))
+            destData.resolve(e.file).toString, e.md5, e.bytes, preExisting(e.file),
+            livePerms(e.file))))
       // per-file outcome as a STRUCTURED (status, fileName) pair — an
       // in-band string sentinel would collide with a manifest file
       // literally named like the sentinel and count its checksum
       // failure as success
       val outcomes = spark.sparkContext.parallelize(binned, nBins)
-        .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes, pre) =>
+        .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes, pre, perms) =>
           val destP = Paths.get(dest)
           val file = Paths.get(src).getFileName.toString
           val survives = pre && Files.exists(destP) && Files.size(destP) == wantBytes &&
             KvMeta.md5HexOf(dest) == wantMd5
-          if (survives) ("skipped", file)
+          if (survives) { applyPerms(destP, perms); ("skipped", file) }
           else {
+            exportCopyFault(file) // no-op in production; spec fault injection
             val gotMd5 = copyDigesting(src, dest, bandwidthMbps)
-            if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) ("copied", file)
-            else ("corrupt", file)
+            if (gotMd5 == wantMd5 && Files.size(destP) == wantBytes) {
+              applyPerms(destP, perms) // attrs ride with the bytes
+              ("copied", file)
+            } else ("corrupt", file)
           }
         })
         .collect() // one (status, name) per file
@@ -389,7 +429,8 @@ object KvSnapshots {
     else Files.deleteIfExists(destData.resolve(KvMeta.FILE))
     // the exported snapshot is logically the SAME snapshot: its age
     // stamp (if any) travels with it rather than resetting at the dest
-    commitManifest(destRoot, name, entries.map(_.copy(sharedFrom = None)),
+    commitManifest(destRoot, name,
+      entries.map(e => e.copy(sharedFrom = None, perms = livePerms(e.file))),
       createdAt(srcRoot, name))
     stats
   }

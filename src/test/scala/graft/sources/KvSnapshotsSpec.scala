@@ -183,6 +183,66 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
   }
 
+  test("a copy task failing mid-export never exposes partial state; a retry resumes") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(6, col("rowkey"), col("qualifier"))
+        .sortWithinPartitions("rowkey", "qualifier")
+    KvSnapshots.create(layout(cells), src, "s1")
+    val entries = KvSnapshots.parseManifest(src, "s1")
+    assert(entries.size >= 3, "fixture must span several copy tasks")
+    // fail the task copying ONE chosen file — other tasks may have
+    // already PUBLISHED theirs, which is exactly the partial state the
+    // manifest-as-commit-mark must keep invisible
+    val victim = entries.map(_.file).sorted.last
+    KvSnapshots.exportCopyFault =
+      f => if (f == victim) throw new RuntimeException(s"injected copy fault on $f")
+    try intercept[org.apache.spark.SparkException] {
+      KvSnapshots.export(spark, src, dest, "s1")
+    } finally KvSnapshots.exportCopyFault = _ => ()
+    // partial output exists on disk, but the dest is uncommitted:
+    // invisible to list, unrestorable — never half a snapshot
+    assert(KvSnapshots.list(dest).isEmpty,
+      "a failed export must not commit the destination manifest")
+    intercept[IllegalArgumentException] { KvSnapshots.restore(spark, dest, "s1") }
+    // the retry completes, re-copying only what the crash lost
+    val resumed = KvSnapshots.export(spark, src, dest, "s1")
+    assert(resumed.copied + resumed.skipped == entries.size)
+    assert(resumed.copied >= 1, "the faulted file must be re-copied")
+    val r = KvSnapshots.restore(spark, dest, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+  }
+
+  test("posix perms are recorded in the manifest and survive export + import") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val src = freshRoot()
+    val dest = freshRoot()
+    val back = freshRoot()
+    KvSnapshots.create(cells, src, "s1")
+    // an operator locks a data file down after create; the export must
+    // carry the CURRENT attrs, not recreate writer defaults
+    val f = KvFormat.dataFiles(Paths.get(src, "s1", "data").toString).head
+    Files.setPosixFilePermissions(f, PosixFilePermissions.fromString("rwx------"))
+    KvSnapshots.export(spark, src, dest, "s1")
+    val destF = Paths.get(dest, "s1", "data", f.getFileName.toString)
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(destF))
+      == "rwx------", "export must preserve source file perms")
+    // the dest manifest records them, so a further import (export from
+    // dest) restores attrs even after the original source is gone
+    val destEntry = KvSnapshots.parseManifest(dest, "s1")
+      .find(_.file == f.getFileName.toString).get
+    assert(destEntry.perms.contains("rwx------"))
+    KvSnapshots.delete(src, "s1")
+    KvSnapshots.export(spark, dest, back, "s1")
+    val backF = Paths.get(back, "s1", "data", f.getFileName.toString)
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(backF))
+      == "rwx------", "import must restore recorded perms")
+    // restore still verifies content cleanly under the tightened perms
+    val r = KvSnapshots.restore(spark, back, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+  }
+
   test("exporting an incremental snapshot materializes shared files as full copies") {
     val src = freshRoot()
     val dest = freshRoot()
