@@ -475,7 +475,15 @@ object LlmVector {
        |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
        |qp AS (
        |  SELECT emb.vec_id, emb.embedding, probes.cell
-       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id)""".stripMargin
+       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id),
+       |probes3 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
+       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 3),
+       |qp3 AS (
+       |  SELECT emb.vec_id, emb.embedding, probes3.cell
+       |  FROM embeddings emb JOIN probes3 ON emb.vec_id = probes3.vec_id)""".stripMargin
   }
 
   /** The 5 Lloyd iterations + assignment/probe CTEs come from the SHARED
@@ -762,7 +770,76 @@ object LlmVector {
        |ORDER BY method""".stripMargin
   }
 
+  /** HIGH-RECALL IVF OPERATING POINT (nprobe = 3 of the k = 4 cells):
+    * the graded point on the cost/recall curve that crosses the
+    * production bar — measured recall@3 must reach ≥ 85% (the nprobe=1
+    * and nprobe=2 keys stay graded as the cheap end of the same curve;
+    * `ivfSearch(nprobe)` is the ONE parameterized search they all
+    * call). nprobe stays < k, so this is still a genuine multi-probe
+    * search — each query scans 3 inverted lists, not the corpus; the
+    * honest exhaustive point (nprobe = k) is what `llm_sim_cosine_topk`
+    * already grades. Output shape matches `llm_ann_recall`: per-method
+    * hits / possible / recall in exact ppm (integer division — no
+    * cross-engine double rounding). */
+  def llmAnnRecallHi(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // exact ground truth: same construction as llm_ann_recall (3×|q| rows)
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("q_id", "neighbor_id")
+      .localCheckpoint() // feeds the hit join AND the possible count
+    val approx = ivfSearch(spark, sfDir, nprobe = 3).select("q_id", "neighbor_id")
+      .withColumn("method", lit("ivf_nprobe3"))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    import spark.implicits._
+    Seq("ivf_nprobe3").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("possible")))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div possible"))
+      .orderBy("method")
+  }
+
+  /** Shared prologue's nprobe=3 fan-out (qp3) + exact top-3, reduced to
+    * the single-method hit count. */
+  val llmAnnRecallHiOracle: String = {
+    def top3(candCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+         |    FROM $candCte) WHERE rn <= 3)""".stripMargin
+    s"""WITH $ivfOracleProlog,
+       |exact_c AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 30),
+       |${top3("exact_c", "exact")},
+       |ap3_c AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |  FROM qp3 q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id),
+       |${top3("ap3_c", "ap3")},
+       |hit3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM ap3 JOIN exact USING (q_id, neighbor_id)),
+       |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
+       |SELECT 'ivf_nprobe3' AS method, hits, possible,
+       |  (1000000 * hits) // possible AS recall_ppm
+       |FROM hit3, poss ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
     "llm_semdedup" -> (llmSemdedup _),
     "llm_ann_rerank" -> (llmAnnRerank _),
@@ -776,6 +853,7 @@ object LlmVector {
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
+    "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,
     "llm_semdedup" -> llmSemdedupOracle,
     "llm_ann_rerank" -> llmAnnRerankOracle,

@@ -418,6 +418,57 @@ object Sources {
   /** Stream-ingested, snapshotted, restored cells == the source cells. */
   val kvStreamIngestOracle: String = Scans.scanKvModelOracle
 
+  /** CHECKPOINT RECOVERY of the streaming ingest — the operational
+    * property `kv_stream_ingest` assumes but doesn't prove: a streaming
+    * job DIES mid-stream and is RESTARTED from its checkpoint, and the
+    * result must equal the uninterrupted run. Half the cells are staged
+    * and ingested by a first query that then stops (the simulated
+    * crash); the second half arrives while the job is down; a second
+    * query starts FROM THE SAME CHECKPOINT and must ingest ONLY the
+    * unseen file — the checkpoint's file-source log is what prevents
+    * re-ingesting (and thus double-counting) the first file, which the
+    * lossless oracle would catch. At 100 TB this is the restart story
+    * of every long-running ingest: state lives in the checkpoint, not
+    * the process, so an executor/driver loss costs one replayed
+    * micro-batch at most, with the store's per-batch committed file
+    * sets as the idempotent unit. */
+  def kvStreamResume(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = snapshotRoot(sfDir, "kv_resume_stage")
+    val store = snapshotRoot(sfDir, "kv_resume_store") + "/cells"
+    val ckpt = snapshotRoot(sfDir, "kv_resume_ckpt")
+    val snapRoot = snapshotRoot(sfDir, "kv_resume_snap")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    cells.filter(col("rowkey") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("graft-kv").option("path", store).mode("append").save()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.streams.resetTerminated() // same sink hygiene as TimeSeries
+    }
+    runOnce() // ingests the first staged file, then "crashes" (stops)
+    val filesAfterCrash = graft.sources.KvFormat.dataFiles(store).size
+    require(filesAfterCrash >= 1, "first run committed no file set")
+    // the second half arrives while the job is DOWN
+    cells.filter(col("rowkey") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
+    runOnce() // restart from the checkpoint: must ingest ONLY the new file
+    require(graft.sources.KvFormat.dataFiles(store).size > filesAfterCrash,
+      "restarted run committed nothing — the new file was not ingested")
+    graft.sources.KvSnapshots.create(
+      spark.read.format("graft-kv").load(store), snapRoot, "resumed")
+    graft.sources.KvSnapshots.restore(spark, snapRoot, "resumed")
+      .orderBy("rowkey", "qualifier")
+  }
+
+  /** The interrupted-and-resumed ingest must equal the uninterrupted
+    * run — i.e. exactly the source cells, no loss, no double-ingest. */
+  val kvStreamResumeOracle: String = Scans.scanKvModelOracle
+
   /** Restored v2 must equal the modified frame. */
   val kvSnapshotIncrementalOracle: String =
     """SELECT s_suppkey AS rowkey, 'acctbal' AS qualifier,
@@ -1251,6 +1302,7 @@ object Sources {
     "kv_clone" -> (kvClone _),
     "kv_compact" -> (kvCompact _),
     "kv_stream_ingest" -> (kvStreamIngest _),
+    "kv_stream_resume" -> (kvStreamResume _),
     "pivot_status_by_priority" -> (pivotStatusByPriority _),
     "export_bucketed" -> (exportBucketed _))
 
@@ -1287,6 +1339,7 @@ object Sources {
     "kv_clone" -> kvCloneOracle,
     "kv_compact" -> kvCompactOracle,
     "kv_stream_ingest" -> kvStreamIngestOracle,
+    "kv_stream_resume" -> kvStreamResumeOracle,
     "pivot_status_by_priority" -> pivotStatusByPriorityOracle,
     "export_bucketed" -> exportBucketedOracle)
 }
