@@ -344,8 +344,15 @@ object KvSnapshots {
     * 100 TB the difference between an hour and a week. Returns
     * (copied, skipped) counts so callers and tests can observe resume
     * behavior. */
+  /** `force = true` disables the resume digest-skip: every file is
+    * re-copied even when the destination already holds verified bytes —
+    * the reference `-overwrite`'s "recopy regardless" escape hatch for
+    * operators who distrust the destination (e.g. suspected bit rot the
+    * size+md5 probe can't see, or a storage system whose reads and
+    * writes disagree). The copy still lands via temp-file + atomic
+    * publish, so a forced re-copy never exposes a torn file either. */
   def export(spark: SparkSession, srcRoot: String, destRoot: String, name: String,
-      mappers: Int = 32, bandwidthMbps: Int = 0): ExportStats = {
+      mappers: Int = 32, bandwidthMbps: Int = 0, force: Boolean = false): ExportStats = {
     require(mappers > 0, s"mappers must be positive, got $mappers")
     require(bandwidthMbps >= 0, s"bandwidth must be >= 0 (0 = unlimited), got $bandwidthMbps")
     val entries = parseManifest(srcRoot, name)
@@ -398,8 +405,8 @@ object KvSnapshots {
         .flatMap(_.iterator.map { case (src, dest, wantMd5, wantBytes, pre, perms) =>
           val destP = Paths.get(dest)
           val file = Paths.get(src).getFileName.toString
-          val survives = pre && Files.exists(destP) && Files.size(destP) == wantBytes &&
-            KvMeta.md5HexOf(dest) == wantMd5
+          val survives = !force && pre && Files.exists(destP) &&
+            Files.size(destP) == wantBytes && KvMeta.md5HexOf(dest) == wantMd5
           if (survives) { applyPerms(destP, perms); ("skipped", file) }
           else {
             exportCopyFault(file) // no-op in production; spec fault injection

@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * command line; this gives the Spark engine the same entry point:
   *
   *   create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-  *   export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
-  *   import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
+  *   export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
+  *   import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
   *   restore --root R --name N [--out <parquet dir>]
   *   verify  --root R --name N
   *   info    --root R --name N
@@ -75,11 +75,17 @@ object SnapshotTool {
           // cleaned by export itself — and a re-export failure never
           // leaves the dest emptier than before, which a full
           // delete-then-export would (data-loss window).
-          val overwrite = flags.get("overwrite").map {
+          def boolFlag(k: String): Boolean = flags.get(k).map {
             case "true" => true
             case "false" => false
-            case v => throw CliError(s"bad --overwrite: $v (true|false)")
+            case v => throw CliError(s"bad --$k: $v (true|false)")
           }.getOrElse(false)
+          val overwrite = boolFlag("overwrite")
+          // the reference -overwrite's second half: recopy EVERY file
+          // regardless of a matching destination digest (distrust-the-
+          // dest escape; plain --overwrite still digest-skips identical
+          // bytes, which is the cheap path)
+          val force = boolFlag("force")
           if (overwrite &&
               java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json"))) {
             // uncommit is destructive to the dest's commit mark — prove
@@ -96,7 +102,8 @@ object SnapshotTool {
             KvSnapshots.parseManifest(src, need("name"))
             KvSnapshots.uncommit(dst, need("name"))
           }
-          val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers, bandwidth)
+          val stats = KvSnapshots.export(spark, src, dst, need("name"), mappers, bandwidth,
+            force = force)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")
         case "info" =>
@@ -197,8 +204,8 @@ object SnapshotTool {
       s"""error: $err
          |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
-         |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
-         |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true]
+         |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
+         |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
          |  restore --root R --name N [--out <parquet dir>]
          |  verify  --root R --name N
          |  info    --root R --name N

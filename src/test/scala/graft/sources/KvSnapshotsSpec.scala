@@ -214,6 +214,33 @@ class KvSnapshotsSpec extends SparkSpec {
     assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
   }
 
+  test("--overwrite recopies a tampered-but-same-size dest; --force recopies even verified bytes") {
+    val src = freshRoot()
+    val dest = freshRoot()
+    KvSnapshots.create(cells, src, "s1")
+    assert(SnapshotTool.run(spark, Seq("export", "--root", src, "--name", "s1",
+      "--dest", dest)) == 0)
+    val nFiles = KvSnapshots.parseManifest(src, "s1").size
+    // tamper a dest file WITHOUT changing its size: the size probe alone
+    // would pass; the digest probe must catch it and recopy under
+    // --overwrite (no --force needed — corruption is not "verified")
+    val f = KvFormat.dataFiles(Paths.get(dest, "s1", "data").toString).head
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(f, bytes)
+    assert(SnapshotTool.run(spark, Seq("export", "--root", src, "--name", "s1",
+      "--dest", dest, "--overwrite", "true")) == 0)
+    KvSnapshots.verify(spark, dest, "s1") // the flipped bit is gone
+    // --force: every file recopied even though every digest now verifies
+    // (the distrust-the-destination escape the plain resume path lacks)
+    KvSnapshots.uncommit(dest, "s1")
+    val forced = KvSnapshots.export(spark, src, dest, "s1", force = true)
+    assert(forced == KvSnapshots.ExportStats(copied = nFiles, skipped = 0),
+      s"force must recopy all $nFiles files, got $forced")
+    val r = KvSnapshots.restore(spark, dest, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+  }
+
   test("posix perms are recorded in the manifest and survive export + import") {
     import java.nio.file.attribute.PosixFilePermissions
     val src = freshRoot()
