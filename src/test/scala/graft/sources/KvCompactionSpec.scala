@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -234,6 +235,40 @@ class KvCompactionSpec extends SparkSpec {
     val after = KvFormat.dataFiles(store).map(_.getFileName.toString)
     assert(after.contains("poison.kv") && before.forall(after.contains),
       "failed compaction mutated the live store")
+  }
+
+  test("a write job with a crashing task leaves the store exactly as before") {
+    // end-to-end job-level two-phase commit: one task of a REAL write
+    // job throws mid-write after sibling tasks may have task-committed
+    // their files; Spark then calls BatchWrite.abort, which must undo
+    // those task commits — the store's visible file set, stats index,
+    // and readable cells must be byte-identical to the pre-job state
+    val store = freshStore()
+    cells.coalesce(1).write.format("graft-kv").option("path", store).mode("append").save()
+    val filesBefore = KvFormat.dataFiles(store).map(_.getFileName.toString).sorted
+    val metaBefore = KvMeta.read(store)
+    val rowsBefore = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier").collect()
+    val poisoned = cells.repartition(4, col("rowkey"))
+      .withColumn("value",
+        when(col("qualifier") === "name" && col("rowkey") === 1,
+          expr("raise_error('injected write-task failure')"))
+          .otherwise(col("value")))
+    intercept[Exception] { // SparkRuntimeException (raise_error) or SparkException
+      poisoned.write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    assert(KvFormat.dataFiles(store).map(_.getFileName.toString).sorted == filesBefore,
+      "job abort must remove every file its tasks committed")
+    assert(KvMeta.read(store) == metaBefore,
+      "a failed job must not touch the committed stats index")
+    val rowsAfter = spark.read.format("graft-kv").load(store)
+      .orderBy("rowkey", "qualifier").collect()
+    assert(rowsAfter.sameElements(rowsBefore), "readable cells changed across a failed job")
+    // and no task temp files strand either
+    val stray = Files.list(java.nio.file.Paths.get(store))
+    try assert(!stray.iterator().asScala.exists(_.getFileName.toString.startsWith(".tmp-")),
+      "failed tasks stranded temp files")
+    finally stray.close()
   }
 
   test("a crash between the two swap moves rolls the old store back") {
