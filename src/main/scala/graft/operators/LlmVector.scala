@@ -465,26 +465,42 @@ object LlmVector {
        |  FROM ex WHERE vec_id < $IvfK),
        |$iterCtes,
        |${assignCtes(s"cent$IvfIters", "cells0")},
-       |probes AS (
-       |  SELECT vec_id, c_id AS cell FROM (
-       |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 2),
+       |${probeCtes(2, "")},
        |e AS (
        |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
        |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
-       |qp AS (
-       |  SELECT emb.vec_id, emb.embedding, probes.cell
-       |  FROM embeddings emb JOIN probes ON emb.vec_id = probes.vec_id),
-       |probes3 AS (
+       |${probeCtes(3, "3")}""".stripMargin
+  }
+
+  /** Probe CTE pair for one nprobe point: probes$suffix (each query's
+    * nprobe nearest cells from the FINAL assignment distances) and
+    * qp$suffix (the cell-tagged query side) — one generator so the
+    * nprobe=2 and nprobe=3 fan-outs differ ONLY in the rn bound. */
+  private def probeCtes(nprobe: Int, suffix: String): String =
+    s"""probes$suffix AS (
        |  SELECT vec_id, c_id AS cell FROM (
        |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
-       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= 3),
-       |qp3 AS (
-       |  SELECT emb.vec_id, emb.embedding, probes3.cell
-       |  FROM embeddings emb JOIN probes3 ON emb.vec_id = probes3.vec_id)""".stripMargin
-  }
+       |    FROM d_cells0 WHERE vec_id < 30) WHERE rn <= $nprobe),
+       |qp$suffix AS (
+       |  SELECT emb.vec_id, emb.embedding, probes$suffix.cell
+       |  FROM embeddings emb JOIN probes$suffix ON emb.vec_id = probes$suffix.vec_id)""".stripMargin
+
+  /** Shared recall-oracle fragments: the exact brute-force candidate
+    * CTE and the top-3 cut — one definition for both recall oracles. */
+  private lazy val exactCandCte: String =
+    s"""exact_c AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 30)""".stripMargin
+
+  private def top3Sql(candCte: String, name: String): String =
+    s"""$name AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM $candCte) WHERE rn <= 3)""".stripMargin
 
   /** The 5 Lloyd iterations + assignment/probe CTEs come from the SHARED
     * [[ivfOracleProlog]] — one definition so the three IVF oracles
@@ -698,8 +714,13 @@ object LlmVector {
     * Determinism: recall is a rational, so it is emitted as exact
     * integer parts-per-million — `(1000000 * hits) div possible` —
     * never a ROUND()ed double (Spark and DuckDB round …5 doubles
-    * differently; see the quality-score precedent). */
-  def llmAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    * differently; see the quality-score precedent).
+    *
+    * The ground truth is [[exactTop3]], checkpointed because it feeds
+    * both the hit join and the possible count — ONE definition shared
+    * with `llm_ann_recall_hi` so the graded points measure against the
+    * same truth by construction. */
+  private def exactTop3(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -707,14 +728,17 @@ object LlmVector {
     val q = e.filter(col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    // ground truth: exact top-3 neighbors of each query (3×|q| tiny rows)
-    val exact = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 3)
       .select("q_id", "neighbor_id")
-      .localCheckpoint() // feeds the hit join AND the possible count
+      .localCheckpoint()
+  }
+
+  def llmAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = exactTop3(spark, sfDir)
     val approx = llmAnnIvfKmeans(spark, sfDir).select("q_id", "neighbor_id")
       .withColumn("method", lit("ivf_nprobe1"))
       .unionByName(llmAnnIvfProbe2(spark, sfDir).select("q_id", "neighbor_id")
@@ -737,30 +761,20 @@ object LlmVector {
   /** Shared prologue + exact/nprobe1/nprobe2 top-3 lists, reduced to
     * per-method hit counts. */
   val llmAnnRecallOracle: String = {
-    def top3(candCte: String, name: String): String =
-      s"""$name AS (
-         |  SELECT q_id, neighbor_id FROM (
-         |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
-         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-         |    FROM $candCte) WHERE rn <= 3)""".stripMargin
     s"""WITH $ivfOracleProlog,
-       |exact_c AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-       |  WHERE q.vec_id < 30),
-       |${top3("exact_c", "exact")},
+       |$exactCandCte,
+       |${top3Sql("exact_c", "exact")},
        |ap1_c AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
        |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
        |  FROM e q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id
        |  WHERE q.vec_id < 30),
-       |${top3("ap1_c", "ap1")},
+       |${top3Sql("ap1_c", "ap1")},
        |ap2_c AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
        |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
        |  FROM qp q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id),
-       |${top3("ap2_c", "ap2")},
+       |${top3Sql("ap2_c", "ap2")},
        |hit1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM ap1 JOIN exact USING (q_id, neighbor_id)),
        |hit2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM ap2 JOIN exact USING (q_id, neighbor_id)),
        |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
@@ -782,21 +796,7 @@ object LlmVector {
     * hits / possible / recall in exact ppm (integer division — no
     * cross-engine double rounding). */
   def llmAnnRecallHi(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
-    val q = e.filter(col("vec_id") < 30)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    // exact ground truth: same construction as llm_ann_recall (3×|q| rows)
-    val exact = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select("q_id", "neighbor_id")
-      .localCheckpoint() // feeds the hit join AND the possible count
+    val exact = exactTop3(spark, sfDir) // same truth as llm_ann_recall
     val approx = ivfSearch(spark, sfDir, nprobe = 3).select("q_id", "neighbor_id")
       .withColumn("method", lit("ivf_nprobe3"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
@@ -813,24 +813,14 @@ object LlmVector {
   /** Shared prologue's nprobe=3 fan-out (qp3) + exact top-3, reduced to
     * the single-method hit count. */
   val llmAnnRecallHiOracle: String = {
-    def top3(candCte: String, name: String): String =
-      s"""$name AS (
-         |  SELECT q_id, neighbor_id FROM (
-         |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
-         |      PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-         |    FROM $candCte) WHERE rn <= 3)""".stripMargin
     s"""WITH $ivfOracleProlog,
-       |exact_c AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-       |  WHERE q.vec_id < 30),
-       |${top3("exact_c", "exact")},
+       |$exactCandCte,
+       |${top3Sql("exact_c", "exact")},
        |ap3_c AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
        |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
        |  FROM qp3 q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id),
-       |${top3("ap3_c", "ap3")},
+       |${top3Sql("ap3_c", "ap3")},
        |hit3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM ap3 JOIN exact USING (q_id, neighbor_id)),
        |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
        |SELECT 'ivf_nprobe3' AS method, hits, possible,

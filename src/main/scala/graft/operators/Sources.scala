@@ -390,6 +390,37 @@ object Sources {
     * restored == the cells that were streamed in. At scale this is
     * readStream-from-Kafka-or-landing-zone → kv append → snapshot, with
     * per-batch commit as the exactly-once unit. */
+  /** ONE incarnation of the micro-batched file-stream → graft-kv append
+    * loop, run to drain then stopped — the single definition behind the
+    * `kv_stream_ingest` and `kv_stream_resume` keys, so the ingest sink
+    * (batch write options, sink hygiene) can never diverge between the
+    * plain and the checkpoint-recovery grading of the same path. */
+  private def runIngestStream(spark: SparkSession, stage: String, store: String,
+      checkpoint: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(stage).schema
+    val writer = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graft-kv").option("path", store).mode("append").save()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.streams.resetTerminated() // same sink hygiene as TimeSeries
+  }
+
+  /** Snapshot the live store and return the verifying restore — the
+    * shared epilogue of both streaming-ingest keys. */
+  private def snapshotRestore(spark: SparkSession, store: String,
+      snapRoot: String, name: String): DataFrame = {
+    graft.sources.KvSnapshots.create(
+      spark.read.format("graft-kv").load(store), snapRoot, name)
+    graft.sources.KvSnapshots.restore(spark, snapRoot, name)
+      .orderBy("rowkey", "qualifier")
+  }
+
   def kvStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val stage = snapshotRoot(sfDir, "kv_ingest_stage")
     val store = snapshotRoot(sfDir, "kv_ingest_store") + "/cells"
@@ -398,21 +429,10 @@ object Sources {
     // two staged files → two micro-batches under maxFilesPerTrigger=1
     cells.filter(col("rowkey") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
     cells.filter(col("rowkey") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
-    val schema = spark.read.parquet(stage).schema
-    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.format("graft-kv").option("path", store).mode("append").save()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.streams.resetTerminated() // same sink hygiene as TimeSeries
+    runIngestStream(spark, stage, store)
     require(graft.sources.KvFormat.dataFiles(store).size >= 2,
       "ingestion did not commit at least one file set per micro-batch")
-    graft.sources.KvSnapshots.create(
-      spark.read.format("graft-kv").load(store), snapRoot, "ingested")
-    graft.sources.KvSnapshots.restore(spark, snapRoot, "ingested")
-      .orderBy("rowkey", "qualifier")
+    snapshotRestore(spark, store, snapRoot, "ingested")
   }
 
   /** Stream-ingested, snapshotted, restored cells == the source cells. */
@@ -439,30 +459,17 @@ object Sources {
     val snapRoot = snapshotRoot(sfDir, "kv_resume_snap")
     val cells = Scans.scanKvModel(spark, sfDir)
     cells.filter(col("rowkey") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
-    val schema = spark.read.parquet(stage).schema
-    def runOnce(): Unit = {
-      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.format("graft-kv").option("path", store).mode("append").save()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      spark.streams.resetTerminated() // same sink hygiene as TimeSeries
-    }
-    runOnce() // ingests the first staged file, then "crashes" (stops)
+    // first incarnation ingests the first staged file, then "crashes"
+    runIngestStream(spark, stage, store, Some(ckpt))
     val filesAfterCrash = graft.sources.KvFormat.dataFiles(store).size
     require(filesAfterCrash >= 1, "first run committed no file set")
     // the second half arrives while the job is DOWN
     cells.filter(col("rowkey") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
-    runOnce() // restart from the checkpoint: must ingest ONLY the new file
+    // restart from the checkpoint: must ingest ONLY the new file
+    runIngestStream(spark, stage, store, Some(ckpt))
     require(graft.sources.KvFormat.dataFiles(store).size > filesAfterCrash,
       "restarted run committed nothing — the new file was not ingested")
-    graft.sources.KvSnapshots.create(
-      spark.read.format("graft-kv").load(store), snapRoot, "resumed")
-    graft.sources.KvSnapshots.restore(spark, snapRoot, "resumed")
-      .orderBy("rowkey", "qualifier")
+    snapshotRestore(spark, store, snapRoot, "resumed")
   }
 
   /** The interrupted-and-resumed ingest must equal the uninterrupted

@@ -53,11 +53,16 @@ object KvSnapshots {
       Files.getPosixFilePermissions(p)))
     catch { case _: UnsupportedOperationException => None }
 
+  /** Attribute restoration is BEST-EFFORT by contract: the bytes are
+    * already verified by digest, and a destination that rejects chmod
+    * (non-posix mount, files owned by another user on NFS/CIFS) must
+    * not fail the export — before perms existed, the digest-skip resume
+    * path could not fail on metadata, and that property is kept. */
   private def applyPerms(p: Path, perms: Option[String]): Unit =
     perms.foreach { s =>
       try Files.setPosixFilePermissions(p,
         java.nio.file.attribute.PosixFilePermissions.fromString(s))
-      catch { case _: UnsupportedOperationException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Outcome of an `export`: how many files were actually copied vs
@@ -118,7 +123,10 @@ object KvSnapshots {
           val mine = dataDir(root, name).resolve(e.file)
           Files.delete(mine)
           Files.createLink(mine, dataDir(root, base).resolve(baseFile))
-          e.copy(sharedFrom = Some(base))
+          // a hard link shares the BASE file's inode (and thus perms);
+          // re-read so the manifest records the actual file's attrs,
+          // not the deleted fresh copy's
+          e.copy(sharedFrom = Some(base), perms = permsOf(mine))
         case None => e
       }
     }
@@ -376,9 +384,16 @@ object KvSnapshots {
     // NOW — an operator's post-create chmod travels with the copy,
     // the reference's file-attribute preservation story — and the
     // destination manifest records them so a later import can restore
-    // attrs even after the source is gone
+    // attrs even after the source is gone. When the source FILESYSTEM
+    // can't answer (non-posix), the source MANIFEST's recorded perms
+    // are the fallback — that is the read path that makes the recorded
+    // field live: a posix→non-posix→posix export chain carries the
+    // attrs through the non-posix hop via its manifest.
+    val srcRecorded: Map[String, Option[String]] =
+      entries.map(e => e.file -> e.perms).toMap
     val livePerms: Map[String, Option[String]] =
-      entries.map(e => e.file -> permsOf(srcData.resolve(e.file))).toMap
+      entries.map(e => e.file ->
+        permsOf(srcData.resolve(e.file)).orElse(srcRecorded(e.file))).toMap
     val stats = if (entries.isEmpty) ExportStats(0, 0) else {
       val nBins = math.min(entries.size, mappers)
       val binOf = packBins(entries.map(e => (e.file, e.bytes)), nBins)

@@ -86,7 +86,10 @@ object SnapshotTool {
           // dest escape; plain --overwrite still digest-skips identical
           // bytes, which is the cheap path)
           val force = boolFlag("force")
-          if (overwrite &&
+          // --force implies the overwrite uncommit flow: its whole point
+          // is recopying a COMMITTED dest an operator distrusts, so it
+          // must not die on "already exists at export destination"
+          if ((overwrite || force) &&
               java.nio.file.Files.exists(java.nio.file.Paths.get(dst, need("name"), "MANIFEST.json"))) {
             // uncommit is destructive to the dest's commit mark — prove
             // the SOURCE can actually replace it first (a typo'd --from

@@ -52,24 +52,27 @@ object Tables {
     *    type-tag change on identical micros, and DuckDB reads the same
     *    file as the same naive values.
     * Shared by batch and stream readers so the two can never diverge. */
-  def normalizeEventsTs(df: DataFrame): DataFrame = {
-    // the NTZ->TimestampType cast below is micros-preserving ONLY under
-    // a UTC session timezone; enforce that at the point that relies on
-    // it instead of trusting every entrypoint to have pinned it
-    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"events ts normalization requires spark.sql.session.timeZone=UTC, got $tz")
+  def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", eventsTsFromNanos)
       case org.apache.spark.sql.types.TimestampType => df
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ->TimestampType cast is micros-preserving ONLY under a
+        // UTC session timezone — enforce that here, at the one branch
+        // that relies on it (the nanos and TimestampType paths are
+        // timezone-independent), accepting any zero-offset zone id
+        // (UTC, Etc/UTC, GMT, +00:00), not just the literal "UTC"
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val rules = java.time.ZoneId.of(tz).getRules
+        require(rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+          s"events NTZ ts normalization requires a UTC session timezone, got $tz")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case other => throw new IllegalStateException(
         s"unrecognized events.parquet ts type $other — expected INT64 nanos " +
           "(LongType under the legacy conf), TIMESTAMP, or TIMESTAMP_NTZ")
     }
-  }
 
   /** The two halves of the ns workaround, shared with the streaming
     * reader (operators.TimeSeries.tsTumblingStream) so batch and stream

@@ -239,6 +239,12 @@ class KvSnapshotsSpec extends SparkSpec {
       s"force must recopy all $nFiles files, got $forced")
     val r = KvSnapshots.restore(spark, dest, "s1")
     assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+    // --force alone must also replace a COMMITTED dest: it implies the
+    // overwrite uncommit flow (its whole point is a distrusted committed
+    // copy), not die on "already exists at export destination"
+    assert(SnapshotTool.run(spark, Seq("export", "--root", src, "--name", "s1",
+      "--dest", dest, "--force", "true")) == 0)
+    KvSnapshots.verify(spark, dest, "s1")
   }
 
   test("posix perms are recorded in the manifest and survive export + import") {
