@@ -926,6 +926,69 @@ object TimeSeries {
       |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
       |FROM m ORDER BY lag""".stripMargin
 
+  /** CHANGEPOINT DETECTION over the hourly event-rate series — the
+    * monitoring primitive behind "when did this metric shift?": for
+    * each event_type, find the split hour that maximizes the mean-rate
+    * difference between the before and after segments (the offline
+    * CUSUM / binary-segmentation scoring step). All arithmetic is
+    * EXACT: with prefix sum cum at observed-hour index idx of n, the
+    * mean difference is [cum·(n−idx) − (tot−cum)·idx] / (idx·(n−idx)),
+    * and the score is emitted as integer ppm of that fraction
+    * (`(1e6·|num|) div den` — the `llm_ann_recall` determinism move),
+    * so the argmax and the tie-break (earliest hour) are cross-engine
+    * stable with no double rounding anywhere. Shape at 100 TB: the
+    * only data-sized pass is the first groupBy(event_type, hour);
+    * every window after runs on the hourly series (≤ hours-per-month
+    * rows per type), partitioned by event_type — no unpartitioned
+    * window, no second shuffle. */
+  def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, sfDir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val wAll = Window.partitionBy("event_type")
+    val scored = hourly
+      .withColumn("idx", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("idx") < col("n")) // a split needs a non-empty after-segment
+      .withColumn("diff_ppm", expr(
+        "(1000000 * abs(cum * (n - idx) - (tot - cum) * idx)) div (idx * (n - idx))"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("diff_ppm").desc, col("h").asc)
+    scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("h").as("split_hour"), col("diff_ppm"),
+        col("cum").as("n_before"), (col("tot") - col("cum")).as("n_after"))
+      .orderBy("event_type")
+  }
+
+  /** Same prefix-sum scoring in SQL; every windowed SUM is cast off
+    * DuckDB's HUGEINT before it reaches the output or the ppm math. */
+  val tsChangepointOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS idx,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM hourly),
+      |d AS (SELECT event_type, h, cum AS n_before, tot - cum AS n_after,
+      |    CAST((1000000 * abs(cum * (n - idx) - (tot - cum) * idx))
+      |      // (idx * (n - idx)) AS BIGINT) AS diff_ppm
+      |  FROM s WHERE idx < n)
+      |SELECT event_type, split_hour, diff_ppm, n_before, n_after
+      |FROM (SELECT event_type, h AS split_hour, diff_ppm, n_before, n_after,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY diff_ppm DESC, h ASC) AS rn
+      |      FROM d) WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   /** PER-WINDOW EXACT DISTINCT — "unique users per hour", the metric
     * behind every DAU/HAU dashboard and the canonical expensive
     * windowed aggregate: COUNT(DISTINCT user_id) per tumbling hour,
@@ -1056,6 +1119,7 @@ object TimeSeries {
     "ts_gap_fill" -> (tsGapFill _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_anomaly" -> (tsAnomaly _),
+    "ts_changepoint" -> (tsChangepoint _),
     "ts_stream_upsert" -> (tsStreamUpsert _),
     "ts_tumbling" -> (tsTumbling _),
     "ts_tumbling_stream" -> (tsTumblingStream _),
@@ -1081,6 +1145,7 @@ object TimeSeries {
     "ts_lag_corr" -> tsLagCorrOracle,
     "ts_gap_fill" -> tsGapFillOracle,
     "ts_anomaly" -> tsAnomalyOracle,
+    "ts_changepoint" -> tsChangepointOracle,
     "ts_stream_upsert" -> tsStreamUpsertOracle,
     "ts_ohlc" -> tsOhlcOracle,
     "ts_tumbling" -> tsTumblingOracle,

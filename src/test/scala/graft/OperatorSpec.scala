@@ -1352,6 +1352,33 @@ class LifecycleSpec extends SparkSpec {
     assert(probe.getLong(1) == direct)
   }
 
+  test("changepoint split is the true argmax and conserves event counts") {
+    val df = graft.operators.TimeSeries.tsChangepoint(spark, sf).collect()
+    assert(df.nonEmpty, "no event_type produced a changepoint")
+    // independent recomputation for one type: every candidate split's
+    // exact ppm score must be <= the reported one (argmax property),
+    // and before+after must conserve the type's event total
+    val et = df.head.getString(0)
+    val hours = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").count().orderBy("h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = hours.map(_._2).sum
+    val reported = df.head
+    assert(reported.getLong(3) + reported.getLong(4) == tot,
+      "n_before + n_after must equal the type's event total")
+    val n = hours.length
+    var cum = 0L
+    val best = hours.zipWithIndex.dropRight(1).map { case ((h, c), i0) =>
+      val idx = i0 + 1L
+      cum += c
+      (1000000L * math.abs(cum * (n - idx) - (tot - cum) * idx)) / (idx * (n - idx))
+    }.max
+    assert(reported.getLong(2) == best,
+      s"reported diff_ppm ${reported.getLong(2)} is not the argmax $best")
+  }
+
   test("dataset mix keeps digit-less source names (TRY_CAST parity guard)") {
     // the ADVICE-flagged divergence: a source with no digits made
     // Spark's cast('' as int) yield NULL (row silently mis-bucketed)
