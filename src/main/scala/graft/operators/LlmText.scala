@@ -375,6 +375,47 @@ object LlmText {
       |  length(text) AS n_chars_measured
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE MERGE TABLE — the scoring pass of one byte-pair-encoding
+    * training iteration (Sennrich et al. 2016, arXiv:1508.07909: count
+    * all adjacent symbol pairs weighted by word frequency; the argmax
+    * is the next merge). This is the step a tokenizer trainer repeats
+    * to convergence; grading the full table's top-20 (weight desc, pair
+    * asc — fully deterministic) proves the primitive. The 100 TB shape
+    * is the reason BPE training scales at all: the first groupBy
+    * collapses the corpus to the DISTINCT-WORD frequency table (Zipf:
+    * tiny relative to the corpus), and every later iteration works on
+    * that table alone — here pairs explode off `sequence(1, len-1)` →
+    * `substring(w, i, 2)`, one more keyed shuffle, never a re-scan of
+    * the documents. */
+  def llmBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** Same word-frequency collapse + in-word adjacent pair explode; the
+    * windowed-free SUM is cast off DuckDB's HUGEINT. */
+  val llmBpeMergesOracle: String =
+    """WITH words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT freq,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM words)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight
+      |FROM pairs GROUP BY pair
+      |ORDER BY weight DESC, pair ASC LIMIT 20""".stripMargin
+
   /** Rolling polynomial content fingerprint, h = (31h + ascii) mod 1e9+7,
     * folded per character in both engines — via the native codegen'd
     * `rolling_hash` expression (one loop per string; the HOF fold
@@ -1014,6 +1055,7 @@ object LlmText {
     "llm_vocab_prune" -> (llmVocabPrune _),
     "llm_winnowing" -> (llmWinnowing _),
     "llm_token_count" -> (llmTokenCount _),
+    "llm_bpe_merges" -> (llmBpeMerges _),
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
@@ -1040,5 +1082,6 @@ object LlmText {
     "llm_vocab_prune" -> llmVocabPruneOracle,
     "llm_winnowing" -> llmWinnowingOracle,
     "llm_token_count" -> llmTokenCountOracle,
+    "llm_bpe_merges" -> llmBpeMergesOracle,
     "llm_fingerprint" -> llmFingerprintOracle)
 }
