@@ -781,7 +781,93 @@ object Aggregations {
       |  ix.inter_exact
       |FROM ue CROSS JOIN jn CROSS JOIN ix""".stripMargin
 
+  /** CHI-SQUARED ASSOCIATION — the independence test behind every
+    * "is this categorical feature correlated with that label?" data-
+    * quality check, per contingency cell in EXACT integer arithmetic:
+    * the classic (O−E)²/E is rescaled by N so every term is integral —
+    * contrib_ppm = 10⁶·(O·N − rt·ct)² div (rt·ct·N), which equals
+    * 10⁶·N·(O−E)²/E — and the squared term (≤ ~10²³ at sf0.1) rides in
+    * DECIMAL(38,0) on the Spark side / HUGEINT in the oracle, with only
+    * BIGINT in the output. No float division anywhere, so the statistic
+    * is bit-stable across engines. Shape at 100 TB: the raw table
+    * collapses to the contingency cells FIRST (one partial+final
+    * aggregate); margins and the statistic are computed on the
+    * cells×margins metadata, and both margin joins broadcast. */
+  def aggChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val n = li.count()
+    val cells = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy("l_returnflag").agg(sum(col("obs")).as("row_tot"))
+    val colT = cells.groupBy("l_linestatus").agg(sum(col("obs")).as("col_tot"))
+    cells
+      .join(broadcast(rowT), Seq("l_returnflag"))
+      .join(broadcast(colT), Seq("l_linestatus"))
+      .withColumn("d", expr(s"CAST(obs * ${n}L - row_tot * col_tot AS DECIMAL(38,0))"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+        expr(s"(row_tot * col_tot * 1000000) div ${n}L").as("exp_ppm"),
+        expr(s"CAST((1000000 * d * d) div (row_tot * col_tot * ${n}L) AS BIGINT)")
+          .as("contrib_ppm"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val aggChiSquareOracle: String =
+    """WITH cells AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS obs
+      |    FROM lineitem GROUP BY 1, 2),
+      |rt AS (SELECT l_returnflag, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+      |ct AS (SELECT l_linestatus, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM lineitem)
+      |SELECT c.l_returnflag, c.l_linestatus, c.obs,
+      |  (row_tot * col_tot * 1000000) // n.n AS exp_ppm,
+      |  CAST((1000000 * CAST(c.obs*n.n - row_tot*col_tot AS HUGEINT)
+      |        * CAST(c.obs*n.n - row_tot*col_tot AS HUGEINT))
+      |    // (CAST(row_tot AS HUGEINT) * col_tot * n.n) AS BIGINT) AS contrib_ppm
+      |FROM cells c JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus), n
+      |ORDER BY 1, 2""".stripMargin
+
+  /** GINI COEFFICIENT — the inequality statistic behind "how
+    * concentrated is spend / how skewed is a source mix" questions
+    * (data curation uses the same number to flag source-domination),
+    * per market segment in EXACT integer arithmetic via the rank
+    * formula G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx): money enters as
+    * exact cents, ranks come from a segment-partitioned window, and
+    * ties are harmless BY ALGEBRA — permuting ranks among equal values
+    * cannot change Σ rk·x, so row_number's tie order needs no
+    * tie-break column. The 10⁶-scaled final product rides in
+    * DECIMAL(38,0) (HUGEINT in the oracle), BIGINT out. Shape at
+    * 100 TB: one broadcast dim join, one segment-keyed sort window,
+    * one partial+final aggregate — segment cardinality bounds the
+    * output. */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg").orderBy("cents")
+    c.withColumn("rk", row_number().over(w))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+        sum(col("rk").cast("long") * col("cents")).as("s1"))
+      .select(col("seg"), col("n"),
+        expr("""CAST((1000000 * (2 * CAST(s1 AS DECIMAL(38,0)) - (n + 1) * CAST(s0 AS DECIMAL(38,0))))
+               | div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)""".stripMargin).as("gini_ppm"))
+      .orderBy("seg")
+  }
+
+  val aggGiniOracle: String =
+    """WITH c AS (SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT seg, cents, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents) AS rk FROM c),
+      |g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s0,
+      |             CAST(SUM(rk * cents) AS HUGEINT) AS s1 FROM r GROUP BY 1)
+      |SELECT seg, n, CAST((1000000 * (2 * s1 - (n + 1) * CAST(s0 AS HUGEINT)))
+      |  // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
+      |FROM g ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini" -> (aggGini _),
+    "agg_chi_square" -> (aggChiSquare _),
     "agg_sketch_intersect" -> (aggSketchIntersect _),
     "agg_bool_aggs" -> (aggBoolAggs _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -805,6 +891,8 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_gini" -> aggGiniOracle,
+    "agg_chi_square" -> aggChiSquareOracle,
     "agg_sketch_intersect" -> aggSketchIntersectOracle,
     "agg_bool_aggs" -> aggBoolAggsOracle,
     "agg_weighted_median" -> aggWeightedMedianOracle,

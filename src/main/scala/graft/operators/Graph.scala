@@ -341,7 +341,69 @@ object Graph {
        |FROM p JOIN deg dx ON p.x = dx.a JOIN deg dy ON p.y = dy.a
        |ORDER BY 1, 2""".stripMargin
 
+  /** K-CORE DECOMPOSITION (k = 10 membership) — the density filter
+    * community detection and graph-cleaning pipelines run first:
+    * iteratively peel nodes of degree < k until the fixpoint; what
+    * remains is the k-core, reported with each surviving node's
+    * in-core degree. Both engines run the SAME four unrolled peel
+    * rounds (the fixpoint arrives in ≤ 2 on this graph at every tested
+    * SF; OperatorSpec asserts a 5th round changes nothing, so the unroll
+    * IS the fixpoint — the k-means-CTE determinism move applied to
+    * peeling). Shape at 100 TB: peeling is the textbook
+    * degree-groupBy + semi-join loop on the aggregated edge list —
+    * each round is two node-keyed shuffles bounded by the CURRENT
+    * edge set (monotonically shrinking), the round count is bounded by
+    * the peel depth (typically ≪ log-diameter), and the fact volume is
+    * touched once in the edge aggregation. */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    var ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select("u", "v").localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val good = ed.select(col("u").as("n")).union(ed.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n")
+      ed = ed
+        .join(broadcast(good.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
+        .join(broadcast(good.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    ed.select(col("u").as("n")).union(ed.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg_in_core"))
+      .select(col("n").cast("long").as("node"), col("deg_in_core"))
+      .orderBy("node")
+  }
+
+  /** Same four peel rounds as an unrolled CTE chain. */
+  val graphKcoreOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT n, COUNT(*) AS d FROM (
+         |  SELECT u AS n FROM k${i - 1} UNION ALL SELECT v FROM k${i - 1}) GROUP BY 1),
+         |g$i AS (SELECT n FROM d$i WHERE d >= 10),
+         |k$i AS (SELECT u, v FROM k${i - 1}
+         |  WHERE u IN (SELECT n FROM g$i) AND v IN (SELECT n FROM g$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |k0 AS (SELECT u, v FROM und, tot WHERE w * np > tw),
+       |$rounds
+       |SELECT CAST(n AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+       |FROM (SELECT u AS n FROM k4 UNION ALL SELECT v FROM k4)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (graphKcore _),
     "graph_jaccard" -> (graphJaccard _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
@@ -349,6 +411,7 @@ object Graph {
     "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> graphKcoreOracle,
     "graph_jaccard" -> graphJaccardOracle,
     "graph_pagerank" -> graphPagerankOracle,
     "graph_triangles" -> graphTrianglesOracle,

@@ -1031,7 +1031,170 @@ object LlmText {
       |FROM pairs p JOIN first f ON p.g = f.g
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each NON-target document by how target-like its hashed-feature
+    * distribution is — here an exact-integer surrogate of the paper's
+    * hashed-n-gram log-ratio: per 256-way md5 bucket, ratio_ppm =
+    * (target_cnt · raw_total · 10⁶) div (raw_cnt · target_total), and
+    * a doc scores the MEAN ratio over its tokens (per-token
+    * normalization keeps long docs from winning on length). The top-25
+    * non-target docs by (score desc, doc_id) are the resampling front. Shape at 100 TB: the bucket ratio table is 256
+    * rows (broadcast); scoring is one corpus-sized explode + a
+    * broadcast join + one doc-keyed groupBy — never a doc×doc or
+    * doc×vocab shuffle. md5 bucketing (not engine hash()) keeps the
+    * feature space cross-engine identical. */
+  def llmDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val b = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("bkt", substring(md5(col("term")), 1, 2))
+    val tot = b.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("rt"))
+    val tgt = b.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("tc"))
+    val raw = b.groupBy("bkt").agg(count(lit(1)).as("rc"))
+    val ratio = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        expr("(coalesce(tc, CAST(0 AS BIGINT)) * rt * 1000000) div (rc * tt)")
+          .as("ratio_ppm"))
+    b.join(broadcast(ratio), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(sum(col("ratio_ppm")).as("s"), count(lit(1)).as("n"))
+      .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+      .filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("s div n").as("dsir_ppm"))
+      .orderBy(col("dsir_ppm").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
+  val llmDsirOracle: String =
+    """WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |b AS (SELECT doc_id, lang, substring(md5(term), 1, 2) AS bkt FROM tok),
+      |tot AS (SELECT CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS tt,
+      |               CAST(COUNT(*) AS BIGINT) AS rt FROM b),
+      |tgt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+      |raw AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
+      |r AS (SELECT raw.bkt, (COALESCE(tc, 0) * rt * 1000000) // (rc * tt) AS ratio_ppm
+      |      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt, tot),
+      |ds AS (SELECT b.doc_id, CAST(SUM(ratio_ppm) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM b JOIN r ON b.bkt = r.bkt GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.lang, ds.s // ds.n AS dsir_ppm
+      |FROM ds JOIN documents d ON ds.doc_id = d.doc_id WHERE d.lang <> 'en'
+      |ORDER BY dsir_ppm DESC, d.doc_id LIMIT 25""".stripMargin
+
+  /** COLLOCATION MINING — the PMI/lift pass behind phrase vocabularies
+    * and tokenizer preprocessing (Mikolov et al. 2013 word2vec phrases
+    * use the same c(xy)/(c(x)·c(y)) core): adjacent-bigram lift in
+    * EXACT integer ppm — lift_ppm = (c(xy) · N · 10⁶) div (c(x)·c(y)),
+    * support-filtered at c(xy) ≥ 5, top-25 by (lift desc, bigram).
+    * No log, no float — the ranking is bit-stable. Shape at 100 TB:
+    * bigram and unigram counts are two explode+groupBy passes over the
+    * corpus; the two unigram joins are keyed by term (the vocabulary),
+    * so the join is vocab-sized, not corpus-sized, and the support
+    * filter prunes the candidate set before either join. */
+  def llmCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir).withColumn("t", split(col("text"), " "))
+    val bg = docs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(element_at(t, i+1) AS w1, element_at(t, i+2) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(col("t")).as("w"))
+    val n = uni.count()
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx"), Seq("w1"))
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy"), Seq("w2"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c_xy"),
+        expr(s"(c_xy * ${n}L * 1000000) div (cx * cy)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram").asc)
+      .limit(25)
+  }
+
+  val llmCollocationsOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT t[k] AS w1, t[k+1] AS w2
+      |       FROM (SELECT t, unnest(range(1, len(t))) AS k FROM t)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT UNNEST(t) AS w FROM t),
+      |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
+      |SELECT c2.w1 || ' ' || c2.w2 AS bigram, c2.c_xy,
+      |  (c2.c_xy * n.n * 1000000) // (x.c * y.c) AS lift_ppm
+      |FROM c2 JOIN c1 x ON c2.w1 = x.w JOIN c1 y ON c2.w2 = y.w, n
+      |WHERE c2.c_xy >= 5
+      |ORDER BY lift_ppm DESC, bigram LIMIT 25""".stripMargin
+
+  /** QUALITY-FILTER ENSEMBLE — how production corpora actually gate
+    * documents (FineWeb/RefinedWeb/Gopher all COMPOSE heuristics
+    * rather than trust one): four independent votes — length floor
+    * (n_chars ≥ 100), C4's stopword-presence rule, the mean-token-
+    * length band, and the Gopher duplicate-bigram ceiling — each 0/1,
+    * keep = majority (≥ 3 of 4). Per-filter votes ride along in the
+    * output because the ensemble's job is ATTRIBUTION: which rule
+    * killed a doc is the datum curation reviews. All thresholds are
+    * exact integer ppm (shared algebra with `llm_quality_score` /
+    * `llm_repetition_filter`). Shape at 100 TB: the only non-map work
+    * is the bigram stats pass (two doc-keyed shuffles, embarrassingly
+    * parallel per document) and one doc-keyed left join — no corpus-
+    * sized join against anything global. */
+  def llmQualityEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = documents(spark, sfDir).withColumn("t", split(col("text"), " "))
+    val q = base.select(col("doc_id"), col("n_chars"),
+      size(col("t")).cast("bigint").as("n_tokens"),
+      expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stop"))
+    val rep = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(tokenWindows("t", 2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").cast("bigint").as("n_2grams"),
+        count(lit(1)).cast("bigint").as("n_distinct"))
+    q.join(rep, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_2grams", "n_distinct"))
+      .withColumn("v_len", (col("n_chars") >= 100).cast("int"))
+      .withColumn("v_stop", (col("n_stop") >= 1).cast("int"))
+      .withColumn("v_tok", expr(
+        "CAST((1000000 * (n_chars - (n_tokens - 1))) div n_tokens BETWEEN 3000000 AND 10000000 AS INT)"))
+      .withColumn("v_rep", expr(
+        "CAST((1000000 * (n_2grams - n_distinct)) div greatest(n_2grams, 1) <= 200000 AS INT)"))
+      .select(col("doc_id"), col("v_len"), col("v_stop"), col("v_tok"), col("v_rep"),
+        expr("CAST(v_len + v_stop + v_tok + v_rep AS INT)").as("votes"),
+        expr("CAST(v_len + v_stop + v_tok + v_rep >= 3 AS INT)").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val llmQualityEnsembleOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)),
+      |bg AS (SELECT doc_id, t[k] || ' ' || t[k+1] AS g
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS k
+      |             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |pg AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+      |               CAST(COUNT(*) AS BIGINT) AS n_distinct FROM pg GROUP BY 1),
+      |f AS (SELECT q.doc_id,
+      |  CAST(q.n_chars >= 100 AS INT) AS v_len,
+      |  CAST(q.n_stop >= 1 AS INT) AS v_stop,
+      |  CAST((1000000 * (q.n_chars - (q.n_tokens - 1))) // q.n_tokens
+      |       BETWEEN 3000000 AND 10000000 AS INT) AS v_tok,
+      |  CAST((1000000 * (COALESCE(r.n_2grams, 0) - COALESCE(r.n_distinct, 0)))
+      |       // GREATEST(COALESCE(r.n_2grams, 0), 1) <= 200000 AS INT) AS v_rep
+      |  FROM q LEFT JOIN rep r ON q.doc_id = r.doc_id)
+      |SELECT doc_id, v_len, v_stop, v_tok, v_rep,
+      |  CAST(v_len + v_stop + v_tok + v_rep AS INT) AS votes,
+      |  CAST(v_len + v_stop + v_tok + v_rep >= 3 AS INT) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_quality_ensemble" -> (llmQualityEnsemble _),
+    "llm_dsir" -> (llmDsir _),
+    "llm_collocations" -> (llmCollocations _),
     "llm_dataset_rebalance" -> (llmDatasetRebalance _),
     "llm_ngram_novelty" -> (llmNgramNovelty _),
     "llm_shard_assign" -> (llmShardAssign _),
@@ -1059,6 +1222,9 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_quality_ensemble" -> llmQualityEnsembleOracle,
+    "llm_dsir" -> llmDsirOracle,
+    "llm_collocations" -> llmCollocationsOracle,
     "llm_dataset_rebalance" -> llmDatasetRebalanceOracle,
     "llm_ngram_novelty" -> llmNgramNoveltyOracle,
     "llm_shard_assign" -> llmShardAssignOracle,

@@ -624,6 +624,49 @@ object LlmVector {
        |WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** k-NN GRAPH CONSTRUCTION — the neighborhood graph that seeds
+    * graph-based ANN indexes (NSW/HNSW build their layers from exactly
+    * this edge set) and SemDeDup-style cluster analyses: each vector's
+    * top-3 in-cell neighbors by exact cosine (tie-broken by neighbor
+    * id). Candidate generation reuses the trained IVF quantizer cells —
+    * the same never-all-pairs rule as `llm_semdedup`: the pair join is
+    * an equi-join on the cell id, so at 100 TB each inverted list
+    * builds its neighborhood independently (cell = shuffle/bucketing
+    * key, O(Σ cell²) ≪ O(n²), tunable by k) and the per-vector top-3
+    * is a cell-partitioned window, never a global sort. Edges to
+    * vectors in OTHER cells are approximated away — that is the
+    * documented IVF trade the recall keys measure. */
+  def llmKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"), cos.as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("src", "rn")
+  }
+
+  /** Shared IVF prologue + in-cell pair join + per-source top-3 cut. */
+  val llmKnnGraphOracle: String =
+    s"""WITH $ivfOracleProlog
+       |SELECT cell, src, dst, cos_sim, rn FROM (
+       |  SELECT a.cell AS cell, a.vec_id AS src, b.vec_id AS dst,
+       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
+       |        b.vec_id ASC) AS rn
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id != b.vec_id)
+       |WHERE rn <= 3 ORDER BY src, rn""".stripMargin
+
   /** TWO-STAGE RETRIEVAL (quantize-then-rerank — the standard serving
     * recipe behind int8/PQ vector indexes): stage 1 scores every
     * candidate with the CHEAP int8-quantized dot product (the
@@ -829,6 +872,7 @@ object LlmVector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_knn_graph" -> (llmKnnGraph _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
     "llm_semdedup" -> (llmSemdedup _),
@@ -843,6 +887,7 @@ object LlmVector {
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
+    "llm_knn_graph" -> llmKnnGraphOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,
     "llm_semdedup" -> llmSemdedupOracle,

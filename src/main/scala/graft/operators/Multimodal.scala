@@ -247,7 +247,45 @@ object Multimodal {
       |  CAST((224 - out_h) // 2 AS INT) AS pad_y
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** LOADER BATCH PACKING — the `llm_pack_chunks` recipe applied to
+    * media: decoded items are packed into GPU-loader batches under a
+    * 4 KiB payload budget, per format (image/audio/video loaders batch
+    * separately), in deterministic doc_id order. batch_idx is the
+    * running payload total BEFORE the item, integer-divided by the
+    * budget — the same greedy semantics tokenizer packing uses, so an
+    * item that crosses the boundary starts in the earlier batch and
+    * its overflow defines the next. Shape at 100 TB: the window is
+    * partitioned by format (never unpartitioned; a finer sharding key
+    * composes exactly like `llm_pack_chunks`' shard-offset split), and
+    * the decode metadata it runs on is the typed mapPartitions path —
+    * zero shuffle before the window. */
+  def mmPackBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val meta = mediaIn(spark, sfDir)
+      .mapPartitions(_.map(MediaCodecStub.decode))
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"))
+    val w = Window.partitionBy("format").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    meta
+      .withColumn("start_b", coalesce(sum(col("n_bytes").cast("long")).over(w), lit(0L)))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        expr("start_b div 4096").as("batch_idx"))
+      .orderBy("format", "doc_id")
+  }
+
+  val mmPackBatchesOracle: String =
+    """SELECT doc_id, format, n_bytes,
+      |  CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS batch_idx
+      |FROM (SELECT doc_id, length(text) AS n_bytes,
+      |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format
+      |  FROM documents)
+      |ORDER BY format, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pack_batches" -> (mmPackBatches _),
     "mm_letterbox_plan" -> (mmLetterboxPlan _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_resize" -> (mmResize _),
@@ -256,6 +294,7 @@ object Multimodal {
     "mm_dedup_frames" -> (mmDedupFrames _))
 
   val oracle: Map[String, String] = Map(
+    "mm_pack_batches" -> mmPackBatchesOracle,
     "mm_letterbox_plan" -> mmLetterboxPlanOracle,
     "mm_decode_meta" -> mmDecodeMetaOracle,
     "mm_resize" -> mmResizeOracle,

@@ -525,6 +525,61 @@ object Sources {
   /** Compacted cells must equal the source cells. */
   val kvCompactOracle: String = Scans.scanKvModelOracle
 
+  /** STORE SCRUB + SURGICAL REPAIR (the hbck loop, graded): a 4-file
+    * store + a backup snapshot; a clean scrub passes; one committed
+    * file gets a byte flipped mid-file and the distributed scrub
+    * ([[graft.sources.KvScrub]]: one md5 task per file against the
+    * commit-time index digests) must report EXACTLY that file as a
+    * checksum finding. Repair is surgical, never a full restore: the
+    * damaged file is dropped (its index entry pruned), and the lost
+    * cells — identified by a cell-identity anti-join of the snapshot
+    * against the surviving store, so overlapping file ranges can
+    * never double-ingest — are appended back as a new committed file
+    * set. A re-scrub must come back clean and the oracle requires the
+    * repaired store to equal the source cells exactly. At 100 TB:
+    * scrub is a map-only job over the file list; repair reads one
+    * file-range's worth of snapshot cells plus one store scan for the
+    * anti-join — proportional to the damage, not the store. */
+  def kvScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = snapshotRoot(sfDir, "kv_scrub_store")
+    val root = snapshotRoot(sfDir, "kv_scrub_snaps")
+    val cells = Scans.scanKvModel(spark, sfDir)
+    (0 until 4).foreach { i =>
+      cells.filter(col("rowkey") % 4 === i).coalesce(1)
+        .write.format("graft-kv").option("path", store).mode("append").save()
+    }
+    graft.sources.KvSnapshots.create(cells, root, "backup")
+    require(graft.sources.KvScrub.scrub(spark, store).isEmpty,
+      "clean store must scrub clean")
+    val victim = graft.sources.KvFormat.dataFiles(store).head
+    val ch = java.nio.channels.FileChannel.open(victim,
+      java.nio.file.StandardOpenOption.READ, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val pos = ch.size() / 2
+      val b = java.nio.ByteBuffer.allocate(1)
+      ch.read(b, pos)
+      b.flip()
+      ch.write(java.nio.ByteBuffer.wrap(Array((b.get() ^ 0x7f).toByte)), pos)
+    } finally ch.close()
+    val findings = graft.sources.KvScrub.scrub(spark, store)
+    require(findings.map(f => (f.file, f.kind)) ==
+        Seq((victim.getFileName.toString, "checksum")),
+      s"scrub must flag exactly the corrupted file, got $findings")
+    java.nio.file.Files.delete(victim)
+    graft.sources.KvMeta.append(store, Nil) // prunes the deleted file's entry
+    val surviving = spark.read.format("graft-kv").load(store)
+    val lost = graft.sources.KvSnapshots.restore(spark, root, "backup")
+      .join(surviving, Seq("rowkey", "qualifier"), "left_anti")
+    lost.coalesce(1)
+      .write.format("graft-kv").option("path", store).mode("append").save()
+    require(graft.sources.KvScrub.scrub(spark, store).isEmpty,
+      "post-repair scrub must come back clean")
+    spark.read.format("graft-kv").load(store).orderBy("rowkey", "qualifier")
+  }
+
+  /** Repaired cells must equal the source cells. */
+  val kvScrubOracle: String = Scans.scanKvModelOracle
+
   /** SNAPSHOT DIFF / changefeed as a graded key (the CDC question
     * between two point-in-time snapshots): snapshot v1 of the model
     * cells, snapshot v2 of a frame with all three change kinds applied
@@ -1292,6 +1347,7 @@ object Sources {
     "kv_stats_pushdown" -> (kvStatsPushdown _),
     "kv_stats_by_qualifier" -> (kvStatsByQualifier _),
     "kv_bloom_lookup" -> (kvBloomLookup _),
+    "kv_scrub" -> (kvScrub _),
     "kv_snapshot_lifecycle" -> (kvSnapshotLifecycle _),
     "kv_snapshot_incremental" -> (kvSnapshotIncremental _),
     "kv_snapshot_export" -> (kvSnapshotExport _),
@@ -1329,6 +1385,7 @@ object Sources {
     "kv_stats_pushdown" -> kvStatsPushdownOracle,
     "kv_stats_by_qualifier" -> kvStatsByQualifierOracle,
     "kv_bloom_lookup" -> kvBloomLookupOracle,
+    "kv_scrub" -> kvScrubOracle,
     "kv_snapshot_lifecycle" -> kvSnapshotLifecycleOracle,
     "kv_snapshot_incremental" -> kvSnapshotIncrementalOracle,
     "kv_snapshot_export" -> kvSnapshotExportOracle,

@@ -1111,7 +1111,135 @@ object TimeSeries {
       |  (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM ev) AS share_ppm
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** M4 DOWNSAMPLING (Jugel et al., VLDB 2014) — the error-free
+    * visualization reduction: per (series, pixel-bucket) keep exactly
+    * min, max, first, last of the value, which is provably sufficient
+    * to render the line chart pixel-identically to the full series.
+    * First/last are ordered by the unique `event_id` sequence number
+    * (deterministic where a ts argmin could tie); every output value
+    * is a SELECTED input double — no arithmetic, so cross-engine float
+    * parity is exact by construction. Shape at 100 TB: one partial +
+    * final aggregate keyed by (series, pixel) — min/max/min_by/max_by
+    * all combine map-side, the shuffle carries 4 doubles per pixel,
+    * and the output is bounded by series × pixels no matter how many
+    * raw points feed it. This is the pre-aggregation a dashboard
+    * pushes down instead of shipping raw points to the renderer. */
+  def tsDownsampleM4(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 14400000000").as("px"))
+      .agg(min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        expr("min_by(value, event_id)").as("v_first"),
+        expr("max_by(value, event_id)").as("v_last"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "px")
+  }
+
+  val tsDownsampleM4Oracle: String =
+    """SELECT event_type,
+      |  DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 14400000000 AS px,
+      |  MIN(value) AS v_min, MAX(value) AS v_max,
+      |  arg_min(value, event_id) AS v_first, arg_max(value, event_id) AS v_last,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ALERT DEBOUNCE — the hysteresis every pager pipeline applies
+    * between "a metric spiked" and "wake someone up": an hour is HOT
+    * when its count exceeds the type's mean hourly rate (exact integer
+    * cross-multiplication `n · n_hours > total`, no float mean), and an
+    * ALERT EPISODE is ≥ 2 CONSECUTIVE hot hours — single-hour blips
+    * never page. Episodes are dense-rank islands (`h − row_number()`)
+    * over the hot set, reported with span and peak. The mean is over
+    * the type's OBSERVED hours (an absent hour is silence, not a zero
+    * vote — `ts_gap_fill` is the densification when zeros are wanted).
+    * Shape at 100 TB: the raw table collapses to the (type, hour)
+    * series first; the totals join is type-sized (broadcast) and the
+    * island window runs on the collapsed series partitioned by type —
+    * the `ts_changepoint` shape with episode semantics on top. */
+  def tsAlertDebounce(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("tn"))
+    val hot = hourly.join(broadcast(tot), Seq("event_type"))
+      .filter(col("n") * col("nh") > col("tn"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    hot.withColumn("grp", col("h") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(min(col("h")).as("start_h"), max(col("h")).as("end_h"),
+        count(lit(1)).as("n_hours"), max(col("n")).as("peak_n"))
+      .filter(col("n_hours") >= 2)
+      .select("event_type", "start_h", "end_h", "n_hours", "peak_n")
+      .orderBy("event_type", "start_h")
+  }
+
+  val tsAlertDebounceOracle: String =
+    """WITH hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+      |               CAST(SUM(n) AS BIGINT) AS tn FROM hourly GROUP BY 1),
+      |fl AS (SELECT h.event_type, h.h, h.n FROM hourly h JOIN tot t USING (event_type)
+      |       WHERE h.n * t.nh > t.tn),
+      |g AS (SELECT event_type, h, n,
+      |    h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS grp FROM fl)
+      |SELECT event_type, MIN(h) AS start_h, MAX(h) AS end_h,
+      |  COUNT(*) AS n_hours, MAX(n) AS peak_n
+      |FROM g GROUP BY event_type, grp
+      |HAVING COUNT(*) >= 2
+      |ORDER BY event_type, start_h""".stripMargin
+
+  /** DAU / WAU / MAU + STICKINESS — the rolling-distinct-actives board
+    * every product reports, computed EXACTLY without a range join: a
+    * (user, day) activity pair makes the user active for every window
+    * ENDING on day..day+6 (resp. +27), so exploding each distinct pair
+    * across its window offsets turns the trailing-window distinct into
+    * a plain explode → distinct → count chain — the classic trick that
+    * converts a range join (BNLJ at scale) into equi-shuffles only.
+    * Stickiness = DAU/WAU in exact integer ppm. Days outside the
+    * observed spine are dropped (no window ends on a day with no
+    * traffic). Shape at 100 TB: the raw table collapses to distinct
+    * (user, day) FIRST; the 7×/28× blowup applies to that collapsed
+    * set (bounded by users × days), and every shuffle after is keyed
+    * by day or (user, day). */
+  def tsDauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val obs = du.select("day").distinct()
+    def rolling(span: Int, out: String): DataFrame = du
+      .select(col("user_id"), explode(expr(s"sequence(day, day + ${span - 1})")).as("day"))
+      .distinct()
+      .join(obs, Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as(out))
+    du.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(rolling(7, "wau"), Seq("day"))
+      .join(rolling(28, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val tsDauWauOracle: String =
+    """WITH du AS (SELECT DISTINCT user_id,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000 AS day
+      |  FROM events),
+      |obs AS (SELECT DISTINCT day FROM du),
+      |wexp AS (SELECT DISTINCT user_id, day + k AS wday FROM du, UNNEST(range(0, 7)) AS u(k)),
+      |wau AS (SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS wau FROM wexp
+      |        WHERE wday IN (SELECT day FROM obs) GROUP BY 1),
+      |mexp AS (SELECT DISTINCT user_id, day + k AS mday FROM du, UNNEST(range(0, 28)) AS u(k)),
+      |mau AS (SELECT mday AS day, CAST(COUNT(*) AS BIGINT) AS mau FROM mexp
+      |        WHERE mday IN (SELECT day FROM obs) GROUP BY 1),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+      |SELECT d.day, d.dau, w.wau, m.mau, (d.dau * 1000000) // w.wau AS stickiness_ppm
+      |FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_dau_wau" -> (tsDauWau _),
+    "ts_alert_debounce" -> (tsAlertDebounce _),
+    "ts_downsample_m4" -> (tsDownsampleM4 _),
     "ts_seasonal_profile" -> (tsSeasonalProfile _),
     "ts_fill_forward" -> (tsFillForward _),
     "ts_tumbling_distinct" -> (tsTumblingDistinct _),
@@ -1139,6 +1267,9 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_dau_wau" -> tsDauWauOracle,
+    "ts_alert_debounce" -> tsAlertDebounceOracle,
+    "ts_downsample_m4" -> tsDownsampleM4Oracle,
     "ts_seasonal_profile" -> tsSeasonalProfileOracle,
     "ts_fill_forward" -> tsFillForwardOracle,
     "ts_tumbling_distinct" -> tsTumblingDistinctOracle,

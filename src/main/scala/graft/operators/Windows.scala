@@ -274,7 +274,42 @@ object Windows {
       |  COUNT(*) AS n_streaks
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** SLIDING MEDIAN — the robust smoother every monitoring pipeline
+    * runs before thresholding (median-of-7 kills point spikes a moving
+    * average would smear): the LOWER median of each event type's
+    * hourly count over a 7-row trailing frame, computed as
+    * sort + pick on the frame's collected list so the result is pure
+    * integer selection — no interpolated-median float, no cross-engine
+    * even/odd convention to diverge on. Shape at 100 TB: the raw table
+    * collapses to the (type, hour) count series FIRST (one map-side
+    * partial + keyed shuffle); the window then runs on the collapsed
+    * metadata-sized series partitioned by type, and the 7-element
+    * collect_list per row is constant-sized however large the input. */
+  def winSlidingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, 0)
+    hourly
+      .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
+      .select(col("event_type"), col("h"), col("n"),
+        element_at(col("arr"), expr("CAST((size(arr) + 1) div 2 AS INT)")).as("med7"))
+      .orderBy("event_type", "h")
+  }
+
+  val winSlidingMedianOracle: String =
+    """WITH hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |f AS (SELECT event_type, h, n,
+      |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      |  FROM hourly)
+      |SELECT event_type, h, n, arr[CAST((len(arr)+1)//2 AS INT)] AS med7
+      |FROM f ORDER BY event_type, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sliding_median" -> (winSlidingMedian _),
     "win_streaks" -> (winStreaks _),
     "win_ratio_to_report" -> (winRatioToReport _),
     "win_interval_merge" -> (winIntervalMerge _),
@@ -287,6 +322,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_sliding_median" -> winSlidingMedianOracle,
     "win_streaks" -> winStreaksOracle,
     "win_ratio_to_report" -> winRatioToReportOracle,
     "win_interval_merge" -> winIntervalMergeOracle,

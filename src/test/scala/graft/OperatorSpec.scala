@@ -1404,4 +1404,245 @@ class LifecycleSpec extends SparkSpec {
       assert(ppm >= 0 && ppm <= 1000000, s"achieved_ppm out of range: $r")
     }
   }
+
+  test("sliding median is the lower median of the trailing 7-row frame") {
+    val rows = run("win_sliding_median").collect()
+    assert(rows.nonEmpty)
+    // independent recomputation: group rows back into per-type ordered
+    // series and check every med7 against a hand-rolled frame sort+pick
+    rows.groupBy(_.getString(0)).foreach { case (_, series) =>
+      val ordered = series.sortBy(_.getLong(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_.getLong(2)).sorted
+        val want = frame((frame.length + 1) / 2 - 1)
+        assert(r.getLong(3) == want,
+          s"med7 ${r.getLong(3)} != lower median $want of frame ${frame.toList}")
+      }
+    }
+  }
+
+  test("M4 downsample: bounds hold and pixel counts conserve the event total") {
+    val df = run("ts_downsample_m4")
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.filter(c("v_min") > c("v_max")).count() == 0)
+    assert(df.filter(c("v_first") < c("v_min") || c("v_first") > c("v_max") ||
+      c("v_last") < c("v_min") || c("v_last") > c("v_max")).count() == 0,
+      "first/last must lie inside the pixel's [min, max] envelope")
+    val total = df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count(),
+      "pixel counts must conserve the raw event total")
+    // spot-check one pixel against a direct filter of the raw table
+    val probe = df.orderBy(c("n").desc).collect()(0)
+    val raw = graft.sources.Tables.events(spark, sf)
+      .filter(c("event_type") === probe.getString(0))
+      .filter(expr("unix_micros(ts) div 14400000000") === probe.getLong(1))
+      .select("value", "event_id").collect()
+    assert(raw.map(_.getDouble(0)).min == probe.getDouble(2))
+    assert(raw.map(_.getDouble(0)).max == probe.getDouble(3))
+    assert(raw.minBy(_.getLong(1)).getDouble(0) == probe.getDouble(4))
+    assert(raw.maxBy(_.getLong(1)).getDouble(0) == probe.getDouble(5))
+  }
+
+  test("chi-square cells: margins conserve N and one contrib recomputes exactly") {
+    val rows = run("agg_chi_square").collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(rows.map(_.getLong(2)).sum == n, "cell obs must sum to N")
+    // E sums to N (ppm, modulo per-cell floor truncation)
+    val expSum = rows.map(_.getLong(3)).sum
+    assert(math.abs(expSum - n * 1000000L) <= rows.length,
+      s"sum of exp_ppm $expSum strays from N·1e6 by more than the floor slack")
+    // independent BigInt recomputation of one cell's contribution
+    val probe = rows.maxBy(_.getLong(4))
+    val rt = rows.filter(_.getString(0) == probe.getString(0)).map(_.getLong(2)).sum
+    val ct = rows.filter(_.getString(1) == probe.getString(1)).map(_.getLong(2)).sum
+    val d = BigInt(probe.getLong(2)) * n - BigInt(rt) * ct
+    val want = (BigInt(1000000) * d * d) / (BigInt(rt) * ct * n)
+    assert(BigInt(probe.getLong(4)) == want,
+      s"contrib_ppm ${probe.getLong(4)} != exact $want")
+  }
+
+  test("DSIR front contains only non-target docs and scores are sane") {
+    val rows = run("llm_dsir").collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getString(2) != "en"), "target-language docs must be excluded")
+    // descending by score with doc_id tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) > b.getLong(3) ||
+        (a.getLong(3) == b.getLong(3) && a.getLong(0) < b.getLong(0)))
+    }
+    // scores are mean per-token bucket ratios in ppm: a corpus sharing one
+    // vocabulary should score near 1e6 (ratio ~1), never 0 or 100×
+    assert(rows.forall(r => r.getLong(3) > 100000L && r.getLong(3) < 10000000L),
+      s"implausible dsir_ppm band: ${rows.map(_.getLong(3)).min}..${rows.map(_.getLong(3)).max}")
+  }
+
+  test("collocation lift recomputes exactly from raw token counts") {
+    val rows = run("llm_collocations").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 5), "support filter violated")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val n = docs.map(_.length).sum.toLong
+    val uni = docs.flatten.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val bi = docs.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (p, g) => p -> g.length.toLong }
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getString(0).split(" ", 2)
+      val want = (BigInt(bi((w1, w2))) * n * 1000000) / (BigInt(uni(w1)) * uni(w2))
+      assert(BigInt(r.getLong(2)) == want, s"lift mismatch for '${r.getString(0)}'")
+      assert(r.getLong(1) == bi((w1, w2)))
+    }
+  }
+
+  test("kNN graph: 3 in-cell edges per source, symmetric-cos spot check") {
+    val rows = run("llm_knn_graph").collect()
+    val bySrc = rows.groupBy(_.getLong(1))
+    // every source with >=3 in-cell peers has exactly 3 edges, ranked
+    bySrc.foreach { case (src, edges) =>
+      assert(edges.length <= 3, s"src $src has ${edges.length} edges")
+      val sorted = edges.sortBy(_.getInt(4))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getLong(2) < b.getLong(2)),
+            s"edges of $src not ranked by (cos desc, dst asc)")
+        case _ => ()
+      }
+      // no self-loops, all edges share the source's cell by construction
+      assert(edges.forall(_.getLong(2) != src))
+    }
+    // cosine is symmetric: if (a->b) and (b->a) both appear, same cos_sim
+    val m = rows.map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    m.foreach { case ((a, b), c) =>
+      m.get((b, a)).foreach(c2 => assert(c == c2, s"cos($a,$b) asymmetric"))
+    }
+  }
+
+  test("k-core: unrolled peel reaches the true fixpoint and degrees hold") {
+    val rows = run("graph_kcore").collect()
+    assert(rows.nonEmpty, "10-core is empty — fixture threshold moved")
+    assert(rows.forall(_.getLong(1) >= 10), "a surviving node has degree < k")
+    // independent full peeling (to TRUE convergence, not 4 rounds) over
+    // the same thresholded edge set must agree — proving the unroll
+    // depth covers the fixpoint at this SF
+    val df = graft.operators.Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w")).collect()
+    val tw = df.map(_.getLong(2)).sum
+    val np = df.length.toLong
+    var edges = df.filter(r => r.getLong(2) * np > tw)
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, g) => n -> g.size }
+      val bad = deg.filter(_._2 < 10).keySet
+      val next = edges.filter(e => !bad(e._1) && !bad(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val wantDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    val gotDeg = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeg == wantDeg, s"k-core mismatch: got $gotDeg want $wantDeg")
+  }
+
+  test("quality ensemble: votes sum, keep is the majority rule, flags attribute") {
+    val rows = run("llm_quality_ensemble").collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val flags = Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getInt(5) == flags.sum, s"votes != flag sum: $r")
+      assert(r.getInt(6) == (if (flags.sum >= 3) 1 else 0), s"keep != majority: $r")
+    }
+    // the ensemble must actually discriminate on this fixture
+    assert(rows.exists(_.getInt(6) == 0) && rows.exists(_.getInt(6) == 1),
+      "ensemble is vacuous: all docs on one side")
+  }
+
+  test("alert debounce: episodes are maximal runs of genuinely hot hours") {
+    val rows = run("ts_alert_debounce").collect()
+    assert(rows.nonEmpty, "fixture produced no alert episodes")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 2, "sub-debounce episode leaked")
+      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3),
+        s"episode span != hour count (non-consecutive island): $r")
+    }
+    // independent recomputation for the first episode's type: every hour
+    // in the episode is hot, and the hours flanking it are not
+    val et = rows.head.getString(0)
+    val hours = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nh = hours.size.toLong
+    val tn = hours.values.sum
+    def isHot(h: Long): Boolean = hours.get(h).exists(n => n * nh > tn)
+    rows.filter(_.getString(0) == et).foreach { r =>
+      ((r.getLong(1)) to (r.getLong(2))).foreach(h =>
+        assert(isHot(h), s"non-hot hour $h inside episode $r"))
+      assert(!isHot(r.getLong(1) - 1), s"episode $r not left-maximal")
+      assert(!isHot(r.getLong(2) + 1), s"episode $r not right-maximal")
+    }
+  }
+
+  test("gini: rank formula recomputes exactly and sits in [0, 1e6)") {
+    val rows = run("agg_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000L))
+    // independent BigInt recomputation for one segment
+    val probe = rows.head.getString(0)
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === probe)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    val n = BigInt(cents.length)
+    val s0 = cents.map(BigInt(_)).sum
+    val s1 = cents.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val want = (BigInt(1000000) * (2 * s1 - (n + 1) * s0)) / (n * s0)
+    assert(BigInt(rows.head.getLong(2)) == want,
+      s"gini_ppm ${rows.head.getLong(2)} != exact $want for $probe")
+  }
+
+  test("DAU/WAU/MAU: monotone containment and a direct trailing-window check") {
+    val rows = run("ts_dau_wau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+        s"dau <= wau <= mau violated: $r")
+      assert(r.getLong(4) == r.getLong(1) * 1000000L / r.getLong(2))
+    }
+    // direct recomputation of WAU for the busiest day
+    val probe = rows.maxBy(_.getLong(1))
+    val day = probe.getLong(0)
+    val direct = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .filter(col("d") >= day - 6 && col("d") <= day)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(probe.getLong(2) == direct, s"wau mismatch on day $day")
+  }
+
+  test("batch packing: budget respected at batch starts, ids contiguous per format") {
+    val rows = run("mm_pack_batches").collect()
+    rows.groupBy(_.getString(1)).foreach { case (fmt, items) =>
+      val ordered = items.sortBy(_.getLong(0))
+      var running = 0L
+      var prevBatch = -1L
+      ordered.foreach { r =>
+        val batch = r.getLong(3)
+        assert(batch == running / 4096,
+          s"$fmt doc ${r.getLong(0)}: batch $batch != ${running / 4096}")
+        assert(batch >= prevBatch,
+          s"$fmt batch ids not monotone at doc ${r.getLong(0)}")
+        prevBatch = batch
+        running += r.getInt(2)
+      }
+    }
+  }
 }
