@@ -284,7 +284,54 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY format, doc_id""".stripMargin
 
+  /** ASPECT-RATIO BUCKETING — how image-generation training (the
+    * SDXL recipe) batches variable-shape images without destructive
+    * square cropping: every image is assigned to the closest of a
+    * fixed bucket list (1:1, 4:3, 3:4, 16:9, 9:16) so a batch shares
+    * one shape. "Closest" is the EXACT integer cross-multiplication
+    * |w·bh − h·bw| (comparing w/h to bw/bh without a float ratio),
+    * tie-broken by bucket index. The 5-row bucket table broadcasts;
+    * per-image argmin is a doc-partitioned window over the 5
+    * candidates. Bucket population counts ride along via a bucket-
+    * keyed window so the loader can size its per-bucket batch queues
+    * from the same pass. */
+  def mmAspectBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = mediaIn(spark, sfDir)
+      .mapPartitions(_.map(MediaCodecStub.decode))
+      .toDF()
+      .select(col("doc_id"), col("width").as("w"), col("height").as("h"))
+    val buckets = Seq((1, 1, 1), (2, 4, 3), (3, 3, 4), (4, 16, 9), (5, 9, 16))
+      .toDF("bidx", "bw", "bh")
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(abs(col("w") * col("bh") - col("h") * col("bw")), col("bidx"))
+    m.crossJoin(broadcast(buckets))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w"), col("h"), col("bidx").as("bucket"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("bucket")))
+      .orderBy("doc_id")
+  }
+
+  val mmAspectBucketOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    (ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS w,
+      |    (ascii(substr(text, CASE WHEN length(text) > 1 THEN 2 ELSE 1 END, 1)) % 64) * 9 + 36 AS h
+      |  FROM documents),
+      |b(bidx, bw, bh) AS (VALUES (1, 1, 1), (2, 4, 3), (3, 3, 4), (4, 16, 9), (5, 9, 16)),
+      |s AS (SELECT m.doc_id, m.w, m.h, b.bidx,
+      |    ROW_NUMBER() OVER (PARTITION BY m.doc_id
+      |      ORDER BY abs(m.w * b.bh - m.h * b.bw), b.bidx) AS rn
+      |  FROM m, b),
+      |p AS (SELECT doc_id, w, h, bidx AS bucket FROM s WHERE rn = 1)
+      |SELECT doc_id, w, h, bucket,
+      |  CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_n
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_bucket" -> (mmAspectBucket _),
     "mm_pack_batches" -> (mmPackBatches _),
     "mm_letterbox_plan" -> (mmLetterboxPlan _),
     "mm_decode_meta" -> (mmDecodeMeta _),
@@ -294,6 +341,7 @@ object Multimodal {
     "mm_dedup_frames" -> (mmDedupFrames _))
 
   val oracle: Map[String, String] = Map(
+    "mm_aspect_bucket" -> mmAspectBucketOracle,
     "mm_pack_batches" -> mmPackBatchesOracle,
     "mm_letterbox_plan" -> mmLetterboxPlanOracle,
     "mm_decode_meta" -> mmDecodeMetaOracle,

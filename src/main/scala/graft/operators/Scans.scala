@@ -295,7 +295,65 @@ object Scans {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** COLUMN PROFILER — the ANALYZE TABLE / data-profiling pass every
+    * warehouse runs before trusting a new drop: per column, row count,
+    * null count, exact distinct count, and min/max rendered as strings
+    * (BIGINT and VARCHAR render identically in both engines; the
+    * timestamp column is profiled at DATE grain, whose ISO rendering
+    * is also engine-identical — profiling floats as strings is the one
+    * formatting trap, deliberately avoided). Shape at 100 TB: one
+    * pass per profiled column over a COLUMN-PRUNED scan (the reader
+    * fetches only that column's pages — this is the operator where
+    * columnar pruning IS the optimization), partial+final aggregates
+    * throughout; exact distinct is the one shuffle, and
+    * `agg_approx_hll` is the documented sketch fallback when even
+    * that is too hot. */
+  def scanProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val key = li.agg(
+      lit("l_orderkey").as("col"), count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("l_orderkey"))).as("n_null"),
+      countDistinct(col("l_orderkey")).as("n_distinct"),
+      min(col("l_orderkey")).cast("string").as("min_v"),
+      max(col("l_orderkey")).cast("string").as("max_v"))
+    val flag = li.agg(
+      lit("l_returnflag").as("col"), count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("l_returnflag"))).as("n_null"),
+      countDistinct(col("l_returnflag")).as("n_distinct"),
+      min(col("l_returnflag")).cast("string").as("min_v"),
+      max(col("l_returnflag")).cast("string").as("max_v"))
+    val ship = li.agg(
+      lit("l_shipdate").as("col"), count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("l_shipdate"))).as("n_null"),
+      countDistinct(col("l_shipdate")).as("n_distinct"),
+      min(col("l_shipdate")).cast("date").cast("string").as("min_v"),
+      max(col("l_shipdate")).cast("date").cast("string").as("max_v"))
+    key.unionByName(flag).unionByName(ship).orderBy("col")
+  }
+
+  val scanProfileOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col, COUNT(*) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+      |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_v,
+      |    CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', COUNT(*), CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+      |    CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate', COUNT(*), CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+      |    CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+      |    CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+      |  FROM lineitem
+      |) ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
     "scan_partition_pruning" -> (scanPartitionPruning _),
     "export_partition_overwrite" -> (exportPartitionOverwrite _),
@@ -308,6 +366,7 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,
     "scan_partition_pruning" -> scanPartitionPruningOracle,
     "export_partition_overwrite" -> exportPartitionOverwriteOracle,

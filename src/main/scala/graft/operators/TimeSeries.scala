@@ -1236,7 +1236,142 @@ object TimeSeries {
       |FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
       |ORDER BY d.day""".stripMargin
 
+  /** ROBUST Z-SCORE (median/MAD) — the outlier score monitoring uses
+    * when the mean/std one lies (a single spike inflates σ and hides
+    * itself): per event type, score = (n − median) / MAD over the
+    * hourly series, entirely in INTEGER SELECTION arithmetic — median
+    * and MAD are lower-median picks from sorted collected lists (the
+    * `win_sliding_median` move as a grouped aggregate), deviations are
+    * integer, and the final ppm division runs on ABSOLUTE values with
+    * the sign reapplied, because integer division of negatives is the
+    * classic cross-engine trap (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — they disagree on every negative quotient).
+    * Shape at 100 TB: collapse to the (type, hour) series first; the
+    * per-type collected list is series-length (hours), metadata-sized,
+    * and both joins are type-keyed broadcasts. */
+  def tsRobustZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    def lowerMedian(in: DataFrame, valueCol: String, out: String): DataFrame = in
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col(valueCol))).as("arr"))
+      .select(col("event_type"),
+        element_at(col("arr"), expr("CAST((size(arr) + 1) div 2 AS INT)")).as(out))
+    val dev = hourly
+      .join(broadcast(lowerMedian(hourly, "n", "med")), Seq("event_type"))
+      .withColumn("ad", abs(col("n") - col("med")))
+    dev.join(broadcast(lowerMedian(dev, "ad", "mad")), Seq("event_type"))
+      .select(col("event_type"), col("h"), col("n"), col("med"), col("mad"),
+        expr("""CASE WHEN n >= med THEN ((n - med) * 1000000) div greatest(mad, 1)
+               |     ELSE -(((med - n) * 1000000) div greatest(mad, 1)) END""".stripMargin)
+          .as("rz_ppm"))
+      .orderBy("event_type", "h")
+  }
+
+  val tsRobustZscoreOracle: String =
+    """WITH hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, arr[CAST((len(arr)+1)//2 AS INT)] AS med
+      |        FROM (SELECT event_type, list_sort(list(n)) AS arr FROM hourly GROUP BY 1)),
+      |dev AS (SELECT h.event_type, h.h, h.n, m.med, abs(h.n - m.med) AS ad
+      |        FROM hourly h JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, arr[CAST((len(arr)+1)//2 AS INT)] AS mad
+      |        FROM (SELECT event_type, list_sort(list(ad)) AS arr FROM dev GROUP BY 1))
+      |SELECT d.event_type, d.h, d.n, d.med, ma.mad,
+      |  CASE WHEN d.n >= d.med THEN ((d.n - d.med) * 1000000) // GREATEST(ma.mad, 1)
+      |       ELSE -(((d.med - d.n) * 1000000) // GREATEST(ma.mad, 1)) END AS rz_ppm
+      |FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+      |ORDER BY d.event_type, d.h""".stripMargin
+
+  /** PEAK DETECTION — strict local maxima with a height gate: an hour
+    * is a peak when its count beats BOTH neighbors (lag/lead on the
+    * per-type series; series edges, where a neighbor is absent, are
+    * excluded — a boundary point's "peak-ness" is unknowable) AND
+    * clears the type's mean rate (the `ts_alert_debounce` exact
+    * integer cross-multiply, so a noisy floor does not spray peaks).
+    * This is the signal-processing primitive under burst mining and
+    * "when were the busiest moments" dashboards, complementary to
+    * `ts_anomaly` (global threshold) and `ts_changepoint` (level
+    * shift). One collapsed-series window pass, totals broadcast. */
+  def tsPeaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("tn"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    hourly.join(broadcast(tot), Seq("event_type"))
+      .withColumn("pn", lag(col("n"), 1).over(w))
+      .withColumn("nn", lead(col("n"), 1).over(w))
+      .filter(col("pn").isNotNull && col("nn").isNotNull &&
+        col("n") > col("pn") && col("n") > col("nn") &&
+        col("n") * col("nh") > col("tn"))
+      .select("event_type", "h", "n")
+      .orderBy("event_type", "h")
+  }
+
+  val tsPeaksOracle: String =
+    """WITH hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+      |        CAST(SUM(n) AS BIGINT) AS tn FROM hourly GROUP BY 1),
+      |x AS (SELECT h.event_type, h.h, h.n,
+      |    LAG(h.n) OVER (PARTITION BY h.event_type ORDER BY h.h) AS pn,
+      |    LEAD(h.n) OVER (PARTITION BY h.event_type ORDER BY h.h) AS nn,
+      |    t.nh, t.tn
+      |  FROM hourly h JOIN tot t USING (event_type))
+      |SELECT event_type, h, n FROM x
+      |WHERE pn IS NOT NULL AND nn IS NOT NULL AND n > pn AND n > nn AND n * nh > tn
+      |ORDER BY event_type, h""".stripMargin
+
+  /** FORECAST BACKTEST — evaluating the seasonal-naive baseline
+    * (ŷ(h) = y(h − 168): "same hour last week", the forecast every
+    * fancier model must beat) with WAPE in exact integer ppm:
+    * Σ|y − ŷ| · 10⁶ div Σy per event type, over the hours where a
+    * week-old observation exists (a self-equi-join on h − 168 — the
+    * lag is an equi-join key, not a window, so sparse series need no
+    * densification). WAPE over MAPE because it is division-safe on
+    * zero-actual hours and weighting by volume is what capacity
+    * planning wants. Shape at 100 TB: collapse first, then a
+    * type+hour-keyed self-join on the collapsed series and one
+    * partial+final aggregate to ≤ |types| rows. */
+  def tsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val fc = hourly.select(col("event_type"), (col("h") + 168).as("h"),
+      col("n").as("forecast"))
+    hourly.join(fc, Seq("event_type", "h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("sum_actual"),
+        sum(abs(col("n") - col("forecast"))).as("sum_abs_err"))
+      .select(col("event_type"), col("n_hours"), col("sum_actual"), col("sum_abs_err"),
+        expr("(sum_abs_err * 1000000) div sum_actual").as("wape_ppm"))
+      .orderBy("event_type")
+  }
+
+  val tsForecastEvalOracle: String =
+    """WITH hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, a.h, a.n AS actual, f.n AS forecast
+      |      FROM hourly a JOIN hourly f
+      |        ON a.event_type = f.event_type AND f.h = a.h - 168)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(actual) AS BIGINT) AS sum_actual,
+      |  CAST(SUM(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+      |  (CAST(SUM(abs(actual - forecast)) AS BIGINT) * 1000000)
+      |    // CAST(SUM(actual) AS BIGINT) AS wape_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_peaks" -> (tsPeaks _),
+    "ts_forecast_eval" -> (tsForecastEval _),
+    "ts_robust_zscore" -> (tsRobustZscore _),
     "ts_dau_wau" -> (tsDauWau _),
     "ts_alert_debounce" -> (tsAlertDebounce _),
     "ts_downsample_m4" -> (tsDownsampleM4 _),
@@ -1267,6 +1402,9 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_peaks" -> tsPeaksOracle,
+    "ts_forecast_eval" -> tsForecastEvalOracle,
+    "ts_robust_zscore" -> tsRobustZscoreOracle,
     "ts_dau_wau" -> tsDauWauOracle,
     "ts_alert_debounce" -> tsAlertDebounceOracle,
     "ts_downsample_m4" -> tsDownsampleM4Oracle,

@@ -1645,4 +1645,95 @@ class LifecycleSpec extends SparkSpec {
       }
     }
   }
+
+  test("robust z-score: median/MAD recompute exactly for one type") {
+    val rows = run("ts_robust_zscore").collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getString(0)
+    val series = rows.filter(_.getString(0) == et)
+    val ns = series.map(_.getLong(2)).sorted
+    val med = ns((ns.length + 1) / 2 - 1)
+    assert(series.forall(_.getLong(3) == med), "reported median wrong")
+    val ads = series.map(r => math.abs(r.getLong(2) - med)).sorted
+    val mad = ads((ads.length + 1) / 2 - 1)
+    assert(series.forall(_.getLong(4) == mad), "reported MAD wrong")
+    series.foreach { r =>
+      val d = r.getLong(2) - med
+      val want = if (d >= 0) d * 1000000L / math.max(mad, 1L)
+        else -((-d) * 1000000L / math.max(mad, 1L))
+      assert(r.getLong(5) == want, s"rz_ppm mismatch: $r want $want")
+    }
+  }
+
+  test("profiler: per-column stats match direct recomputation") {
+    val rows = run("scan_profile").collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_returnflag", "l_shipdate"))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val n = li.count()
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0L, "synthetic lineitem has no nulls")
+    }
+    assert(rows("l_returnflag").getLong(3) ==
+      li.select("l_returnflag").distinct().count())
+    assert(rows("l_orderkey").getString(4) ==
+      li.agg(min("l_orderkey")).collect()(0).getLong(0).toString)
+  }
+
+  test("aspect buckets: every image gets its true integer-argmin bucket") {
+    val rows = run("mm_aspect_bucket").collect()
+    val buckets = Seq((1, 1, 1), (2, 4, 3), (3, 3, 4), (4, 16, 9), (5, 9, 16))
+    var popByBucket = Map.empty[Long, Long]
+    rows.foreach { r =>
+      val (w, h) = (r.getInt(1).toLong, r.getInt(2).toLong)
+      val best = buckets.minBy { case (bi, bw, bh) =>
+        (math.abs(w * bh - h * bw), bi.toLong)
+      }._1
+      assert(r.getInt(3) == best, s"doc ${r.getLong(0)} ($w x $h): got ${r.getInt(3)} want $best")
+      popByBucket += r.getInt(3).toLong -> (popByBucket.getOrElse(r.getInt(3).toLong, 0L) + 1)
+    }
+    rows.foreach(r => assert(r.getLong(4) == popByBucket(r.getInt(3).toLong),
+      s"bucket_n mismatch for ${r.getLong(0)}"))
+  }
+
+  test("peaks: every reported peak beats both neighbors and the type mean") {
+    val rows = run("ts_peaks").collect()
+    assert(rows.nonEmpty, "fixture produced no peaks")
+    val et = rows.head.getString(0)
+    val series = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val nh = series.length.toLong
+    val tn = series.map(_._2).sum
+    // recompute the full peak set for this type independently
+    val want = series.sliding(3).collect {
+      case Array((_, a), (h, b), (_, c)) if b > a && b > c && b * nh > tn => h
+    }.toSet
+    // NOTE: sliding(3) pairs physically adjacent OBSERVED hours, which is
+    // exactly the series the operator windows over (sparse series, no fill)
+    val got = rows.filter(_.getString(0) == et).map(_.getLong(1)).toSet
+    assert(got == want, s"peak set mismatch for $et: got $got want $want")
+  }
+
+  test("forecast eval: WAPE recomputes from the raw joined series") {
+    val rows = run("ts_forecast_eval").collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getString(0)
+    val byH = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = byH.toSeq.flatMap { case (h, n) =>
+      byH.get(h - 168).map(f => (n, f))
+    }
+    val sumA = joined.map(_._1).sum
+    val sumE = joined.map { case (a, f) => math.abs(a - f) }.sum
+    val r = rows.head
+    assert(r.getLong(1) == joined.size.toLong)
+    assert(r.getLong(2) == sumA && r.getLong(3) == sumE)
+    assert(r.getLong(4) == sumE * 1000000L / sumA)
+  }
 }
