@@ -794,19 +794,22 @@ object Aggregations {
     * aggregate); margins and the statistic are computed on the
     * cells×margins metadata, and both margin joins broadcast. */
   def aggChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir)
-    val n = li.count()
-    val cells = li.groupBy("l_returnflag", "l_linestatus")
+    // N comes from the cells aggregate itself (one table pass total) —
+    // a driver-side count() would re-scan the fact table for a scalar
+    // the metadata-sized cells frame already holds
+    val cells = lineitem(spark, sfDir).groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("obs"))
     val rowT = cells.groupBy("l_returnflag").agg(sum(col("obs")).as("row_tot"))
     val colT = cells.groupBy("l_linestatus").agg(sum(col("obs")).as("col_tot"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
     cells
       .join(broadcast(rowT), Seq("l_returnflag"))
       .join(broadcast(colT), Seq("l_linestatus"))
-      .withColumn("d", expr(s"CAST(obs * ${n}L - row_tot * col_tot AS DECIMAL(38,0))"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr("CAST(obs * n - row_tot * col_tot AS DECIMAL(38,0))"))
       .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
-        expr(s"(row_tot * col_tot * 1000000) div ${n}L").as("exp_ppm"),
-        expr(s"CAST((1000000 * d * d) div (row_tot * col_tot * ${n}L) AS BIGINT)")
+        expr("(row_tot * col_tot * 1000000) div n").as("exp_ppm"),
+        expr("CAST((1000000 * d * d) div (row_tot * col_tot * n) AS BIGINT)")
           .as("contrib_ppm"))
       .orderBy("l_returnflag", "l_linestatus")
   }

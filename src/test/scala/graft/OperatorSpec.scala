@@ -1736,4 +1736,53 @@ class LifecycleSpec extends SparkSpec {
     assert(r.getLong(2) == sumA && r.getLong(3) == sumE)
     assert(r.getLong(4) == sumE * 1000000L / sumA)
   }
+
+  test("CMS estimates are one-sided over the exact counts and min-tight") {
+    val rows = run("llm_cms_heavy_hitters").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted '${r.getString(0)}' — impossible for Count-Min: $r")
+      assert(r.getLong(3) ==
+        (r.getLong(2) - r.getLong(1)) * 1000000L / r.getLong(1))
+    }
+    // independent recomputation of one term's estimate from raw tokens
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val probe = rows.head.getString(0)
+    def bucket(s: Int, k: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16)
+    }
+    val est = (0 until 4).map { s =>
+      val pb = bucket(s, probe)
+      toks.count(k => bucket(s, k) == pb).toLong
+    }.min
+    assert(rows.head.getLong(2) == est, s"CMS estimate for '$probe' != $est")
+  }
+
+  test("rank delta: movers only, ranks recompute for one day") {
+    val rows = run("win_rank_delta").collect()
+    assert(rows.nonEmpty, "fixture produced no rank movement")
+    rows.foreach { r =>
+      assert(r.getLong(2) != r.getLong(3), "non-mover leaked")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+    // recompute one day's full ranking from raw cents
+    val day = rows.head.getLong(0)
+    def ranking(d: Long): Seq[(String, Long)] = graft.sources.Tables.events(spark, sf)
+      .filter(expr("unix_micros(ts) div 86400000000") === d)
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((t, _), i) => (t, i + 1L) }.toSeq
+    val today = ranking(day).toMap
+    val yesterday = ranking(day - 1).toMap
+    rows.filter(_.getLong(0) == day).foreach { r =>
+      assert(today(r.getString(1)) == r.getLong(2), s"rank mismatch: $r")
+      assert(yesterday(r.getString(1)) == r.getLong(3), s"prev rank mismatch: $r")
+    }
+  }
 }
