@@ -193,6 +193,36 @@ class PlanSpec extends SparkSpec {
       "decorrelation should produce an aggregate join")
   }
 
+  test("DAU/WAU trailing windows plan as equi joins — the range join is gone") {
+    // the whole point of the offset-explode formulation: a naive
+    // day BETWEEN d-6 AND d formulation would be a BroadcastNestedLoopJoin
+    val p = plan("ts_dau_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "trailing-window distinct degenerated to a range join:\n" + p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "no equi join on the exploded window day:\n" + p.take(800))
+  }
+
+  test("DSIR scoring broadcasts the 256-row bucket ratio table") {
+    assert(plan("llm_dsir").contains("BroadcastHashJoin"),
+      "bucket ratio join is not broadcast — corpus would shuffle by bucket")
+  }
+
+  test("chi-square and Gini broadcast their metadata-sized margin/dim tables") {
+    assert(plan("agg_chi_square").contains("BroadcastHashJoin"),
+      "contingency margins not broadcast")
+    assert(plan("agg_gini").contains("BroadcastHashJoin"),
+      "customer dim join not broadcast")
+  }
+
+  test("kNN graph candidates come from the cell equi-join, not a nested loop") {
+    val p = plan("llm_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "kNN graph pair join degenerated to a nested loop:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "no equi join on the cell id:\n" + p.take(800))
+  }
+
   test("no graded plan contains an unpartitioned (single-task) Window") {
     // An empty partitionSpec moves the ENTIRE input to one task — the
     // round-2 llm_pack_chunks scale-killer. Checked on the optimized
