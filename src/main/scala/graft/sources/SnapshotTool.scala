@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
   *   merge-regions --a <region store> --b <region store> --dest <merged store>
   *   bulk-load --staging <staged dir> --store <kv store dir>
+  *   scrub   --store <kv store dir>
   *   list    --root R
   *
   * `run` returns a process exit code and is the unit under test; `main`
@@ -175,6 +176,18 @@ object SnapshotTool {
           val stats = KvCompaction.bulkLoad(need("staging"), need("store"))
           ok(s"bulk-loaded ${stats.filesLoaded} file(s), ${stats.cells} cells " +
             s"into ${need("store")}")
+        case "scrub" =>
+          // hbck-style live-store integrity pass (KvScrub): exit 0 on a
+          // clean store, exit 1 with one line per finding otherwise —
+          // scriptable like the reference's verify action
+          val findings = KvScrub.scrub(spark, need("store"))
+          if (findings.isEmpty) ok("store clean")
+          else {
+            findings.foreach(f =>
+              System.err.println(s"${f.kind}\t${f.file}\texpected=${f.expected}\tactual=${f.actual}"))
+            System.err.println(s"[snapshot-tool] ${findings.size} finding(s)")
+            1
+          }
         case "list" =>
           // stamped snapshots list their created_at so a cleanup cutoff
           // can be chosen from the listing alone. The per-name stamp
