@@ -868,7 +868,50 @@ object Aggregations {
       |  // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
       |FROM g ORDER BY seg""".stripMargin
 
+  /** BENFORD FIRST-DIGIT AUDIT — the forensic-accounting screen for
+    * fabricated or constrained numeric columns: the observed leading-
+    * digit distribution of order totals (digit of the exact-cents
+    * BIGINT's string rendering — no float log10) against Benford's law,
+    * whose expectations enter as INTEGER ppm CONSTANTS
+    * (log10(1+1/d) pre-rounded: 301030, 176091, …) so no log is ever
+    * evaluated in either engine. The headline on this data is the
+    * DEVIATION: TPC-H-style uniform prices are decisively non-Benford,
+    * and dev_ppm quantifies it per digit. One partial+final aggregate
+    * to 9 digits; the 9-row expectation table broadcasts. */
+  def aggBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = orders(spark, sfDir).filter(col("o_totalprice") > 0)
+      .select(expr(
+        "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("tot"))
+    val benford = Seq((1, 301030), (2, 176091), (3, 124939), (4, 96910),
+      (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      .toDF("digit", "benford_ppm")
+    broadcast(benford).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div tot").as("observed_ppm"), col("benford_ppm"),
+        expr("abs((n * 1000000) div tot - benford_ppm)").as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  val aggBenfordOracle: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+      |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+      |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o)
+      |SELECT b.digit, COALESCE(o.n, 0) AS n,
+      |  (COALESCE(o.n, 0) * 1000000) // t.tot AS observed_ppm, b.benford_ppm,
+      |  abs((COALESCE(o.n, 0) * 1000000) // t.tot - b.benford_ppm) AS dev_ppm
+      |FROM b LEFT JOIN o ON b.digit = o.digit, t ORDER BY b.digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford" -> (aggBenford _),
     "agg_gini" -> (aggGini _),
     "agg_chi_square" -> (aggChiSquare _),
     "agg_sketch_intersect" -> (aggSketchIntersect _),
@@ -894,6 +937,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_benford" -> aggBenfordOracle,
     "agg_gini" -> aggGiniOracle,
     "agg_chi_square" -> aggChiSquareOracle,
     "agg_sketch_intersect" -> aggSketchIntersectOracle,

@@ -402,7 +402,41 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** RECIPROCITY — the standard directed-graph symmetry metric ("do
+    * trade partners trade back?"), per source nation: out-degree,
+    * reciprocated out-edges (the reverse edge exists), and the ratio
+    * in exact integer ppm. The reciprocal check is a self semi-join on
+    * the REVERSED edge set — node²-bounded on the aggregated edges,
+    * never touching facts; the one data-sized pass is the shared
+    * `tradeEdges` aggregation, lineage-cut before the tiny joins. */
+  def graphReciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ed = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint(true)
+    val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = ed.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("n_reciprocal"))
+    ed.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .join(recip, Seq("src"), "left")
+      .na.fill(0L, Seq("n_reciprocal"))
+      .select(col("src").cast("long").as("nation"), col("out_deg"),
+        col("n_reciprocal"),
+        expr("(n_reciprocal * 1000000) div out_deg").as("reciprocity_ppm"))
+      .orderBy("nation")
+  }
+
+  val graphReciprocityOracle: String =
+    s"""WITH $edgesSql,
+       |ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+       |r AS (SELECT a.src, CAST(COUNT(*) AS BIGINT) AS n_recip
+       |      FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+       |o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM ed GROUP BY 1)
+       |SELECT CAST(o.src AS BIGINT) AS nation, o.out_deg,
+       |  COALESCE(r.n_recip, 0) AS n_reciprocal,
+       |  (COALESCE(r.n_recip, 0) * 1000000) // o.out_deg AS reciprocity_ppm
+       |FROM o LEFT JOIN r ON o.src = r.src ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reciprocity" -> (graphReciprocity _),
     "graph_kcore" -> (graphKcore _),
     "graph_jaccard" -> (graphJaccard _),
     "graph_pagerank" -> (graphPagerank _),
@@ -411,6 +445,7 @@ object Graph {
     "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
+    "graph_reciprocity" -> graphReciprocityOracle,
     "graph_kcore" -> graphKcoreOracle,
     "graph_jaccard" -> graphJaccardOracle,
     "graph_pagerank" -> graphPagerankOracle,

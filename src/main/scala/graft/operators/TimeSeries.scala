@@ -1368,7 +1368,46 @@ object TimeSeries {
       |    // CAST(SUM(actual) AS BIGINT) AS wape_ppm
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** INTER-ARRIVAL GAPS — the arrival-process profile behind capacity
+    * planning and watermark tuning: per event type, the gap series
+    * (consecutive event timestamps, tie-broken by event_id so both
+    * engines difference the same sequence) summarized as count, LOWER-
+    * MEDIAN gap (selection arithmetic — the robust-zscore recipe) and
+    * max gap (the longest silence, the number an SLA monitor alarms
+    * on). All integer micros. One collapsed window pass per type; the
+    * collected gap list is series-length metadata. */
+  def tsInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir).select(col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    e.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("gap"))).as("arr"),
+        max(col("gap")).as("max_gap_us"))
+      .select(col("event_type"),
+        size(col("arr")).cast("long").as("n_gaps"),
+        element_at(col("arr"), expr("CAST((size(arr)+1) div 2 AS INT)")).as("med_gap_us"),
+        col("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val tsInterarrivalOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS us, event_id
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |    us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap FROM e),
+      |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |m AS (SELECT event_type, CAST(len(arr) AS BIGINT) AS n_gaps,
+      |        arr[CAST((len(arr)+1)//2 AS INT)] AS med_gap_us
+      |      FROM (SELECT event_type, list_sort(list(gap)) AS arr FROM gg GROUP BY 1)),
+      |x AS (SELECT event_type, CAST(MAX(gap) AS BIGINT) AS max_gap_us FROM gg GROUP BY 1)
+      |SELECT m.event_type, m.n_gaps, m.med_gap_us, x.max_gap_us
+      |FROM m JOIN x ON m.event_type = x.event_type ORDER BY m.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interarrival" -> (tsInterarrival _),
     "ts_peaks" -> (tsPeaks _),
     "ts_forecast_eval" -> (tsForecastEval _),
     "ts_robust_zscore" -> (tsRobustZscore _),
@@ -1402,6 +1441,7 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_interarrival" -> tsInterarrivalOracle,
     "ts_peaks" -> tsPeaksOracle,
     "ts_forecast_eval" -> tsForecastEvalOracle,
     "ts_robust_zscore" -> tsRobustZscoreOracle,

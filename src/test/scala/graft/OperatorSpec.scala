@@ -1785,4 +1785,53 @@ class LifecycleSpec extends SparkSpec {
       assert(yesterday(r.getString(1)) == r.getLong(3), s"prev rank mismatch: $r")
     }
   }
+
+  test("reciprocity: per-nation counts recompute from the raw edge set") {
+    val rows = run("graph_reciprocity").collect()
+    assert(rows.nonEmpty)
+    val edges = graft.operators.Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      val out = edges.filter(_._1 == n)
+      assert(r.getLong(1) == out.size.toLong, s"out_deg mismatch for $n")
+      val recip = out.count { case (s, d) => edges((d, s)) }.toLong
+      assert(r.getLong(2) == recip, s"n_reciprocal mismatch for $n")
+      assert(r.getLong(3) == recip * 1000000L / out.size)
+    }
+    assert(rows.exists(_.getLong(2) > 0), "fixture has no reciprocal trade at all")
+  }
+
+  test("Benford audit: shares sum to ~1e6 and digits come from exact cents") {
+    val rows = run("agg_benford").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val obsSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(obsSum - 1000000L) <= 9, s"observed shares sum to $obsSum")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 0).count())
+    // dev_ppm consistency
+    rows.foreach(r => assert(r.getLong(4) ==
+      math.abs(r.getLong(2) - r.getInt(3))))
+  }
+
+  test("inter-arrival: gaps are non-negative, median and max recompute") {
+    val rows = run("ts_interarrival").collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getString(0)
+    val us = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    val gaps = us.zip(us.drop(1)).map { case (a, b) => b - a }
+    assert(gaps.forall(_ >= 0))
+    val sorted = gaps.sorted
+    val r = rows.head
+    assert(r.getLong(1) == gaps.length.toLong)
+    assert(r.getLong(2) == sorted((sorted.length + 1) / 2 - 1), "median gap mismatch")
+    assert(r.getLong(3) == gaps.max, "max gap mismatch")
+  }
 }
