@@ -1243,7 +1243,52 @@ object LlmText {
       |  ((est_n - exact_n) * 1000000) // exact_n AS overcount_ppm
       |FROM est ORDER BY exact_n DESC, term""".stripMargin
 
+  /** PER-DOCUMENT KEYWORD EXTRACTION — the tagging/routing primitive
+    * (metadata enrichment, index boosting, topic routing): each doc's
+    * top-3 terms by a LOG-FREE tf·idf surrogate, score = tf ·
+    * ((N·10⁶) div df) — the rarity factor is the exact integer inverse
+    * document-frequency ratio rather than its log, which keeps the
+    * score integral and cross-engine bit-stable (`llm_tfidf_top` keeps
+    * the classic float-log form at corpus level; this key is the
+    * per-doc cut). Probe docs bounded to doc_id < 50 for a stable
+    * graded output. Shape at 100 TB: tf and df are the two standard
+    * explode+groupBy passes, the df join is keyed by term
+    * (vocab-sized), and the per-doc top-3 is a doc-partitioned window
+    * with WindowGroupLimit pushing the cut before the shuffle. */
+  def llmKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.filter(col("doc_id") < 50)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = documents(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score", expr("tf * ((nd * 1000000) div df)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val llmKeywordsOracle: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      |       WHERE doc_id < 50 GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * ((n.nd * 1000000) // df.df) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((n.nd * 1000000) // df.df) DESC, tf.term) AS rnk
+      |  FROM tf JOIN df ON tf.term = df.term, n)
+      |SELECT doc_id, term, tf, score, rnk FROM s WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_keywords" -> (llmKeywords _),
     "llm_cms_heavy_hitters" -> (llmCmsHeavyHitters _),
     "llm_quality_ensemble" -> (llmQualityEnsemble _),
     "llm_dsir" -> (llmDsir _),
@@ -1275,6 +1320,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_keywords" -> llmKeywordsOracle,
     "llm_cms_heavy_hitters" -> llmCmsHeavyHittersOracle,
     "llm_quality_ensemble" -> llmQualityEnsembleOracle,
     "llm_dsir" -> llmDsirOracle,

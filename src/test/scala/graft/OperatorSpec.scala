@@ -1834,4 +1834,24 @@ class LifecycleSpec extends SparkSpec {
     assert(r.getLong(2) == sorted((sorted.length + 1) / 2 - 1), "median gap mismatch")
     assert(r.getLong(3) == gaps.max, "max gap mismatch")
   }
+
+  test("keywords: per-doc top-3 recomputes from raw tf/df") {
+    val rows = run("llm_keywords").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < 50 && r.getLong(4) <= 3))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val nd = docs.size.toLong
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val probe = rows.head.getLong(0)
+    val tfm = docs(probe).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val want = tfm.toSeq
+      .map { case (t, tf) => (t, tf, tf * ((nd * 1000000L) / dfm(t))) }
+      .sortBy { case (t, _, s) => (-s, t) }.take(3)
+    val got = rows.filter(_.getLong(0) == probe).sortBy(_.getLong(4))
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"keyword mismatch for doc $probe: got $got want $want")
+  }
 }
