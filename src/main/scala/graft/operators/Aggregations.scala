@@ -806,10 +806,17 @@ object Aggregations {
       .join(broadcast(rowT), Seq("l_returnflag"))
       .join(broadcast(colT), Seq("l_linestatus"))
       .crossJoin(broadcast(tot))
-      .withColumn("d", expr("CAST(obs * n - row_tot * col_tot AS DECIMAL(38,0))"))
+      // every product involving two data-sized counts goes through
+      // DECIMAL(38,0) BEFORE multiplying — obs·n and rt·ct alone pass
+      // Long.MAX near sf1 (review finding: BIGINT products here threw
+      // ARITHMETIC_OVERFLOW under ANSI at sf≥~0.5 while the HUGEINT
+      // oracle kept computing)
+      .withColumn("d", expr(
+        "CAST(obs AS DECIMAL(38,0)) * n - CAST(row_tot AS DECIMAL(38,0)) * col_tot"))
       .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
-        expr("(row_tot * col_tot * 1000000) div n").as("exp_ppm"),
-        expr("CAST((1000000 * d * d) div (row_tot * col_tot * n) AS BIGINT)")
+        expr("CAST((CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000) div n AS BIGINT)")
+          .as("exp_ppm"),
+        expr("CAST((1000000 * d * d) div (CAST(row_tot AS DECIMAL(38,0)) * col_tot * n) AS BIGINT)")
           .as("contrib_ppm"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -821,9 +828,9 @@ object Aggregations {
       |ct AS (SELECT l_linestatus, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
       |n AS (SELECT COUNT(*) AS n FROM lineitem)
       |SELECT c.l_returnflag, c.l_linestatus, c.obs,
-      |  (row_tot * col_tot * 1000000) // n.n AS exp_ppm,
-      |  CAST((1000000 * CAST(c.obs*n.n - row_tot*col_tot AS HUGEINT)
-      |        * CAST(c.obs*n.n - row_tot*col_tot AS HUGEINT))
+      |  CAST((CAST(row_tot AS HUGEINT) * col_tot * 1000000) // n.n AS BIGINT) AS exp_ppm,
+      |  CAST((1000000 * (CAST(c.obs AS HUGEINT)*n.n - CAST(row_tot AS HUGEINT)*col_tot)
+      |        * (CAST(c.obs AS HUGEINT)*n.n - CAST(row_tot AS HUGEINT)*col_tot))
       |    // (CAST(row_tot AS HUGEINT) * col_tot * n.n) AS BIGINT) AS contrib_ppm
       |FROM cells c JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus), n
       |ORDER BY 1, 2""".stripMargin
@@ -849,8 +856,11 @@ object Aggregations {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("seg").orderBy("cents")
     c.withColumn("rk", row_number().over(w))
       .groupBy("seg")
+      // rk·cents is summed as DECIMAL(38,0): a BIGINT accumulator passes
+      // Long.MAX around n≈1.2M rows/segment (review finding — the
+      // HUGEINT-backed oracle SUM would keep computing while Spark threw)
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
-        sum(col("rk").cast("long") * col("cents")).as("s1"))
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * cents")).as("s1"))
       .select(col("seg"), col("n"),
         expr("""CAST((1000000 * (2 * CAST(s1 AS DECIMAL(38,0)) - (n + 1) * CAST(s0 AS DECIMAL(38,0))))
                | div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)""".stripMargin).as("gini_ppm"))

@@ -1055,16 +1055,23 @@ object LlmText {
     val tgt = b.filter(col("lang") === "en")
       .groupBy("bkt").agg(count(lit(1)).as("tc"))
     val raw = b.groupBy("bkt").agg(count(lit(1)).as("rc"))
+    // tc·rt·1e6 in DECIMAL(38,0): two corpus-sized token counts
+    // multiplied in BIGINT overflow at ~1e8 tokens (review finding)
     val ratio = raw.join(tgt, Seq("bkt"), "left")
       .crossJoin(broadcast(tot))
       .select(col("bkt"),
-        expr("(coalesce(tc, CAST(0 AS BIGINT)) * rt * 1000000) div (rc * tt)")
+        expr("""CAST((CAST(coalesce(tc, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * rt * 1000000)
+               | div (CAST(rc AS DECIMAL(38,0)) * tt) AS BIGINT)""".stripMargin)
           .as("ratio_ppm"))
-    b.join(broadcast(ratio), Seq("bkt"))
+    // score only the docs the output can contain: the ratio table is
+    // built from the FULL corpus (that is the DSIR distribution), but
+    // the ~40% target-language docs are excluded BEFORE the scoring
+    // shuffle, not discarded after it
+    b.filter(col("lang") =!= "en")
+      .join(broadcast(ratio), Seq("bkt"))
       .groupBy("doc_id")
       .agg(sum(col("ratio_ppm")).as("s"), count(lit(1)).as("n"))
       .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
-      .filter(col("lang") =!= "en")
       .select(col("doc_id"), col("source"), col("lang"),
         expr("s div n").as("dsir_ppm"))
       .orderBy(col("dsir_ppm").desc, col("doc_id").asc)
@@ -1078,7 +1085,9 @@ object LlmText {
       |               CAST(COUNT(*) AS BIGINT) AS rt FROM b),
       |tgt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
       |raw AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc FROM b GROUP BY 1),
-      |r AS (SELECT raw.bkt, (COALESCE(tc, 0) * rt * 1000000) // (rc * tt) AS ratio_ppm
+      |r AS (SELECT raw.bkt,
+      |        CAST((CAST(COALESCE(tc, 0) AS HUGEINT) * rt * 1000000)
+      |          // (CAST(rc AS HUGEINT) * tt) AS BIGINT) AS ratio_ppm
       |      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt, tot),
       |ds AS (SELECT b.doc_id, CAST(SUM(ratio_ppm) AS BIGINT) AS s, COUNT(*) AS n
       |       FROM b JOIN r ON b.bkt = r.bkt GROUP BY 1)
@@ -1104,14 +1113,22 @@ object LlmText {
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val uni = docs.select(explode(col("t")).as("w"))
-    val n = uni.count()
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    // N comes from the unigram counts, not a driver-side uni.count() —
+    // that eager count was a second full corpus explode per plan
+    // construction (review finding; same rule as agg_chi_square)
+    val tot = c1.agg(sum(col("c")).as("n"))
+    // c_xy·N·1e6 in DECIMAL(38,0): overflows BIGINT once c_xy·N passes
+    // ~9.2e12 — a frequent bigram in a ~1e8-token corpus
     bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= 5)
       .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx"), Seq("w1"))
       .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy"), Seq("w2"))
+      .crossJoin(broadcast(tot))
       .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c_xy"),
-        expr(s"(c_xy * ${n}L * 1000000) div (cx * cy)").as("lift_ppm"))
+        expr("""CAST((CAST(c_xy AS DECIMAL(38,0)) * n * 1000000)
+               | div (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)""".stripMargin)
+          .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("bigram").asc)
       .limit(25)
   }
@@ -1125,7 +1142,8 @@ object LlmText {
       |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
       |SELECT c2.w1 || ' ' || c2.w2 AS bigram, c2.c_xy,
-      |  (c2.c_xy * n.n * 1000000) // (x.c * y.c) AS lift_ppm
+      |  CAST((CAST(c2.c_xy AS HUGEINT) * n.n * 1000000)
+      |    // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS lift_ppm
       |FROM c2 JOIN c1 x ON c2.w1 = x.w JOIN c1 y ON c2.w2 = y.w, n
       |WHERE c2.c_xy >= 5
       |ORDER BY lift_ppm DESC, bigram LIMIT 25""".stripMargin

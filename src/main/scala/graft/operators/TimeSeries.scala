@@ -1142,6 +1142,22 @@ object TimeSeries {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shared (event_type, hour, count) collapse — the pre-aggregation
+    * every hourly-series operator starts from. ONE definition (Spark +
+    * SQL mirror below) so a bucket-width or tie-break change cannot
+    * drift between the five operators and their oracles that share it
+    * (the `edgesSql`/`ivfOracleProlog` pattern). */
+  private[operators] def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** SQL mirror of [[hourlyCounts]]; splice as the `hourly` CTE. */
+  private[operators] val hourlyCteSql: String =
+    """hourly AS (SELECT event_type,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)""".stripMargin
+
   /** ALERT DEBOUNCE — the hysteresis every pager pipeline applies
     * between "a metric spiked" and "wake someone up": an hour is HOT
     * when its count exceeds the type's mean hourly rate (exact integer
@@ -1156,9 +1172,7 @@ object TimeSeries {
     * island window runs on the collapsed series partitioned by type —
     * the `ts_changepoint` shape with episode semantics on top. */
   def tsAlertDebounce(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = events(spark, sfDir)
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(spark, sfDir)
     val tot = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("tn"))
     val hot = hourly.join(broadcast(tot), Seq("event_type"))
@@ -1174,9 +1188,7 @@ object TimeSeries {
   }
 
   val tsAlertDebounceOracle: String =
-    """WITH hourly AS (SELECT event_type,
-      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+    s"""WITH $hourlyCteSql,
       |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
       |               CAST(SUM(n) AS BIGINT) AS tn FROM hourly GROUP BY 1),
       |fl AS (SELECT h.event_type, h.h, h.n FROM hourly h JOIN tot t USING (event_type)
@@ -1250,9 +1262,7 @@ object TimeSeries {
     * per-type collected list is series-length (hours), metadata-sized,
     * and both joins are type-keyed broadcasts. */
   def tsRobustZscore(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = events(spark, sfDir)
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(spark, sfDir)
     def lowerMedian(in: DataFrame, valueCol: String, out: String): DataFrame = in
       .groupBy("event_type")
       .agg(sort_array(collect_list(col(valueCol))).as("arr"))
@@ -1270,9 +1280,7 @@ object TimeSeries {
   }
 
   val tsRobustZscoreOracle: String =
-    """WITH hourly AS (SELECT event_type,
-      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+    s"""WITH $hourlyCteSql,
       |med AS (SELECT event_type, arr[CAST((len(arr)+1)//2 AS INT)] AS med
       |        FROM (SELECT event_type, list_sort(list(n)) AS arr FROM hourly GROUP BY 1)),
       |dev AS (SELECT h.event_type, h.h, h.n, m.med, abs(h.n - m.med) AS ad
@@ -1296,9 +1304,7 @@ object TimeSeries {
     * `ts_anomaly` (global threshold) and `ts_changepoint` (level
     * shift). One collapsed-series window pass, totals broadcast. */
   def tsPeaks(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = events(spark, sfDir)
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(spark, sfDir)
     val tot = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("nh"), sum(col("n")).as("tn"))
     val w = Window.partitionBy("event_type").orderBy("h")
@@ -1313,9 +1319,7 @@ object TimeSeries {
   }
 
   val tsPeaksOracle: String =
-    """WITH hourly AS (SELECT event_type,
-      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+    s"""WITH $hourlyCteSql,
       |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
       |        CAST(SUM(n) AS BIGINT) AS tn FROM hourly GROUP BY 1),
       |x AS (SELECT h.event_type, h.h, h.n,
@@ -1339,9 +1343,7 @@ object TimeSeries {
     * type+hour-keyed self-join on the collapsed series and one
     * partial+final aggregate to ≤ |types| rows. */
   def tsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = events(spark, sfDir)
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyCounts(spark, sfDir)
     val fc = hourly.select(col("event_type"), (col("h") + 168).as("h"),
       col("n").as("forecast"))
     hourly.join(fc, Seq("event_type", "h"))
@@ -1355,9 +1357,7 @@ object TimeSeries {
   }
 
   val tsForecastEvalOracle: String =
-    """WITH hourly AS (SELECT event_type,
-      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+    s"""WITH $hourlyCteSql,
       |j AS (SELECT a.event_type, a.h, a.n AS actual, f.n AS forecast
       |      FROM hourly a JOIN hourly f
       |        ON a.event_type = f.event_type AND f.h = a.h - 168)

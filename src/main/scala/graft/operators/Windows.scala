@@ -286,9 +286,7 @@ object Windows {
     * metadata-sized series partitioned by type, and the 7-element
     * collect_list per row is constant-sized however large the input. */
   def winSlidingMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = events(spark, sfDir)
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .agg(count(lit(1)).as("n"))
+    val hourly = TimeSeries.hourlyCounts(spark, sfDir)
     val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-6, 0)
     hourly
       .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
@@ -298,9 +296,7 @@ object Windows {
   }
 
   val winSlidingMedianOracle: String =
-    """WITH hourly AS (SELECT event_type,
-      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600000000 AS h,
-      |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+    s"""WITH ${TimeSeries.hourlyCteSql},
       |f AS (SELECT event_type, h, n,
       |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY h
       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr

@@ -218,7 +218,7 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|scrub|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
          |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
@@ -231,6 +231,7 @@ object SnapshotTool {
          |  compact --store <kv store dir> [--target N] [--retain-versions K] [--purge-tombstones true]
          |  merge-regions --a <region store> --b <region store> --dest <merged store>
          |  bulk-load --staging <staged dir> --store <kv store dir>
+         |  scrub   --store <kv store dir>
          |  list    --root R""".stripMargin)
     2
   }

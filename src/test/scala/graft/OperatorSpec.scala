@@ -1498,9 +1498,16 @@ class LifecycleSpec extends SparkSpec {
   test("kNN graph: 3 in-cell edges per source, symmetric-cos spot check") {
     val rows = run("llm_knn_graph").collect()
     val bySrc = rows.groupBy(_.getLong(1))
-    // every source with >=3 in-cell peers has exactly 3 edges, ranked
+    // participants per cell, from the output itself: every vector in a
+    // cell appears as a src (it has >=1 in-cell peer iff edges exist)
+    val cellMembers = rows.groupBy(_.getAs[Number](0).longValue)
+      .map { case (c, es) => c -> (es.map(_.getLong(1)) ++ es.map(_.getLong(2))).toSet.size }
+    // every source with >= 3 in-cell peers has EXACTLY 3 edges (a
+    // regression that silently drops edges must fail here, not just <= 3)
     bySrc.foreach { case (src, edges) =>
-      assert(edges.length <= 3, s"src $src has ${edges.length} edges")
+      val want = math.min(3, cellMembers(edges.head.getAs[Number](0).longValue) - 1)
+      assert(edges.length == want,
+        s"src $src has ${edges.length} edges, cell offers $want")
       val sorted = edges.sortBy(_.getInt(4))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
