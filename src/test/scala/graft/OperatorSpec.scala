@@ -1861,4 +1861,23 @@ class LifecycleSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == want, s"keyword mismatch for doc $probe: got $got want $want")
   }
+
+  test("SQL front-end: spark.sql star revenue equals the DataFrame-built join") {
+    val rows = run("sql_star_revenue").collect()
+    assert(rows.length == 25, "expected one row per nation")
+    // the same rollup built through the DataFrame API must agree exactly
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy("r_name", "n_name").collect()
+    assert(rows.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq,
+      "SQL and DataFrame formulations diverge")
+  }
 }
