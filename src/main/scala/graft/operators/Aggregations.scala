@@ -920,7 +920,118 @@ object Aggregations {
       |  abs((COALESCE(o.n, 0) * 1000000) // t.tot - b.benford_ppm) AS dev_ppm
       |FROM b LEFT JOIN o ON b.digit = o.digit, t ORDER BY b.digit""".stripMargin
 
+  /** BITMAP-EXACT DISTINCT — the 100 TB replacement for
+    * `COUNT(DISTINCT user)`: a naive count-distinct shuffles every
+    * (day, user) pair and holds per-group hash sets; here each user
+    * sets ONE BIT in a fixed-width word keyed by `user_id div 63`, so
+    * the first aggregate is a pure partial-merge `bit_or` (map-side
+    * combinable, constant memory per group) and the second is a sum of
+    * popcounts over `distinct_users/63` words — both stages are
+    * associative single-pass aggregates, and the result is EXACT, not a
+    * sketch (`agg_approx_hll` is the sketch sibling when ids are
+    * unbounded). 63 bits per word, not 64: DuckDB range-checks
+    * `1::BIGINT << 63` while Spark wraps — the sign bit is the one
+    * position the two engines disagree on, so it is never used. */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"), expr("user_id div 63").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").as("bits"))
+      .groupBy("day")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy("day")
+
+  val aggBitmapDistinctOracle: String =
+    """WITH b AS (SELECT
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 86400000000 AS day,
+      |    user_id // 63 AS word,
+      |    BIT_OR(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words
+      |FROM b GROUP BY day ORDER BY day""".stripMargin
+
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION — the antitrust-style market
+    * screen: per customer nation, the HHI of supplier revenue shares
+    * (Σ share², in exact ppm). Everything is integer: revenues are
+    * exact cents, share² is computed as `(1e6 · Σr²) div (Σr)²` on
+    * DECIMAL(38,0)/HUGEINT intermediates (r² overflows BIGINT near
+    * sf1 — the `agg_gini` review lesson applied at authoring time).
+    * Shape: one fact⋈broadcast-dim pass to (nation, supplier) revenue
+    * — map-side combinable — then a nation-sized final aggregate. */
+  def aggHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = lineitem(spark, sfDir)
+      .join(broadcast(supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("r"))
+    rev.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("tot"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("s2"))
+      .join(broadcast(nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        expr("""CAST((1000000 * s2) div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)""")
+          .as("hhi_ppm"))
+      .orderBy("n_name")
+  }
+
+  val aggHhiOracle: String =
+    """WITH rev AS (SELECT s_nationkey, s_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+      |g AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(r) AS BIGINT) AS tot, CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS s2
+      |  FROM rev GROUP BY 1)
+      |SELECT n_name, n_suppliers,
+      |  CAST((1000000 * s2) // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_ppm
+      |FROM g JOIN nation ON s_nationkey = n_nationkey ORDER BY n_name""".stripMargin
+
+  /** PARETO CONCENTRATION (80/20 screen) — per market segment, the
+    * revenue share held by the top-⌈20%⌉ customers. The rank is a
+    * per-segment window (descending cents, custkey tie-break — a total
+    * order, so both engines pick the identical top set), the cut is
+    * exact-integer `⌈n/5⌉ = (n+4) div 5`, and the share is ppm integer
+    * division. Shape at 100 TB: facts collapse to per-customer revenue
+    * first (keyed shuffle), the window runs on the collapsed table
+    * partitioned by segment, and the totals join is segment-sized. */
+  def aggPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("r").desc, col("c_custkey"))
+    val ranked = cust.withColumn("rk", row_number().over(w))
+    val tot = ranked.groupBy("seg")
+      .agg(count(lit(1)).as("n_customers"), sum(col("r")).as("tot"))
+    val top = ranked.join(broadcast(tot.select(col("seg"), col("n_customers"))), Seq("seg"))
+      .filter(expr("rk <= (n_customers + 4) div 5"))
+      .groupBy("seg").agg(count(lit(1)).as("top_n"), sum(col("r")).as("top_r"))
+    tot.join(top, Seq("seg"))
+      .select(col("seg"), col("n_customers"), col("top_n"),
+        expr("(1000000 * top_r) div tot").as("top_share_ppm"))
+      .orderBy("seg")
+  }
+
+  val aggParetoOracle: String =
+    """WITH cust AS (SELECT c_mktsegment AS seg, c_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |rnk AS (SELECT seg, r,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r DESC, c_custkey) AS rk FROM cust),
+      |tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(r) AS BIGINT) AS tot FROM rnk GROUP BY 1),
+      |top AS (SELECT rnk.seg, CAST(COUNT(*) AS BIGINT) AS top_n,
+      |    CAST(SUM(r) AS BIGINT) AS top_r
+      |  FROM rnk JOIN tot ON rnk.seg = tot.seg
+      |  WHERE rk <= (n_customers + 4) // 5 GROUP BY 1)
+      |SELECT tot.seg, n_customers, top_n, (1000000 * top_r) // tot AS top_share_ppm
+      |FROM tot JOIN top ON tot.seg = top.seg ORDER BY tot.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_hhi" -> (aggHhi _),
+    "agg_pareto" -> (aggPareto _),
     "agg_benford" -> (aggBenford _),
     "agg_gini" -> (aggGini _),
     "agg_chi_square" -> (aggChiSquare _),
@@ -947,6 +1058,9 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
+    "agg_hhi" -> aggHhiOracle,
+    "agg_pareto" -> aggParetoOracle,
     "agg_benford" -> aggBenfordOracle,
     "agg_gini" -> aggGiniOracle,
     "agg_chi_square" -> aggChiSquareOracle,

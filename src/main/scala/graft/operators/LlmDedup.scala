@@ -131,6 +131,79 @@ object LlmDedup {
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
+  /** BLOOM-PREFILTER DEDUP — the shape that replaces a huge anti-join
+    * at 100 TB: instead of shuffling every probe-side key against the
+    * reference corpus, the reference keys (here: even doc_ids' 40-char
+    * text-prefix fingerprints) fold into a 16,128-bit Bloom filter —
+    * 256 words × 63 bits, ~2 KB, BROADCAST to every probe task — and
+    * only the keys whose k=3 positions are all set go to the exact
+    * verify join. The filter build is a pure `bit_or` partial-merge
+    * aggregate (the `agg_bitmap_distinct` machinery pointed at hash
+    * positions instead of ids); probe is a broadcast join against the
+    * 256-row word table; and the output MEASURES the filter honestly:
+    * candidates vs exact-verified vs false positives, with fp_ppm over
+    * the true negatives probed. 63-bit words dodge the one shift
+    * position DuckDB range-checks (`1<<63`); m is sized so false
+    * positives are VISIBLE at bench scale (~5% at sf0.1's key volume)
+    * rather than hidden by overprovisioning — the `llm_cms_heavy_hitters`
+    * honesty convention. At a real 100 TB run m grows with the build
+    * set (still broadcastable at gigabit sizes via torrent broadcast),
+    * or shards by key range; the plan shape is unchanged. */
+  def llmDedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 16128L // 256 words x 63 bits
+    def positions(h: org.apache.spark.sql.Column, j: Int) =
+      expr(s"CAST(conv(substring(md5(CONCAT('$j', ':', h)), 1, 7), 16, 10) AS BIGINT) % $M")
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), md5(expr("substring(text, 1, 40)")).as("h"))
+    val build = docs.filter(col("doc_id") % 2 === 0).select("h").distinct()
+    val bloom = build
+      .select(explode(array((1 to 3).map(j => positions(col("h"), j)): _*)).as("pos"))
+      .groupBy(expr("pos div 63").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 63 as int)))").as("bits"))
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val cand = probe
+      .select(col("doc_id"), col("h"),
+        explode(array((1 to 3).map(j => positions(col("h"), j)): _*)).as("pos"))
+      .withColumn("word", expr("pos div 63"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy("doc_id", "h")
+      .agg(sum(expr("coalesce(shiftright(bits, cast(pos % 63 as int)) & 1, 0)")).as("nhit"))
+      .filter(col("nhit") === 3)
+    val verified = cand.join(build, Seq("h"), "left_semi")
+    probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_probe"), col("n_candidates"), col("n_verified"),
+        (col("n_candidates") - col("n_verified")).as("n_false_pos"),
+        expr("(1000000 * (n_candidates - n_verified)) div greatest(n_probe - n_verified, 1)")
+          .as("fp_ppm"))
+  }
+
+  val llmDedupBloomOracle: String =
+    """WITH a AS (SELECT DISTINCT md5(substring(text, 1, 40)) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |apos AS (SELECT
+      |    CAST(CONCAT('0x', substring(md5(CONCAT(j.j, ':', h)), 1, 7)) AS BIGINT) % 16128 AS pos
+      |  FROM a, (VALUES ('1'),('2'),('3')) j(j)),
+      |bloom AS (SELECT pos // 63 AS word,
+      |    BIT_OR(1::BIGINT << CAST(pos % 63 AS INT)) AS bits FROM apos GROUP BY 1),
+      |p AS (SELECT doc_id, md5(substring(text, 1, 40)) AS h FROM documents WHERE doc_id % 2 = 1),
+      |ppos AS (SELECT doc_id, h,
+      |    CAST(CONCAT('0x', substring(md5(CONCAT(j.j, ':', h)), 1, 7)) AS BIGINT) % 16128 AS pos
+      |  FROM p, (VALUES ('1'),('2'),('3')) j(j)),
+      |hits AS (SELECT doc_id, h,
+      |    CAST(SUM(COALESCE((bits >> CAST(pos % 63 AS INT)) & 1, 0)) AS BIGINT) AS nhit
+      |  FROM ppos LEFT JOIN bloom ON pos // 63 = bloom.word GROUP BY 1, 2),
+      |cand AS (SELECT doc_id, h FROM hits WHERE nhit = 3),
+      |ver AS (SELECT doc_id FROM cand WHERE h IN (SELECT h FROM a))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_probe,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_verified,
+      |  (SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM ver) AS n_false_pos,
+      |  (1000000 * ((SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM ver)))
+      |    // GREATEST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM ver), 1) AS fp_ppm""".stripMargin
+
   /** Exact Jaccard near-duplicate pairs (3-gram shingles, J ≥ 0.8) via
     * shingle-inverted-index self-join. Quadratic in per-shingle doc
     * frequency — use llm_dedup_minhash at scale. */
@@ -638,6 +711,7 @@ object LlmDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (llmDedupExact _),
+    "llm_dedup_bloom" -> (llmDedupBloom _),
     "llm_dedup_near" -> (llmDedupNear _),
     "llm_dedup_near_prefix" -> (llmDedupNearPrefix _),
     "llm_dedup_minhash" -> (llmDedupMinhash _),
@@ -649,6 +723,7 @@ object LlmDedup {
 
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" -> llmDedupExactOracle,
+    "llm_dedup_bloom" -> llmDedupBloomOracle,
     "llm_dedup_near" -> llmDedupNearOracle,
     "llm_dedup_near_prefix" -> llmDedupNearPrefixOracle,
     "llm_dedup_minhash" -> llmDedupMinhashOracle,

@@ -103,9 +103,12 @@ object LlmText {
   /** Character-n-gram-heuristic language ID: the 'e'-frequency and mean
     * token length thresholds are deterministic in both engines; accuracy
     * is secondary to plumbing (synthetic corpus shares one vocabulary). */
-  def llmLangId(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
-      .withColumn("len_c", length(col("text")))
+  /** The ONE lang-ID heuristic definition (Spark side; SQL mirror in
+    * [[predLangCteSql]]) shared by `llm_lang_id` and
+    * `llm_langid_eval` so a threshold tweak cannot drift between the
+    * prediction key and its evaluation key. */
+  private[operators] def withPredLang(df: DataFrame): DataFrame =
+    df.withColumn("len_c", length(col("text")))
       .withColumn("n_e", col("len_c") - length(regexp_replace(col("text"), "e", "")))
       // greatest(len, 1): empty text scores ratio 0 on BOTH engines —
       // unguarded, Spark's integer `div 0` yields NULL while DuckDB's
@@ -117,21 +120,73 @@ object LlmText {
           .when(col("e_ratio_e6") >= 60000, "fr")
           .when(col("e_ratio_e6") >= 40000, "es")
           .otherwise("zh"))
-      .select(col("doc_id"), col("e_ratio_e6"), col("pred_lang"),
-        (col("pred_lang") === col("lang")).cast("int").as("correct"))
-      .orderBy("doc_id")
 
-  val llmLangIdOracle: String =
-    """SELECT doc_id, e_ratio_e6, pred_lang, CAST(pred_lang = lang AS INT) AS correct FROM (
-      |  SELECT doc_id, lang, e_ratio_e6,
+  /** SQL mirror of [[withPredLang]]; splice as the `pred` CTE. */
+  private[operators] val predLangCteSql: String =
+    """pred AS (SELECT doc_id, lang, e_ratio_e6,
       |    CASE WHEN e_ratio_e6 >= 100000 THEN 'en' WHEN e_ratio_e6 >= 80000 THEN 'de'
       |         WHEN e_ratio_e6 >= 60000 THEN 'fr' WHEN e_ratio_e6 >= 40000 THEN 'es'
       |         ELSE 'zh' END AS pred_lang
       |  FROM (SELECT doc_id, lang,
       |          (1000000 * CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT))
       |            // GREATEST(length(text), 1) AS e_ratio_e6
-      |        FROM documents))
-      |ORDER BY doc_id""".stripMargin
+      |        FROM documents))""".stripMargin
+
+  def llmLangId(spark: SparkSession, sfDir: String): DataFrame =
+    withPredLang(documents(spark, sfDir))
+      .select(col("doc_id"), col("e_ratio_e6"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+
+  val llmLangIdOracle: String =
+    s"""WITH $predLangCteSql
+       |SELECT doc_id, e_ratio_e6, pred_lang, CAST(pred_lang = lang AS INT) AS correct
+       |FROM pred ORDER BY doc_id""".stripMargin
+
+  /** CLASSIFIER EVALUATION — per-language precision / recall / F1 of
+    * the [[withPredLang]] heuristic against the labeled `lang` column,
+    * in exact ppm integers. The confusion matrix is one languages²-
+    * bounded aggregate; the per-class margins are two tiny re-
+    * aggregations of it joined back on the class — at 100 TB the only
+    * full-data pass is the confusion count itself (map-side
+    * combinable), everything after is dimension-sized. F1 is computed
+    * as `(2·p·r) div (p+r)` on the ppm integers — exact, no float
+    * harmonic mean. Classes are the labels OBSERVED as actuals, so a
+    * class the model never predicts still reports (recall 0), the
+    * asymmetry an eval harness must not hide. */
+  def llmLangidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = withPredLang(documents(spark, sfDir))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+    val act = conf.groupBy(col("lang").as("cls")).agg(sum(col("c")).as("n_actual"))
+    val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum(col("c")).as("n_pred"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("cls"), col("c").as("tp"))
+    act.join(prd, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .withColumn("precision_ppm", expr("(1000000 * tp) div greatest(n_pred, 1)"))
+      .withColumn("recall_ppm", expr("(1000000 * tp) div greatest(n_actual, 1)"))
+      .select(col("cls"), col("n_actual"), col("n_pred"), col("tp"),
+        col("precision_ppm"), col("recall_ppm"),
+        expr("(2 * precision_ppm * recall_ppm) div greatest(precision_ppm + recall_ppm, 1)")
+          .as("f1_ppm"))
+      .orderBy("cls")
+  }
+
+  val llmLangidEvalOracle: String =
+    s"""WITH $predLangCteSql,
+       |conf AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2),
+       |act AS (SELECT lang AS cls, CAST(SUM(c) AS BIGINT) AS n_actual FROM conf GROUP BY 1),
+       |prd AS (SELECT pred_lang AS cls, CAST(SUM(c) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+       |tp AS (SELECT lang AS cls, c AS tp FROM conf WHERE lang = pred_lang),
+       |j AS (SELECT act.cls, act.n_actual,
+       |    COALESCE(prd.n_pred, 0) AS n_pred, COALESCE(tp.tp, 0) AS tp
+       |  FROM act LEFT JOIN prd ON act.cls = prd.cls LEFT JOIN tp ON act.cls = tp.cls),
+       |m AS (SELECT cls, n_actual, n_pred, tp,
+       |    (1000000 * tp) // GREATEST(n_pred, 1) AS precision_ppm,
+       |    (1000000 * tp) // GREATEST(n_actual, 1) AS recall_ppm FROM j)
+       |SELECT cls, n_actual, n_pred, tp, precision_ppm, recall_ppm,
+       |  (2 * precision_ppm * recall_ppm) // GREATEST(precision_ppm + recall_ppm, 1) AS f1_ppm
+       |FROM m ORDER BY cls""".stripMargin
 
   /** Heuristic quality score from length, stopword ratio, and mean
     * token length (the usual pre-training corpus filters). */
@@ -1329,6 +1384,7 @@ object LlmText {
     "llm_tfidf_top" -> (llmTfidfTop _),
     "llm_ngrams" -> (llmNgrams _),
     "llm_lang_id" -> (llmLangId _),
+    "llm_langid_eval" -> (llmLangidEval _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_repetition_filter" -> (llmRepetitionFilter _),
     "llm_vocab_prune" -> (llmVocabPrune _),
@@ -1361,6 +1417,7 @@ object LlmText {
     "llm_tfidf_top" -> llmTfidfTopOracle,
     "llm_ngrams" -> llmNgramsOracle,
     "llm_lang_id" -> llmLangIdOracle,
+    "llm_langid_eval" -> llmLangidEvalOracle,
     "llm_quality_score" -> llmQualityScoreOracle,
     "llm_repetition_filter" -> llmRepetitionFilterOracle,
     "llm_vocab_prune" -> llmVocabPruneOracle,

@@ -392,7 +392,46 @@ object Scans {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
+    * star join through `spark.sql`; this key proves the ANALYTIC half
+    * of the SQL surface: a CTE feeding two different window frames in
+    * one SELECT (cross-segment RANK per month + per-segment running
+    * total), the shape every BI tool emits. Same text shape runs on
+    * both engines; the month key is `year·100+month` integers — a
+    * `date_format` string would hit engine-specific rendering, the
+    * trap the §5.4 conventions exist for. Catalyst plans both windows
+    * off ONE collapsed (seg, month) aggregate: the second window's
+    * re-sort is segment-keyed, never a global shuffle. */
+  def sqlWindowCte(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g_sql_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_sql_customer")
+    spark.sql(
+      """WITH m AS (SELECT c_mktsegment AS seg,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+        |  FROM g_sql_orders JOIN g_sql_customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT seg, ym, rev_cents,
+        |  RANK() OVER (PARTITION BY ym ORDER BY rev_cents DESC, seg) AS rk,
+        |  SUM(rev_cents) OVER (PARTITION BY seg ORDER BY ym
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |FROM m ORDER BY seg, ym""".stripMargin)
+  }
+
+  val sqlWindowCteOracle: String =
+    """WITH m AS (SELECT c_mktsegment AS seg,
+      |    year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT seg, ym, rev_cents,
+      |  RANK() OVER (PARTITION BY ym ORDER BY rev_cents DESC, seg) AS rk,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY seg ORDER BY ym
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |FROM m ORDER BY seg, ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_window_cte" -> (sqlWindowCte _),
     "sql_star_revenue" -> (sqlStarRevenue _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
@@ -407,6 +446,7 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "sql_window_cte" -> sqlWindowCteOracle,
     "sql_star_revenue" -> sqlStarRevenueOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,

@@ -750,7 +750,10 @@ object Sources {
     * green run where no coordinate ever held a third version. */
   def kvCompactVersions(spark: SparkSession, sfDir: String): DataFrame = {
     val store = snapshotRoot(sfDir, "lineitem_kv_vgc")
-    val cells = versionedLineitemCells(spark, sfDir)
+    // materialize the cell unpivot ONCE — the three stripe writes below
+    // otherwise each re-run the full scan+groupBy (measured ~2s of the
+    // key's bench cost was that recompute ×3)
+    val cells = versionedLineitemCells(spark, sfDir).localCheckpoint(true)
     // small-files realism: one append per version stripe — every file
     // overlaps every other in rowkey, exactly a flush-per-batch store
     (0 until 3).foreach { i =>

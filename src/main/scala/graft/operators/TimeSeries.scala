@@ -1406,7 +1406,95 @@ object TimeSeries {
       |SELECT m.event_type, m.n_gaps, m.med_gap_us, x.max_gap_us
       |FROM m JOIN x ON m.event_type = x.event_type ORDER BY m.event_type""".stripMargin
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE (binary decay) — the
+    * monitoring smoother, made exactly reproducible: true EWMA is an
+    * infinite recurrence no window frame expresses, but with α = 1/2
+    * the weight of the i-th lag is 2^(7−i) and the tail beyond 8 lags
+    * is < 0.4% — so the smoother is a FINITE 8-term integer dot
+    * product `Σ n_{t−i}·2^(7−i)` normalized by the weights actually
+    * present (series heads use fewer lags rather than fabricating
+    * zeros). All integer: the result is milli-units via `(1000·num)
+    * div den`, so partial-sum order cannot perturb parity — the
+    * float-recurrence trap (each engine rounding a running product
+    * differently) never opens. Defined on the OBSERVED hourly series
+    * ([[hourlyCounts]] — ONE definition shared with the other five
+    * hourly operators); `ts_gap_fill` is the densification when
+    * missing hours should weigh in as zeros. Shape at 100 TB: the raw
+    * events collapse first (keyed shuffle, map-side combinable), the
+    * 8 lags are ONE window pass per type partition. */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val base = hourlyCounts(spark, sfDir)
+    val withLags = (1 to 7).foldLeft(base)((df, i) =>
+      df.withColumn(s"l$i", lag(col("n"), i).over(w)))
+    val num = (Seq("n * 128") ++ (1 to 7).map(i => s"coalesce(l$i, 0L) * ${1L << (7 - i)}"))
+      .mkString(" + ")
+    val den = (Seq("128") ++ (1 to 7).map(i => s"CASE WHEN l$i IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END"))
+      .mkString(" + ")
+    withLags.select(col("event_type"), col("h"), col("n"),
+      expr(s"(1000 * ($num)) div ($den)").as("ewma_e3"))
+      .orderBy("event_type", "h")
+  }
+
+  val tsEwmaOracle: String = {
+    val num = (Seq("n * 128") ++ (1 to 7).map(i => s"COALESCE(l$i, 0) * ${1L << (7 - i)}"))
+      .mkString(" + ")
+    val den = (Seq("128") ++ (1 to 7).map(i => s"CASE WHEN l$i IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END"))
+      .mkString(" + ")
+    val lags = (1 to 7).map(i =>
+      s"LAG(n, $i) OVER (PARTITION BY event_type ORDER BY h) AS l$i").mkString(",\n|    ")
+    s"""WITH $hourlyCteSql,
+       |lagged AS (SELECT event_type, h, n,
+       |    $lags
+       |  FROM hourly)
+       |SELECT event_type, h, n, (1000 * ($num)) // ($den) AS ewma_e3
+       |FROM lagged ORDER BY event_type, h""".stripMargin
+  }
+
+  /** COHORT VALUE TRIANGLE (LTV curve) — `ts_retention` counts who
+    * comes back; this key measures what they are WORTH: purchase value
+    * in exact cents per (signup-week cohort × week age), plus buyer
+    * counts — the table a growth team reads diagonally for LTV. Weeks
+    * are epoch-week integers (`µs div 604800000000`) — deliberately
+    * not WEEK()/DATE_TRUNC, whose ISO-week conventions differ between
+    * engines (the `ts_seasonal_profile` discipline). Cohort = first
+    * event week of ANY type (activity defines the cohort; purchases
+    * define the value). Shape at 100 TB: the cohort map is one
+    * user-keyed min-aggregate (map-side combinable), the triangle one
+    * join + one aggregate keyed on the same user id — two shuffles
+    * total, and the output is weeks²-bounded. */
+  def tsCohortValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_age"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("value_cents"))
+      .orderBy("cohort_wk", "week_age")
+  }
+
+  val tsCohortValueOracle: String =
+    """WITH ev AS (SELECT user_id,
+      |    DATE_DIFF('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 604800000000 AS wk,
+      |    event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS week_age,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+      |  CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY cohort_wk, week_age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> (tsEwma _),
+    "ts_cohort_value" -> (tsCohortValue _),
     "ts_interarrival" -> (tsInterarrival _),
     "ts_peaks" -> (tsPeaks _),
     "ts_forecast_eval" -> (tsForecastEval _),
@@ -1441,6 +1529,8 @@ object TimeSeries {
     "ts_late_data" -> (tsLateData _))
 
   val oracle: Map[String, String] = Map(
+    "ts_ewma" -> tsEwmaOracle,
+    "ts_cohort_value" -> tsCohortValueOracle,
     "ts_interarrival" -> tsInterarrivalOracle,
     "ts_peaks" -> tsPeaksOracle,
     "ts_forecast_eval" -> tsForecastEvalOracle,

@@ -1880,4 +1880,222 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq,
       "SQL and DataFrame formulations diverge")
   }
+
+  test("bitmap distinct equals COUNT(DISTINCT) exactly, and word counts bound it") {
+    val rows = run("agg_bitmap_distinct").collect()
+    assert(rows.nonEmpty)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getLong(0)), s"bitmap ≠ exact for day ${r.getLong(0)}")
+      // 63-bit words: popcount can never exceed 63·words
+      assert(r.getLong(1) <= 63L * r.getLong(2))
+    }
+  }
+
+  test("HHI is within [1e6/n, 1e6] and hits 1e6 for single-supplier nations") {
+    val rows = run("agg_hhi").collect()
+    // only nations that HAVE suppliers report (10 at sf0.001, 25 at sf0.01+)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val hhi = r.getLong(2)
+      assert(hhi <= 1000000L, s"HHI above 1: $r")
+      // equal-share lower bound 1e6/n (integer division slack of n)
+      assert(hhi >= 1000000L / n - 1, s"HHI below equal-share floor: $r")
+      if (n == 1) assert(hhi == 1000000L)
+    }
+  }
+
+  test("Pareto top-20% share recomputes from per-customer revenue") {
+    val rows = run("agg_pareto").collect()
+    assert(rows.length == 5)
+    val cust = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { row =>
+      val seg = row.getString(0)
+      val rs = cust.filter(_._1 == seg).sortBy { case (_, k, r) => (-r, k) }.map(_._3)
+      val topN = (rs.length + 4) / 5
+      assert(row.getLong(1) == rs.length.toLong)
+      assert(row.getLong(2) == topN.toLong)
+      assert(row.getLong(3) == 1000000L * rs.take(topN).sum / rs.sum)
+      // concentration sanity: the top 20% can never hold less than 20%
+      assert(row.getLong(3) >= 200000L - 5)
+    }
+  }
+
+  test("EWMA lies inside the window min/max envelope and equals n on flat runs") {
+    val rows = run("ts_ewma").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val window = sorted.slice(math.max(0, i - 7), i + 1).map(_.getLong(2))
+        // weighted mean of the window in milli-units stays in its envelope
+        assert(r.getLong(3) >= 1000 * window.min - 1 && r.getLong(3) <= 1000 * window.max,
+          s"ewma outside envelope at $r")
+      }
+      // head row has only itself: ewma == 1000·n exactly
+      assert(sorted.head.getLong(3) == 1000 * sorted.head.getLong(2))
+    }
+  }
+
+  test("lang-ID eval margins recompute from the per-doc prediction key") {
+    val eval = run("llm_langid_eval").collect()
+    val perDoc = run("llm_lang_id")
+      .join(graft.sources.Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    eval.foreach { r =>
+      val cls = r.getString(0)
+      assert(r.getLong(1) == perDoc.count(_._1 == cls).toLong, s"n_actual mismatch $cls")
+      assert(r.getLong(2) == perDoc.count(_._2 == cls).toLong, s"n_pred mismatch $cls")
+      assert(r.getLong(3) == perDoc.count(p => p._1 == cls && p._2 == cls).toLong)
+      // F1 is between min and max of precision/recall (harmonic-mean property)
+      val (p, rec, f1) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(f1 <= math.max(p, rec) && f1 >= math.min(p, rec) - 1, s"F1 outside [min,max] $r")
+    }
+  }
+
+  test("bloom prefilter never misses a true duplicate (no false negatives)") {
+    val row = run("llm_dedup_bloom").collect().head
+    val (nProbe, nCand, nVer, nFp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nFp == nCand - nVer)
+    assert(nCand >= nVer, "candidates must superset verified")
+    // ground truth: exact cross-parity prefix matches — Bloom filters
+    // have false positives, NEVER false negatives
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("substring(text, 1, 40)").as("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val build = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val probes = docs.filter(_._1 % 2 == 1)
+    assert(nProbe == probes.length.toLong)
+    assert(nVer == probes.count(p => build(p._2)).toLong,
+      "verified count must equal exact ground truth")
+  }
+
+  test("SCC labels are consistent: same label iff mutually reachable") {
+    val rows = run("graph_scc").collect()
+    assert(rows.length == 25)
+    // recompute reachability on the thresholded directed edge set
+    val edges = {
+      val e = graft.operators.Graph.tradeEdges(spark, sf).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue))
+      val np = e.length; val tw = e.map(_._3).sum
+      e.filter(x => x._3 * np > tw && x._1 != x._2).map(x => (x._1, x._2)).toSet
+    }
+    var reach = edges
+    var grew = true
+    while (grew) {
+      val next = reach ++ (for ((a, b) <- reach; (c, d) <- edges if b == c) yield (a, d))
+      grew = next.size > reach.size; reach = next
+    }
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (u <- label.keys; v <- label.keys if u < v) {
+      val mutual = reach((u, v)) && reach((v, u))
+      assert((label(u) == label(v)) == mutual, s"SCC label disagreement for ($u,$v)")
+    }
+    // scc_size recomputes from labels
+    val sizes = label.values.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
+  }
+
+  test("forward as-of mirrors backward: next-click is after ts, prior-click before") {
+    val fwd = run("join_asof_forward").collect()
+    assert(fwd.nonEmpty)
+    fwd.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(!r.getTimestamp(3).before(r.getTimestamp(2)),
+          s"next click precedes the error: $r")
+    }
+    assert(fwd.exists(!_.isNullAt(3)), "fixture has no forward match at all")
+    // forward ∘ backward coherence on a shared user: the backward key
+    // must agree on which events are errors
+    val bwd = run("join_asof").collect()
+    assert(bwd.map(_.getLong(0)).toSet == fwd.map(_.getLong(0)).toSet)
+  }
+
+  test("NOT IN is null-aware: NULL probes drop, and totals recompute") {
+    val rows = run("join_not_in").collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.orders(spark, sf).collect()
+    val building = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expect = o.filter { r =>
+      val key = r.getLong(0)
+      key % 50 != 0 && !building(r.getLong(1)) // NULL probe rows drop
+    }.groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == expect(r.getString(0)), s"NOT IN count mismatch at $r")
+    }
+    assert(rows.map(_.getLong(1)).sum == expect.values.sum)
+  }
+
+  test("condensation is a DAG: layers strictly increase along every edge") {
+    val rows = run("graph_condensation").collect()
+    assert(rows.nonEmpty)
+    val layer = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute condensation edges from the SCC labels + thresholded edges
+    val labels = run("graph_scc").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = {
+      val e = graft.operators.Graph.tradeEdges(spark, sf).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue))
+      val np = e.length; val tw = e.map(_._3).sum
+      e.filter(x => x._3 * np > tw && x._1 != x._2)
+        .map(x => (labels(x._1), labels(x._2))).filter(p => p._1 != p._2).distinct
+    }
+    edges.foreach { case (cs, cd) =>
+      assert(layer(cd) >= layer(cs) + 1, s"layer not increasing on $cs->$cd")
+    }
+    // degree columns recompute
+    rows.foreach { r =>
+      assert(r.getLong(3) == edges.count(_._1 == r.getLong(0)).toLong)
+      assert(r.getLong(4) == edges.count(_._2 == r.getLong(0)).toLong)
+    }
+    // member counts sum to the node count
+    assert(rows.map(_.getLong(2)).sum == labels.size.toLong)
+  }
+
+  test("cohort value triangle: cents conserve and cohorts cover all buyers") {
+    val rows = run("ts_cohort_value").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, s"negative week age: $r")
+      assert(r.getLong(2) >= r.getLong(3), "purchases < distinct buyers")
+    }
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    assert(rows.map(_.getLong(2)).sum == purchases.count(), "purchase count conservation")
+    val totalCents = purchases
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == totalCents, "cents conservation")
+  }
+
+  test("SQL window CTE: ranks and running totals recompute from the monthly rollup") {
+    val rows = run("sql_window_cte").collect()
+    assert(rows.nonEmpty)
+    val monthly = rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // per-month rank
+    rows.foreach { r =>
+      val peers = monthly.filter(_._2 == r.getInt(1))
+        .sortBy { case (s, _, c) => (-c, s) }
+      val expectRank = peers.indexWhere(p => p._1 == r.getString(0)) + 1
+      assert(r.getInt(3) == expectRank, s"rank mismatch at $r")
+    }
+    // per-segment running total
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      var acc = 0L
+      sorted.foreach { r => acc += r.getLong(2); assert(r.getLong(4) == acc) }
+    }
+  }
 }

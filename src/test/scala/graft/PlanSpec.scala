@@ -72,6 +72,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), "partial (pre-shuffle) group limit missing")
   }
 
+  test("NOT IN plans a broadcast null-aware anti join, never a cartesian") {
+    val p = plan("join_not_in")
+    assert(p.contains("LeftAnti"), "no anti join in:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "NOT IN set not broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bitmap distinct combines map-side: the bit_or aggregate is partial") {
+    val p = plan("agg_bitmap_distinct")
+    assert(p.contains("partial_bit_or") || p.contains("partial bit_or") ||
+      ("HashAggregate".r.findAllIn(p).size >= 4 && p.contains("bit_or")),
+      "bit_or aggregate is not two-phase:\n" + p.take(1200))
+  }
+
+  test("bloom prefilter probes via broadcast of the word table") {
+    val p = plan("llm_dedup_bloom")
+    assert(p.contains("BroadcastHashJoin"), "bloom word join not broadcast:\n" + p.take(800))
+  }
+
   test("aggregations are two-phase (partial + final HashAggregate)") {
     val p = plan("agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
