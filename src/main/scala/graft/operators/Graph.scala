@@ -464,11 +464,16 @@ object Graph {
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .localCheckpoint(true)
     var r = de
-    for (_ <- 1 to 5) {
+    for (i <- 1 to 5) {
       r = r.union(
           r.as("a").join(r.as("b"), col("a.d") === col("b.s"))
             .select(col("a.s").as("s"), col("b.d").as("d")))
-        .distinct().localCheckpoint(true)
+        .distinct()
+      // each round references r twice, so the un-cut plan doubles per
+      // round — but an EAGER checkpoint per round costs one scheduled
+      // job each on a ≤nodes² pair set. Cut every OTHER round (plan
+      // fan-out bounded at 4 leaves) and pay half the scheduling tax.
+      if (i % 2 == 0 || i == 5) r = r.localCheckpoint(true)
     }
     val mutual = r.as("f").join(r.as("g"),
         col("f.s") === col("g.d") && col("f.d") === col("g.s"))
@@ -528,12 +533,17 @@ object Graph {
     val sccs = labels.select(col("scc_id")).distinct().localCheckpoint(true)
     val nScc = sccs.count() // condensation node count: dimension metadata
     var layer = sccs.withColumn("layer", lit(0L))
-    for (_ <- 1L until nScc) {
+    var i = 1L
+    while (i < nScc) {
       layer = layer.as("l").join(cedges, col("l.scc_id") === col("cs"))
         .select(col("cd").as("scc_id"), (col("layer") + 1).as("layer"))
         .union(layer)
         .groupBy("scc_id").agg(max(col("layer")).as("layer"))
-        .localCheckpoint(true)
+      // same every-other-round lineage cut as the closure loop: the
+      // relaxation is condensation-sized, so the scheduled job per
+      // round dominates its cost, not the data
+      if (i % 2 == 0 || i == nScc - 1) layer = layer.localCheckpoint(true)
+      i += 1
     }
     val members = labels.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
     val outDeg = cedges.groupBy(col("cs").as("scc_id")).agg(count(lit(1)).as("n_out"))
