@@ -455,14 +455,21 @@ object Graph {
   /** Shared SCC machinery for `graph_scc` and `graph_condensation`:
     * thresholded directed edges, closure by iterative doubling, and
     * the per-node SCC label. */
-  private[graft] def sccLabelsAndEdges(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame) = {
+  /** Above-mean directed edge set (the `graph_triangles` exact integer
+    * threshold, kept directional) — shared by the SCC family and
+    * `graph_closeness`. */
+  private[graft] def thresholdedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
     val t = edges.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
-    val de = edges.crossJoin(broadcast(t))
+    edges.crossJoin(broadcast(t))
       .filter(col("w") * col("np") > col("tw") && col("src") =!= col("dst"))
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .localCheckpoint(true)
+  }
+
+  private[graft] def sccLabelsAndEdges(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val de = thresholdedEdges(spark, sfDir)
     var r = de
     for (i <- 1 to 5) {
       r = r.union(
@@ -581,9 +588,65 @@ object Graph {
        |LEFT JOIN id2 ON lay.scc_id = id2.scc_id
        |ORDER BY lay.scc_id""".stripMargin
 
+  /** CLOSENESS CENTRALITY — "which nation reaches the rest of the
+    * trade network fastest": min-hop distances on the thresholded
+    * directed graph by MIN-PLUS ITERATIVE DOUBLING (5 rounds of
+    * `min(dist, dist⊕dist)` cover 2⁵-hop paths; the `graph_scc`
+    * closure with lengths carried), then per source the reachable
+    * count, distance sum, and the exact-ppm closeness ratio
+    * `1e6·n_reach div Σdist` — integer end to end, no float
+    * normalization to drift. Unreachable-heavy nodes report honestly
+    * (n_reach small, closeness 0 when nothing is reachable). Every
+    * round is a pair-keyed equi-join + min-aggregate on a
+    * node²-bounded set, lineage cut on the `graph_scc` cadence; the
+    * oracle recomputes the same fixpoint as a bounded recursive CTE.
+    * At billion-node scale exact all-pairs stops being node²-safe —
+    * the landmark/HyperANF sketch family takes over (documented, not
+    * graded). */
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val de = thresholdedEdges(spark, sfDir)
+    var dist = de.withColumn("dist", lit(1L))
+    for (i <- 1 to 5) {
+      dist = dist.union(
+          dist.as("a").join(dist.as("b"), col("a.d") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.d").as("d"),
+              (col("a.dist") + col("b.dist")).as("dist")))
+        .groupBy("s", "d").agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 || i == 5) dist = dist.localCheckpoint(true)
+    }
+    val agg = dist.filter(col("s") =!= col("d"))
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_reach"), sum(col("dist")).as("sum_dist"))
+    nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("node"))
+      .join(agg, Seq("node"), "left")
+      .na.fill(0L, Seq("n_reach", "sum_dist"))
+      .select(col("node"), col("n_reach"), col("sum_dist"),
+        expr("CASE WHEN sum_dist > 0 THEN (1000000 * n_reach) div sum_dist ELSE 0 END")
+          .as("closeness_ppm"))
+      .orderBy("node")
+  }
+
+  val graphClosenessOracle: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
+       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+       |  FROM e, t WHERE w * np > tw AND src <> dst),
+       |r(s, d, len) AS (SELECT s, d, CAST(1 AS BIGINT) FROM de
+       |  UNION SELECT r.s, de.d, r.len + 1 FROM r JOIN de ON r.d = de.s WHERE r.len < 25),
+       |dist AS (SELECT s, d, MIN(len) AS dist FROM r WHERE s <> d GROUP BY 1, 2),
+       |agg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reach,
+       |    CAST(SUM(dist) AS BIGINT) AS sum_dist FROM dist GROUP BY 1)
+       |SELECT CAST(n_nationkey AS BIGINT) AS node, COALESCE(n_reach, 0) AS n_reach,
+       |  COALESCE(sum_dist, 0) AS sum_dist,
+       |  CASE WHEN COALESCE(sum_dist, 0) > 0 THEN (1000000 * n_reach) // sum_dist
+       |       ELSE 0 END AS closeness_ppm
+       |FROM nation LEFT JOIN agg ON n_nationkey = agg.node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_scc" -> (graphScc _),
     "graph_condensation" -> (graphCondensation _),
+    "graph_closeness" -> (graphCloseness _),
     "graph_reciprocity" -> (graphReciprocity _),
     "graph_kcore" -> (graphKcore _),
     "graph_jaccard" -> (graphJaccard _),
@@ -595,6 +658,7 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "graph_scc" -> graphSccOracle,
     "graph_condensation" -> graphCondensationOracle,
+    "graph_closeness" -> graphClosenessOracle,
     "graph_reciprocity" -> graphReciprocityOracle,
     "graph_kcore" -> graphKcoreOracle,
     "graph_jaccard" -> graphJaccardOracle,

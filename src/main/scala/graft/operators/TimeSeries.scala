@@ -145,6 +145,28 @@ object TimeSeries {
       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
       |GROUP BY 1 ORDER BY ws""".stripMargin
 
+  /** `ts_sliding` executed as a REAL Structured Streaming job — the
+    * one windowed-state shape the streaming family didn't yet cover:
+    * OVERLAPPING windows, where each event updates FOUR window states
+    * (1 h window / 15 min slide) instead of one, the state store holds
+    * window-count × group-count entries, and watermark eviction closes
+    * four windows per slide step. Same staged two-split source and
+    * complete-mode memory sink as `ts_tumbling_stream`; state shuffles
+    * by (window, —) exactly like the batch shuffle, so the result
+    * equals the batch form and the key SHARES `ts_sliding`'s oracle
+    * (the `ts_session_stream` pattern). At scale this is the
+    * Kafka-fed moving-rate dashboard plan with a durable checkpoint. */
+  def tsSlidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = stagedEventStream(spark, sfDir, "events2split", 1)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    runToMemory(agg, "graft_ts_sliding_stream", "complete")
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws")
+  }
+
   /** `ts_tumbling` executed as a REAL Structured Streaming job: the
     * events file is staged as two parquet files fed one per micro-batch
     * (`maxFilesPerTrigger=1`) through `readStream` → watermark → windowed
@@ -1514,6 +1536,7 @@ object TimeSeries {
     "ts_tumbling" -> (tsTumbling _),
     "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
+    "ts_sliding_stream" -> (tsSlidingStream _),
     "ts_session" -> (tsSession _),
     "ts_session_stream" -> (tsSessionStream _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
@@ -1551,6 +1574,7 @@ object TimeSeries {
     // the streaming executions must produce exactly the batch results
     "ts_tumbling_stream" -> tsTumblingOracle,
     "ts_sliding" -> tsSlidingOracle,
+    "ts_sliding_stream" -> tsSlidingOracle,
     "ts_session" -> tsSessionOracle,
     "ts_session_stream" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,

@@ -2080,6 +2080,45 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum == totalCents, "cents conservation")
   }
 
+  test("streaming sliding windows equal the batch sliding key exactly") {
+    val stream = run("ts_sliding_stream").collect()
+    val batch = run("ts_sliding").collect()
+    assert(stream.nonEmpty)
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "streaming sliding-window result diverged from the batch form")
+  }
+
+  test("closeness: distances recompute by BFS on the thresholded edges") {
+    val rows = run("graph_closeness").collect()
+    assert(rows.length == 25)
+    val edges = {
+      val e = graft.operators.Graph.tradeEdges(spark, sf).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue))
+      val np = e.length; val tw = e.map(_._3).sum
+      e.filter(x => x._3 * np > tw && x._1 != x._2).map(x => (x._1, x._2))
+    }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val src = r.getLong(0)
+      // plain BFS ground truth
+      var frontier = adj.getOrElse(src, Set.empty[Long]) - src
+      val seen = collection.mutable.Map[Long, Long]()
+      var d = 1L
+      while (frontier.nonEmpty) {
+        frontier.foreach(v => if (!seen.contains(v)) seen(v) = d)
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(seen.contains) - src
+        d += 1
+      }
+      assert(r.getLong(1) == seen.size.toLong, s"n_reach mismatch for $src")
+      assert(r.getLong(2) == seen.values.sum, s"sum_dist mismatch for $src")
+      if (r.getLong(2) > 0)
+        assert(r.getLong(3) == 1000000L * r.getLong(1) / r.getLong(2))
+      else assert(r.getLong(3) == 0L)
+    }
+  }
+
   test("SQL window CTE: ranks and running totals recompute from the monthly rollup") {
     val rows = run("sql_window_cte").collect()
     assert(rows.nonEmpty)
