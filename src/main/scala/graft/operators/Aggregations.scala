@@ -1001,15 +1001,21 @@ object Aggregations {
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("r"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("seg").orderBy(col("r").desc, col("c_custkey"))
-    val ranked = cust.withColumn("rk", row_number().over(w))
+    // ranked feeds BOTH the totals aggregate and the top-cut join —
+    // materialize once or the per-customer shuffle + window sort run
+    // twice (the kvCompactVersions recompute class)
+    val ranked = cust.withColumn("rk", row_number().over(w)).localCheckpoint(true)
     val tot = ranked.groupBy("seg")
       .agg(count(lit(1)).as("n_customers"), sum(col("r")).as("tot"))
     val top = ranked.join(broadcast(tot.select(col("seg"), col("n_customers"))), Seq("seg"))
       .filter(expr("rk <= (n_customers + 4) div 5"))
       .groupBy("seg").agg(count(lit(1)).as("top_n"), sum(col("r")).as("top_r"))
     tot.join(top, Seq("seg"))
+      // 1e6·top_r overflows BIGINT near sf3 — ride DECIMAL(38,0) like
+      // agg_hhi/agg_gini (review finding, applied before it bites)
       .select(col("seg"), col("n_customers"), col("top_n"),
-        expr("(1000000 * top_r) div tot").as("top_share_ppm"))
+        expr("CAST((1000000 * CAST(top_r AS DECIMAL(38,0))) div tot AS BIGINT)")
+          .as("top_share_ppm"))
       .orderBy("seg")
   }
 
@@ -1025,7 +1031,8 @@ object Aggregations {
       |    CAST(SUM(r) AS BIGINT) AS top_r
       |  FROM rnk JOIN tot ON rnk.seg = tot.seg
       |  WHERE rk <= (n_customers + 4) // 5 GROUP BY 1)
-      |SELECT tot.seg, n_customers, top_n, (1000000 * top_r) // tot AS top_share_ppm
+      |SELECT tot.seg, n_customers, top_n,
+      |  CAST((1000000 * CAST(top_r AS HUGEINT)) // tot AS BIGINT) AS top_share_ppm
       |FROM tot JOIN top ON tot.seg = top.seg ORDER BY tot.seg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -502,16 +502,29 @@ object Graph {
       .orderBy("node")
   }
 
+  /** SQL mirror of [[thresholdedEdges]] (the `t`/`de` CTEs) — splice
+    * after [[edgesSql]]; shared by all three directed-graph oracles so
+    * a threshold change cannot drift between them (the `edgesSql` /
+    * `predLangCteSql` discipline, applied after review). */
+  private val thresholdedEdgesSql: String =
+    """t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
+      |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+      |  FROM e, t WHERE w * np > tw AND src <> dst)""".stripMargin
+
+  /** SQL mirror of [[sccLabelsAndEdges]]' label computation (the
+    * `r`/`m`/`sc` CTEs) — shared by `graph_scc` and
+    * `graph_condensation` exactly as the Spark side shares the helper. */
+  private val sccLabelsSql: String =
+    """r(s, d) AS (SELECT s, d FROM de
+      |  UNION SELECT r.s, de.d FROM r JOIN de ON r.d = de.s),
+      |m AS (SELECT r1.s AS u, r1.d AS v FROM r r1 JOIN r r2 ON r1.s = r2.d AND r1.d = r2.s
+      |      UNION SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
+      |sc AS (SELECT u AS node, MIN(v) AS scc_id FROM m GROUP BY 1)""".stripMargin
+
   val graphSccOracle: String =
     s"""WITH RECURSIVE $edgesSql,
-       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
-       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
-       |  FROM e, t WHERE w * np > tw AND src <> dst),
-       |r(s, d) AS (SELECT s, d FROM de
-       |  UNION SELECT r.s, de.d FROM r JOIN de ON r.d = de.s),
-       |m AS (SELECT r1.s AS u, r1.d AS v FROM r r1 JOIN r r2 ON r1.s = r2.d AND r1.d = r2.s
-       |      UNION SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
-       |sc AS (SELECT u AS node, MIN(v) AS scc_id FROM m GROUP BY 1),
+       |$thresholdedEdgesSql,
+       |$sccLabelsSql,
        |z AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size FROM sc GROUP BY 1)
        |SELECT node, sc.scc_id, scc_size FROM sc JOIN z USING (scc_id) ORDER BY node""".stripMargin
 
@@ -564,14 +577,8 @@ object Graph {
 
   val graphCondensationOracle: String =
     s"""WITH RECURSIVE $edgesSql,
-       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
-       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
-       |  FROM e, t WHERE w * np > tw AND src <> dst),
-       |r(s, d) AS (SELECT s, d FROM de
-       |  UNION SELECT r.s, de.d FROM r JOIN de ON r.d = de.s),
-       |m AS (SELECT r1.s AS u, r1.d AS v FROM r r1 JOIN r r2 ON r1.s = r2.d AND r1.d = r2.s
-       |      UNION SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation),
-       |sc AS (SELECT u AS node, MIN(v) AS scc_id FROM m GROUP BY 1),
+       |$thresholdedEdgesSql,
+       |$sccLabelsSql,
        |ce AS (SELECT DISTINCT ls.scc_id AS cs, ld.scc_id AS cd
        |  FROM de JOIN sc ls ON de.s = ls.node JOIN sc ld ON de.d = ld.node
        |  WHERE ls.scc_id <> ld.scc_id),
@@ -629,9 +636,7 @@ object Graph {
 
   val graphClosenessOracle: String =
     s"""WITH RECURSIVE $edgesSql,
-       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(w) AS BIGINT) AS tw FROM e),
-       |de AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
-       |  FROM e, t WHERE w * np > tw AND src <> dst),
+       |$thresholdedEdgesSql,
        |r(s, d, len) AS (SELECT s, d, CAST(1 AS BIGINT) FROM de
        |  UNION SELECT r.s, de.d, r.len + 1 FROM r JOIN de ON r.d = de.s WHERE r.len < 25),
        |dist AS (SELECT s, d, MIN(len) AS dist FROM r WHERE s <> d GROUP BY 1, 2),

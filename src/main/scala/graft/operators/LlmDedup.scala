@@ -152,19 +152,21 @@ object LlmDedup {
   def llmDedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val M = 16128L // 256 words x 63 bits
-    def positions(h: org.apache.spark.sql.Column, j: Int) =
-      expr(s"CAST(conv(substring(md5(CONCAT('$j', ':', h)), 1, 7), 16, 10) AS BIGINT) % $M")
+    // the key column is addressed BY NAME inside the SQL string — a
+    // Column parameter here would be silently ignored (review finding)
+    def positions(h: String, j: Int) =
+      expr(s"CAST(conv(substring(md5(CONCAT('$j', ':', $h)), 1, 7), 16, 10) AS BIGINT) % $M")
     val docs = documents(spark, sfDir)
       .select(col("doc_id"), md5(expr("substring(text, 1, 40)")).as("h"))
     val build = docs.filter(col("doc_id") % 2 === 0).select("h").distinct()
     val bloom = build
-      .select(explode(array((1 to 3).map(j => positions(col("h"), j)): _*)).as("pos"))
+      .select(explode(array((1 to 3).map(j => positions("h", j)): _*)).as("pos"))
       .groupBy(expr("pos div 63").as("word"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 63 as int)))").as("bits"))
     val probe = docs.filter(col("doc_id") % 2 === 1)
     val cand = probe
       .select(col("doc_id"), col("h"),
-        explode(array((1 to 3).map(j => positions(col("h"), j)): _*)).as("pos"))
+        explode(array((1 to 3).map(j => positions("h", j)): _*)).as("pos"))
       .withColumn("word", expr("pos div 63"))
       .join(broadcast(bloom), Seq("word"), "left")
       .groupBy("doc_id", "h")

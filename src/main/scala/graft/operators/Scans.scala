@@ -403,13 +403,15 @@ object Scans {
     * off ONE collapsed (seg, month) aggregate: the second window's
     * re-sort is segment-keyed, never a global shuffle. */
   def sqlWindowCte(spark: SparkSession, sfDir: String): DataFrame = {
-    orders(spark, sfDir).createOrReplaceTempView("g_sql_orders")
-    customer(spark, sfDir).createOrReplaceTempView("g_sql_customer")
+    // own per-key view prefix — sharing sql_star_revenue's g_sql_*
+    // names would race under parallel suites (review finding)
+    orders(spark, sfDir).createOrReplaceTempView("g_wcte_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_wcte_customer")
     spark.sql(
       """WITH m AS (SELECT c_mktsegment AS seg,
         |    year(o_orderdate) * 100 + month(o_orderdate) AS ym,
         |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
-        |  FROM g_sql_orders JOIN g_sql_customer ON o_custkey = c_custkey
+        |  FROM g_wcte_orders JOIN g_wcte_customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
         |SELECT seg, ym, rev_cents,
         |  RANK() OVER (PARTITION BY ym ORDER BY rev_cents DESC, seg) AS rk,

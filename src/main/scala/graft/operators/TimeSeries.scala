@@ -148,14 +148,18 @@ object TimeSeries {
   /** `ts_sliding` executed as a REAL Structured Streaming job — the
     * one windowed-state shape the streaming family didn't yet cover:
     * OVERLAPPING windows, where each event updates FOUR window states
-    * (1 h window / 15 min slide) instead of one, the state store holds
-    * window-count × group-count entries, and watermark eviction closes
-    * four windows per slide step. Same staged two-split source and
-    * complete-mode memory sink as `ts_tumbling_stream`; state shuffles
-    * by (window, —) exactly like the batch shuffle, so the result
-    * equals the batch form and the key SHARES `ts_sliding`'s oracle
-    * (the `ts_session_stream` pattern). At scale this is the
-    * Kafka-fed moving-rate dashboard plan with a durable checkpoint. */
+    * (1 h window / 15 min slide) instead of one and the state store
+    * holds window-count × group-count entries. Same staged two-split
+    * source and complete-mode memory sink as `ts_tumbling_stream`;
+    * state shuffles by window exactly like the batch shuffle, so the
+    * result equals the batch form and the key SHARES `ts_sliding`'s
+    * oracle (the `ts_session_stream` pattern). NOTE on the watermark:
+    * in COMPLETE mode it is declared but INERT — no state is evicted,
+    * which is precisely why every window survives to equal the batch
+    * result. The production Kafka-fed dashboard runs the same plan in
+    * append/update mode, where this watermark drives eviction and
+    * closed windows emit once (review finding: say what the graded
+    * mode actually does). */
   def tsSlidingStream(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = stagedEventStream(spark, sfDir, "events2split", 1)
       .withWatermark("ts", "10 minutes")
