@@ -98,13 +98,51 @@ object Filters {
       |       WHEN o_totalprice > 200000 THEN 'mid' ELSE 'low' END AS tier
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** EXISTS / NOT EXISTS — the predicate-subquery pair
+    * `filter_correlated` doesn't cover (that key decorrelates SCALAR
+    * subqueries into an aggregate-join): here Catalyst's
+    * RewritePredicateSubquery turns the EXISTS into a LEFT SEMI join
+    * and the NOT EXISTS into a LEFT ANTI join on the correlation key —
+    * two keyed joins instead of a per-row subquery loop, the shape
+    * that survives any scale. Routed through `spark.sql` because
+    * EXISTS is front-end surface (the `join_not_in` rationale; NOT
+    * EXISTS also side-steps NOT IN's null trap — there is no
+    * three-valued-logic hazard here, which is WHY warehouses prefer
+    * it). Semantics graded: orders with at least one >$2000 line and
+    * no returned line. */
+  def filterExists(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g_ex_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_ex_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM g_ex_orders o
+        |WHERE EXISTS (SELECT 1 FROM g_ex_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 2000)
+        |  AND NOT EXISTS (SELECT 1 FROM g_ex_lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val filterExistsOracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 2000)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_exists" -> (filterExists _),
     "filter_correlated" -> (filterCorrelated _),
     "filter_in_like_between" -> (filterInLikeBetween _),
     "filter_null_semantics" -> (filterNullSemantics _),
     "project_case_when" -> (projectCaseWhen _))
 
   val oracle: Map[String, String] = Map(
+    "filter_exists" -> filterExistsOracle,
     "filter_correlated" -> filterCorrelatedOracle,
     "filter_in_like_between" -> filterInLikeBetweenOracle,
     "filter_null_semantics" -> filterNullSemanticsOracle,

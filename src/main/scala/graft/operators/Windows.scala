@@ -75,6 +75,41 @@ object Windows {
       |ORDER BY event_id""".stripMargin
 
   /** Running revenue per customer in order-date order. */
+  /** VALUE-BASED RANGE FRAME — the one window-frame family the rest of
+    * the window keys don't touch: every other frame here is ROWS
+    * (positional); a RANGE frame is defined by the ORDER-BY VALUE, so
+    * "trailing 30 days of spend" includes however many rows fall in
+    * the value interval and ALL PEERS of the current value — the
+    * sliding-window-by-time semantics BI tools mean when they say
+    * "rolling 30-day". Ordered by exact epoch-day INTEGERS (a
+    * timestamp-typed RANGE frame would ride each engine's interval
+    * arithmetic — the `ts_seasonal_profile` portability discipline),
+    * so `RANGE BETWEEN 30 PRECEDING AND CURRENT ROW` is pure integer
+    * comparison in both engines, and same-day orders are provably
+    * peers with identical frames. One customer-keyed shuffle + sort —
+    * cost identical to the ROWS keys; exact DECIMAL cents inside. */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    orders(spark, sfDir)
+      // NTZ-safe epoch day: DATE subtraction is timezone-free (the
+      // o_orderdate column is TIMESTAMP_NTZ in the driver testdata)
+      .withColumn("d", expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("cents"),
+        sum(col("cents")).over(w).as("trailing_30d_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val winRangeFrameOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, d, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_30d_cents
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -353,6 +388,7 @@ object Windows {
     "win_rank_dense_ntile" -> (winRankDenseNtile _),
     "win_lag_lead" -> (winLagLead _),
     "win_running_sum" -> (winRunningSum _),
+    "win_range_frame" -> (winRangeFrame _),
     "win_moving_range" -> (winMovingRange _),
     "win_first_last" -> (winFirstLast _))
 
@@ -367,6 +403,7 @@ object Windows {
     "win_rank_dense_ntile" -> winRankDenseNtileOracle,
     "win_lag_lead" -> winLagLeadOracle,
     "win_running_sum" -> winRunningSumOracle,
+    "win_range_frame" -> winRangeFrameOracle,
     "win_moving_range" -> winMovingRangeOracle,
     "win_first_last" -> winFirstLastOracle)
 }

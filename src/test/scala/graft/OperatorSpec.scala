@@ -2119,6 +2119,37 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("RANGE frame: trailing-30-day sums recompute, and same-day orders are peers") {
+    val rows = run("win_range_frame").collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(1))
+    byCust.foreach { case (_, rs) =>
+      rs.foreach { r =>
+        val expect = rs.filter(x => x.getLong(2) >= r.getLong(2) - 30 &&
+          x.getLong(2) <= r.getLong(2)).map(_.getLong(3)).sum
+        assert(r.getLong(4) == expect, s"trailing sum mismatch at $r")
+      }
+      // peers: same (cust, day) rows must carry identical frames
+      rs.groupBy(_.getLong(2)).values.foreach { peers =>
+        assert(peers.map(_.getLong(4)).distinct.length == 1, "peer rows diverged")
+      }
+    }
+  }
+
+  test("EXISTS/NOT EXISTS: the retained order set recomputes from the line facts") {
+    val rows = run("filter_exists").collect()
+    assert(rows.nonEmpty)
+    val lines = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val hasBig = lines.filter(_._2 > 2000).map(_._1).toSet
+    val hasReturn = lines.filter(_._3 == "R").map(_._1).toSet
+    val expect = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .filter(k => hasBig(k) && !hasReturn(k)).sorted.toSeq
+    assert(rows.map(_.getLong(0)).toSeq == expect, "EXISTS/NOT EXISTS set mismatch")
+  }
+
   test("SQL window CTE: ranks and running totals recompute from the monthly rollup") {
     val rows = run("sql_window_cte").collect()
     assert(rows.nonEmpty)

@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), "partial (pre-shuffle) group limit missing")
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("filter_exists")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(800))
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become an anti join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("NOT IN plans a broadcast null-aware anti join, never a cartesian") {
     val p = plan("join_not_in")
     assert(p.contains("LeftAnti"), "no anti join in:\n" + p.take(800))
