@@ -256,7 +256,41 @@ object Scalars {
       |  CAST(bit_count(p_partkey) AS INT) AS b_pop
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** FUZZY MATCHING (edit distance) — the record-linkage primitive the
+    * plain string keys don't touch: for each nation name, the nearest
+    * OTHER name by Levenshtein distance, tie-broken lexicographically
+    * so the winner is total-ordered in both engines (both implement
+    * textbook unit-cost Levenshtein — codegen'd in Spark). The
+    * all-pairs join is DIMENSION-sized (25×25) and stays so at any
+    * fact scale; for fuzzy-matching a fact-sized column the quadratic
+    * form is the declared-baseline shape and the production path is
+    * blocking first — length buckets, prefix keys, or the
+    * `llm_dedup_minhash`/`near_prefix` machinery — then edit distance
+    * only within blocks (documented, the `llm_dedup_near` discipline). */
+  def strFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nation(spark, sfDir).select(col("n_nationkey").as("k"), col("n_name"))
+    val pairs = n.as("a").join(broadcast(n.as("b")), col("a.k") =!= col("b.k"))
+      .select(col("a.n_name").as("name"), col("b.n_name").as("cand"),
+        levenshtein(col("a.n_name"), col("b.n_name")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("name").orderBy("dist", "cand")
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("name"), col("cand").as("best_match"), col("dist").cast("long").as("dist"))
+      .orderBy("name")
+  }
+
+  val strFuzzyMatchOracle: String =
+    """WITH p AS (SELECT a.n_name AS name, b.n_name AS cand,
+      |    levenshtein(a.n_name, b.n_name) AS dist
+      |  FROM nation a JOIN nation b ON a.n_nationkey <> b.n_nationkey),
+      |r AS (SELECT name, cand, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY name ORDER BY dist, cand) AS rk FROM p)
+      |SELECT name, cand AS best_match, CAST(dist AS BIGINT) AS dist
+      |FROM r WHERE rk = 1 ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_fuzzy_match" -> (strFuzzyMatch _),
     "scalar_bitwise_funcs" -> (bitwiseFuncs _),
     "map_funcs" -> (mapFuncs _),
     "struct_funcs" -> (structFuncs _),
@@ -274,6 +308,7 @@ object Scalars {
     "map_funcs" -> mapFuncsOracle,
     "struct_funcs" -> structFuncsOracle,
     "str_funcs" -> strFuncsOracle,
+    "str_fuzzy_match" -> strFuzzyMatchOracle,
     "str_regexp" -> strRegexpOracle,
     "date_funcs" -> dateFuncsOracle,
     "math_funcs" -> mathFuncsOracle,

@@ -2150,6 +2150,25 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == expect, "EXISTS/NOT EXISTS set mismatch")
   }
 
+  test("fuzzy match: every nation matches its true nearest neighbor") {
+    val rows = run("str_fuzzy_match").collect()
+    assert(rows.length == 25)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = rows.map(_.getString(0))
+    rows.foreach { r =>
+      val best = names.filter(_ != r.getString(0))
+        .map(c => (lev(r.getString(0), c), c)).min
+      assert((r.getLong(2), r.getString(1)) == (best._1.toLong, best._2),
+        s"nearest-neighbor mismatch at $r")
+    }
+  }
+
   test("SQL window CTE: ranks and running totals recompute from the monthly rollup") {
     val rows = run("sql_window_cte").collect()
     assert(rows.nonEmpty)
