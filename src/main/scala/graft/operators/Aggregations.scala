@@ -934,6 +934,14 @@ object Aggregations {
     * position the two engines disagree on, so it is never used. */
   def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
+      // CONTRACT (ADVICE r9): user_id must be non-negative — guaranteed
+      // by the fixture (ids are row indexes ≥ 0). A negative id would
+      // break BOTH exactness and parity silently: Spark's shiftleft
+      // masks the shift amount to 6 bits (Java <<) while DuckDB
+      // range-checks `<<`, and `div`/`//` floor differently below zero,
+      // so word/bit assignment would disagree across engines. For a
+      // signed id space, bias first (id − min_id) or bucket by
+      // `pmod(id, 63)` with `floor(id / 63.0)` words.
       .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
       .groupBy(col("day"), expr("user_id div 63").as("word"))
       .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").as("bits"))
@@ -970,6 +978,13 @@ object Aggregations {
         sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("s2"))
       .join(broadcast(nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("n_suppliers"),
+        // DECIMAL(38,0) headroom bound (ADVICE r9): s2 ≤ tot², so the
+        // 1e6·s2 intermediate stays inside 38 digits while per-nation
+        // revenue tot < 10^16 cents (10^14 USD — far past sf100k; TPC-H
+        // total revenue is ~2.3·10^11 cents PER sf). The DuckDB mirror
+        // is HUGEINT (127 bits ≈ 1.7·10^38) with the same effective
+        // bound, so the engines saturate together, not apart. Beyond
+        // it, divide s2 by tot BEFORE the 1e6 multiply.
         expr("""CAST((1000000 * s2) div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)""")
           .as("hhi_ppm"))
       .orderBy("n_name")

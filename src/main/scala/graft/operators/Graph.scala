@@ -442,8 +442,9 @@ object Graph {
     * direction. Edges are the above-mean directed pairs (the
     * `graph_triangles` exact integer threshold, kept directional).
     * Implementation is transitive closure by ITERATIVE DOUBLING —
-    * 5 rounds of `r ∪ (r ⋈ r)` cover any path through 25 nodes
-    * (2⁵ = 32 hops) — then `scc_id = min(node ∪ mutual set)` and a
+    * ⌈log₂(n−1)⌉ node-count-derived rounds of `r ∪ (r ⋈ r)` (5 on the
+    * 25-node graph: 2⁵ = 32 hops) cover any simple path —
+    * then `scc_id = min(node ∪ mutual set)` and a
     * size rollup. Every round is an equi-join + distinct on a
     * node²-bounded pair set with the lineage cut per round
     * (`graph_components`' discipline); at a 100 TB fact volume the
@@ -467,11 +468,27 @@ object Graph {
       .localCheckpoint(true)
   }
 
+  /** Doubling rounds sized from the ACTUAL node universe of the edge
+    * set, not a hard-coded constant: after R rounds the closure covers
+    * paths of 2^R edges, and the longest simple path is n−1 edges, so
+    * R = ⌈log₂(n−1)⌉ saturates for any n. Derived (one tiny count on
+    * the checkpointed node-bounded edges) so a change in edge
+    * granularity can never silently truncate the Spark closure while
+    * the oracle's recursive CTE saturates fully (ADVICE r9). On the
+    * 25-node nation graph this yields the original 5 rounds. */
+  private def doublingRounds(de: DataFrame): Int = {
+    val n = de.select(col("s")).union(de.select(col("d"))).distinct().count()
+    var (r, cover) = (1, 2L)
+    while (cover < n - 1) { cover *= 2; r += 1 }
+    r
+  }
+
   private[graft] def sccLabelsAndEdges(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val de = thresholdedEdges(spark, sfDir)
+    val rounds = doublingRounds(de)
     var r = de
-    for (i <- 1 to 5) {
+    for (i <- 1 to rounds) {
       r = r.union(
           r.as("a").join(r.as("b"), col("a.d") === col("b.s"))
             .select(col("a.s").as("s"), col("b.d").as("d")))
@@ -480,7 +497,7 @@ object Graph {
       // round — but an EAGER checkpoint per round costs one scheduled
       // job each on a ≤nodes² pair set. Cut every OTHER round (plan
       // fan-out bounded at 4 leaves) and pay half the scheduling tax.
-      if (i % 2 == 0 || i == 5) r = r.localCheckpoint(true)
+      if (i % 2 == 0 || i == rounds) r = r.localCheckpoint(true)
     }
     val mutual = r.as("f").join(r.as("g"),
         col("f.s") === col("g.d") && col("f.d") === col("g.s"))
@@ -597,8 +614,8 @@ object Graph {
 
   /** CLOSENESS CENTRALITY — "which nation reaches the rest of the
     * trade network fastest": min-hop distances on the thresholded
-    * directed graph by MIN-PLUS ITERATIVE DOUBLING (5 rounds of
-    * `min(dist, dist⊕dist)` cover 2⁵-hop paths; the `graph_scc`
+    * directed graph by MIN-PLUS ITERATIVE DOUBLING (node-count-derived
+    * rounds of `min(dist, dist⊕dist)`; the `graph_scc`
     * closure with lengths carried), then per source the reachable
     * count, distance sum, and the exact-ppm closeness ratio
     * `1e6·n_reach div Σdist` — integer end to end, no float
@@ -612,14 +629,17 @@ object Graph {
     * graded). */
   def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
     val de = thresholdedEdges(spark, sfDir)
+    // round count derived from the node universe, same as the SCC
+    // closure — see [[doublingRounds]] (ADVICE r9)
+    val rounds = doublingRounds(de)
     var dist = de.withColumn("dist", lit(1L))
-    for (i <- 1 to 5) {
+    for (i <- 1 to rounds) {
       dist = dist.union(
           dist.as("a").join(dist.as("b"), col("a.d") === col("b.s"))
             .select(col("a.s").as("s"), col("b.d").as("d"),
               (col("a.dist") + col("b.dist")).as("dist")))
         .groupBy("s", "d").agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 || i == 5) dist = dist.localCheckpoint(true)
+      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
     }
     val agg = dist.filter(col("s") =!= col("d"))
       .groupBy(col("s").as("node"))
