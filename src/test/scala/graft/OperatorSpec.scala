@@ -99,18 +99,52 @@ class OperatorSpec extends SparkSpec {
     assert(total == 4 * graft.sources.Tables.events(spark, sf).count())
   }
 
-  test("multimodal frame hashes match direct md5 of the text chunk") {
+  test("multimodal frame hashes match an independent digest-chain recompute") {
+    // Recompute every expected frame hash from documents.text with
+    // plain JVM string/MessageDigest code — no payloadExpr, no
+    // MediaCodecStub, no binary column: a 64-byte payload frame is the
+    // concatenated md5 digests of text chunks 4i..4i+3, so its hex is
+    // those four digest strings and the frame hash is md5 of that.
+    import spark.implicits._
     val frames = run("mm_frame_sample")
-    val docs = graft.sources.Tables.documents(spark, sf)
-    val expected = docs
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, cast(length(text) div 64 as int) - 1), i -> struct(i as frame_idx, md5(cast(substring(text, i * 64 + 1, 64) as binary)) as h))"))
-        .as("f"))
-      .select(col("doc_id"), col("f.frame_idx"), col("f.h"))
-      .filter(col("frame_idx") % 4 === 0)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val blocks = math.max(1, (text.length + 31) / 32)
+        (0 until blocks / 4).filter(_ % 4 == 0).map { i =>
+          val hx = (0 until 4)
+            .map(k => md5hex(text.slice((4 * i + k) * 32, (4 * i + k) * 32 + 32)))
+            .mkString
+          (id, i, md5hex(hx))
+        }
+      }.toDF("doc_id", "frame_idx", "h")
     val joined = frames.join(expected, Seq("doc_id", "frame_idx"))
-    assert(joined.count() == frames.count())
+    assert(joined.count() == frames.count() && frames.count() == expected.count())
     assert(joined.filter(col("frame_md5") =!= col("h")).count() == 0)
+  }
+
+  test("media payload is a real parquet BINARY column full of non-ASCII bytes") {
+    // the staged media table must carry BinaryType all the way from the
+    // parquet file (not a cast alias of the text column)
+    val media = graft.operators.Multimodal.mediaIn(spark, sf)
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // byte-level audit: every doc contains bytes >= 0x80 and the corpus
+    // covers the full byte range — the r9 ASCII-only parity assumption
+    // is structurally impossible to reintroduce unnoticed
+    val stats = run("mm_payload_stats").collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.getAs[Long]("ascii_only_docs") == 0L),
+      "a payload with no high bytes means the fixture degraded to ASCII")
+    assert(stats.map(_.getAs[Int]("min_byte")).min == 0 &&
+      stats.map(_.getAs[Int]("max_byte")).max == 255,
+      "payload bytes must cover the full 0x00-0xFF range")
+    val (high, total) = (stats.map(_.getAs[Long]("high_bytes")).sum,
+      stats.map(_.getAs[Long]("sum_bytes")).sum)
+    assert(high * 10 > total * 4 && high * 10 < total * 6,
+      s"digest bytes should be ~uniform: $high of $total high")
   }
 
   test("event-analytics invariants: funnel, retention, and transitions tie out") {
@@ -725,6 +759,18 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0,
       "append-mode stream diverged from the batch window aggregate")
     assert(streamed.count() > 0, "no window ever closed — watermark never advanced")
+  }
+
+  test("append-mode sliding stream: exactly-once emission per closed window") {
+    val s = run("ts_sliding_stream_append")
+    // append mode emits a window only at eviction — a window appearing
+    // twice would mean state was emitted before close AND at close
+    assert(s.groupBy("ws").count().filter(col("count") > 1).count() == 0,
+      "a sliding window was emitted more than once")
+    val batch = run("ts_sliding")
+    assert(s.count() > 0, "no sliding window ever closed")
+    assert(s.exceptAll(batch).count() == 0 && batch.exceptAll(s).count() == 0,
+      "append-mode sliding stream diverged from the batch sliding aggregate")
   }
 
   test("stream-static join equals the batch join") {

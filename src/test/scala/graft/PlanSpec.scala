@@ -220,6 +220,24 @@ class PlanSpec extends SparkSpec {
       "decorrelation should produce an aggregate join")
   }
 
+  test("Q2-shape correlated MIN under a join tree decorrelates fully") {
+    // the two-level stress: the subquery body is itself a 4-table join
+    // correlated on the outer part key — after optimization it must be
+    // an aggregate joined back on p_partkey, with no per-row subquery
+    // and no Cartesian anywhere in the plan
+    val qe = run("filter_q2_min_cost").queryExecution
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val survivors = qe.optimizedPlan.expressions.flatMap(_.collect {
+      case s: ScalarSubquery => s
+    })
+    assert(survivors.isEmpty,
+      "the Q2 correlated MIN subquery survived optimization")
+    val p = plan("filter_q2_min_cost")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the dims should broadcast into both lineitem scans
+    assert(p.contains("BroadcastHashJoin"), "dim chain not broadcast:\n" + p.take(800))
+  }
+
   test("DAU/WAU trailing windows plan as equi joins — the range join is gone") {
     // the whole point of the offset-explode formulation: a naive
     // day BETWEEN d-6 AND d formulation would be a BroadcastNestedLoopJoin
@@ -261,5 +279,55 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty, s"$k plans an unpartitioned Window (single task at scale)")
     }
+  }
+
+  test("GraftExtensions is load-bearing: band join plans a hash join only with it") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    // the naive trailing-window shape a user writes naturally — no equi
+    // key, so stock Spark can only nested-loop it
+    def bandJoin(s: SparkSession) = {
+      val ev = graft.sources.Tables.events(s, sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+      p.join(c, col("c_us") >= col("p_us") - 600000000L && col("c_us") < col("p_us"))
+        .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("p_id")
+    }
+    val plain = bandJoin(spark)
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("BroadcastNestedLoopJoin") ||
+      plainPlan.contains("CartesianProduct"),
+      "fixture query no longer nested-loops without the rule:\n" + plainPlan.take(600))
+    // a second session on the SAME SparkContext with the extension
+    // installed; default/active restored immediately after creation so
+    // concurrently running suites never observe the swap
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val ext =
+      try SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    val rewritten = bandJoin(ext)
+    val extPlan = rewritten.queryExecution.executedPlan.toString
+    assert(!extPlan.contains("BroadcastNestedLoopJoin") &&
+      !extPlan.contains("CartesianProduct"),
+      "BandJoinBucketing did not remove the nested loop:\n" + extPlan.take(1200))
+    assert(extPlan.contains("SortMergeJoin") || extPlan.contains("ShuffledHashJoin") ||
+      extPlan.contains("BroadcastHashJoin"),
+      "no equi join after the band rewrite:\n" + extPlan.take(1200))
+    // the rewrite is a pure plan upgrade: byte-identical result
+    val a = plain.collect().map(_.toSeq)
+    val b = rewritten.collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "band rewrite changed the join result")
   }
 }
