@@ -392,6 +392,83 @@ object Scans {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** TPC-H Q3 SHAPE (shipping priority, r10) — the canonical
+    * "unshipped high-value orders" report through `spark.sql`: a
+    * segment-filtered customer⋈orders⋈lineitem join with OPPOSING date
+    * predicates (orders placed before the cutoff, lines shipped after
+    * it), grouped per order, top-10 by revenue. What it grades beyond
+    * the existing SQL keys: a selective dim filter that must push into
+    * the fact join, the house exact-decimal revenue expression running
+    * IDENTICALLY as SQL text on both engines, and a deterministic
+    * top-k (revenue DESC, orderkey tiebreak — a total order, so LIMIT
+    * 10 picks the same rows everywhere) that Spark plans as
+    * TakeOrderedAndProject, never a global sort. Shape at 100 TB:
+    * customer broadcasts, orders⋈lineitem shuffles once on the order
+    * key, the top-k is per-partition heads merged on the driver. */
+  def sqlQ3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_q3_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_q3_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q3_lineitem")
+    spark.sql(sqlQ3Text("g_q3_customer", "g_q3_orders", "g_q3_lineitem"))
+  }
+
+  private def sqlQ3Text(cust: String, ord: String, li: String): String =
+    s"""SELECT l_orderkey,
+       |  CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue,
+       |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+       |FROM $cust
+       |JOIN $ord ON c_custkey = o_custkey
+       |JOIN $li ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  val sqlQ3ShippingPriorityOracle: String =
+    sqlQ3Text("customer", "orders", "lineitem")
+
+  /** TPC-H Q5 SHAPE (local supplier volume, r10) — the six-table join
+    * whose signature is the CYCLE in the join graph: lineitem joins
+    * supplier on the part's supplier key AND `s_nationkey =
+    * c_nationkey`, closing customer→orders→lineitem→supplier back onto
+    * the customer's nation — revenue counted only when customer and
+    * supplier are compatriots. That cycle is the classic join-order
+    * stress (the planner must not materialize the acyclic relaxation),
+    * and the region filter must prune nation before the fact tables
+    * join. Same SQL text on both engines, exact-decimal revenue,
+    * nation-sized output. Shape at 100 TB: region/nation/customer/
+    * supplier all broadcast, the single fact⋈fact shuffle is
+    * orders⋈lineitem on the order key. */
+  def sqlQ5LocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_q5_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_q5_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q5_lineitem")
+    supplier(spark, sfDir).createOrReplaceTempView("g_q5_supplier")
+    nation(spark, sfDir).createOrReplaceTempView("g_q5_nation")
+    region(spark, sfDir).createOrReplaceTempView("g_q5_region")
+    spark.sql(sqlQ5Text("g_q5_customer", "g_q5_orders", "g_q5_lineitem",
+      "g_q5_supplier", "g_q5_nation", "g_q5_region"))
+  }
+
+  private def sqlQ5Text(cust: String, ord: String, li: String,
+      supp: String, nat: String, reg: String): String =
+    s"""SELECT n_name,
+       |  CAST(ROUND(SUM($revenueSqlFrag), 2) AS DOUBLE) AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM $cust
+       |JOIN $ord ON c_custkey = o_custkey
+       |JOIN $li ON l_orderkey = o_orderkey
+       |JOIN $supp ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN $nat ON c_nationkey = n_nationkey
+       |JOIN $reg ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  val sqlQ5LocalVolumeOracle: String =
+    sqlQ5Text("customer", "orders", "lineitem", "supplier", "nation", "region")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -435,6 +512,8 @@ object Scans {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_window_cte" -> (sqlWindowCte _),
     "sql_star_revenue" -> (sqlStarRevenue _),
+    "sql_q3_shipping_priority" -> (sqlQ3ShippingPriority _),
+    "sql_q5_local_volume" -> (sqlQ5LocalVolume _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
     "scan_partition_pruning" -> (scanPartitionPruning _),
@@ -450,6 +529,8 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "sql_window_cte" -> sqlWindowCteOracle,
     "sql_star_revenue" -> sqlStarRevenueOracle,
+    "sql_q3_shipping_priority" -> sqlQ3ShippingPriorityOracle,
+    "sql_q5_local_volume" -> sqlQ5LocalVolumeOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,
     "scan_partition_pruning" -> scanPartitionPruningOracle,

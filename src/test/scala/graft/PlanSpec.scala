@@ -281,6 +281,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q3 top-k avoids a global sort; Q5's cyclic join broadcasts its dims") {
+    val p3 = plan("sql_q3_shipping_priority")
+    assert(p3.contains("TakeOrderedAndProject"),
+      "Q3's LIMIT 10 fell back to a global sort:\n" + p3.take(800))
+    val p5 = plan("sql_q5_local_volume")
+    assert(p5.contains("BroadcastHashJoin"), "Q5 dims not broadcast:\n" + p5.take(800))
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("GraftExtensions is load-bearing: band join plans a hash join only with it") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
