@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -739,7 +740,68 @@ object Graph {
        |       ELSE 0 END AS closeness_ppm
        |FROM nation LEFT JOIN agg ON n_nationkey = agg.node ORDER BY node""".stripMargin
 
+  /** LABEL-PROPAGATION COMMUNITIES (r10) — the near-linear community
+    * detector (Raghavan et al.) made fully deterministic so both
+    * engines compute the identical partition: on the UNDIRECTED
+    * above-mean trade graph, every node starts as its own label and,
+    * for exactly 4 SYNCHRONOUS rounds, adopts the label most frequent
+    * among its neighbors — count DESC, then smallest label, a total
+    * order (classic LPA randomizes both the visit order and the tie
+    * coin; determinism here costs nothing and buys an exact oracle).
+    * Fixed rounds rather than convergence: sync LPA can oscillate, so
+    * a data-dependent stopping rule would grade nondeterminism — 4
+    * rounds is past where the 25-node fixture stabilizes. Per round:
+    * one neighbor-keyed equi-join + a (node, label) count + an argmax
+    * window — label-keyed shuffles only, the same shape GraphFrames'
+    * LPA runs at billion-edge scale. Output adds the community size
+    * (broadcast-joinable rollup). */
+  def graphCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val de = thresholdedEdges(spark, sfDir)
+    val und = de.union(de.select(col("d").as("s"), col("s").as("d")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy("node").orderBy(col("n").desc, col("label").asc)
+    for (i <- 1 to 4) {
+      labels = und.join(labels.withColumnRenamed("node", "d"), Seq("d"))
+        .groupBy(col("s").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+      if (i % 2 == 0) labels = labels.localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("comm_size"))
+    labels.select(col("node"), col("label").as("community"))
+      .join(broadcast(sizes), Seq("community"))
+      .select("node", "community", "comm_size")
+      .orderBy("node")
+  }
+
+  val graphCommunitiesOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT u.s AS node, l.label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM und u JOIN l${i - 1} l ON u.d = l.node GROUP BY u.s, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label, ROW_NUMBER() OVER (
+         |      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |$thresholdedEdgesSql,
+       |und AS (SELECT s, d FROM de UNION SELECT d, s FROM de),
+       |l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+       |$rounds,
+       |sz AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS comm_size
+       |       FROM l4 GROUP BY label)
+       |SELECT node, label AS community, comm_size
+       |FROM l4 JOIN sz ON l4.label = sz.community
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_communities" -> (graphCommunities _),
     "graph_scc" -> (graphScc _),
     "graph_condensation" -> (graphCondensation _),
     "graph_closeness" -> (graphCloseness _),
@@ -752,6 +814,7 @@ object Graph {
     "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
+    "graph_communities" -> graphCommunitiesOracle,
     "graph_scc" -> graphSccOracle,
     "graph_condensation" -> graphCondensationOracle,
     "graph_closeness" -> graphClosenessOracle,

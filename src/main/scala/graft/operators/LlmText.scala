@@ -1360,7 +1360,51 @@ object LlmText {
       |SELECT doc_id, term, tf, score, rnk FROM s WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** FEATURE-HASHING EMBEDDING (r10) — the hashing trick (Weinberger
+    * et al.; Vowpal Wabbit's representation): a doc embeds into a
+    * fixed 16-dim vector with NO vocabulary, NO training, and NO
+    * global state — each token hashes to a dimension (md5 → dim =
+    * h mod 16) and contributes ±1 (the sign bit, h div 16 mod 2,
+    * keeps hash collisions unbiased in expectation — the part naive
+    * bag-of-hashed-words gets wrong). Everything is EXACT integer
+    * arithmetic (component = signed token count), so the oracle is
+    * exact and the output is engine-portable with no float rounding
+    * at all. Output is the dense (doc_id, dim, feat) long grid —
+    * zero components included via a doc×16 scaffold, proving shape,
+    * not just the non-zero support. At 100 TB: one token explode +
+    * one (doc, dim)-keyed sum — no vocabulary table to build, join,
+    * or ship, which is exactly why the trick survives streaming and
+    * hundred-billion-token corpora. */
+  def llmFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)").as("h"))
+      .select(col("doc_id"), expr("CAST(h % 16 AS INT)").as("dim"),
+        expr("CASE WHEN (h div 16) % 2 = 0 THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("feat"))
+    documents(spark, sfDir).select(col("doc_id"))
+      .crossJoin(spark.range(0, 16).select(col("id").cast("int").as("dim")))
+      .join(toks, Seq("doc_id", "dim"), "left")
+      .na.fill(0L, Seq("feat"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val llmFeatureHashOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)),
+      |f AS (
+      |  SELECT doc_id, CAST(h % 16 AS INT) AS dim,
+      |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+      |  FROM tok GROUP BY doc_id, CAST(h % 16 AS INT))
+      |SELECT d.doc_id AS doc_id, CAST(g.dim AS INT) AS dim, COALESCE(f.feat, 0) AS feat
+      |FROM documents d CROSS JOIN range(0, 16) g(dim)
+      |LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = g.dim
+      |ORDER BY d.doc_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_feature_hash" -> (llmFeatureHash _),
     "llm_keywords" -> (llmKeywords _),
     "llm_cms_heavy_hitters" -> (llmCmsHeavyHitters _),
     "llm_quality_ensemble" -> (llmQualityEnsemble _),
@@ -1394,6 +1438,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_feature_hash" -> llmFeatureHashOracle,
     "llm_keywords" -> llmKeywordsOracle,
     "llm_cms_heavy_hitters" -> llmCmsHeavyHittersOracle,
     "llm_quality_ensemble" -> llmQualityEnsembleOracle,

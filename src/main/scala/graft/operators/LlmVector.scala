@@ -545,6 +545,237 @@ object LlmVector {
        |    FROM qp q JOIN e c ON q.cell = c.cell AND c.vec_id != q.vec_id))
        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
+  /** PRODUCT QUANTIZATION (r10) — the second half of the FAISS serving
+    * pair (IVF prunes candidates; PQ compresses the DISTANCE
+    * arithmetic): each 64-dim embedding splits into 4 sub-vectors of
+    * 16 dims, each sub-vector k-means-quantizes to one of 16 codewords,
+    * so a vector stores as 4 small codes and distance against a query
+    * needs only a per-query 4×16 LOOKUP TABLE of sub-distances — the
+    * asymmetric distance computation (ADC): ‖q − recon(x)‖² =
+    * Σ_sub dist²(q_sub, codeword(x, sub)). The codebook trains with
+    * the IVF key's deterministic Lloyd recipe (smallest-vec_id init,
+    * fixed iterations, r6-stabilized sums, c_id tie-break) run for all
+    * subspaces in ONE DataFrame pass — the subspace is just a grouping
+    * column. At 100 TB: the codebook is m·k·(64/m) doubles on the
+    * driver, the query distance tables broadcast, and scoring the
+    * corpus is one scan of the CODES table (4 small ints per vector —
+    * a ~64× storage cut vs float32) + a (sub, code)-keyed broadcast
+    * join; no full vector moves at query time. `llm_ann_pq_recall`
+    * measures what the compression costs against the exact L2 top-3. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 3
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+
+  /** Exploded per-subspace corpus + the trained (sub, c_id, pos, c)
+    * codebook, memoized per (process, sfDir) like [[kmeansState]]. */
+  private def pqState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .withColumn("sub", expr(s"pos div ${64 / PqM}"))
+      .localCheckpoint()
+    val (rows, schema) = pqCache.getOrElseUpdate(sfDir, {
+      var cent = ex.filter(col("vec_id") < PqK)
+        .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
+          r6(col("v")).as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to PqIters) {
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("dist2").asc, col("c_id").asc)
+        val assign = pqDists(ex, cent)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "sub", "c_id")
+        cent = ex.join(assign, Seq("vec_id", "sub"))
+          .groupBy("sub", "c_id", "pos")
+          .agg(r6(avg(col("v"))).as("c"))
+          .localCheckpoint() // m×k×(64/m) rows: cuts the unrolled plan
+      }
+      (cent.collect(), cent.schema)
+    })
+    (ex, spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+  }
+
+  /** Every (vector, subspace, codeword) squared distance — the single
+    * frame both the storage CODES (argmin per (vec, sub)) and the query
+    * DISTANCE TABLES (rows with vec_id < 30) are read from, exactly as
+    * the oracle's pd_codes CTE feeds pcodes and qdt. */
+  private def pqDists(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "c_id")
+      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+
+  /** Every query×doc ADC distance — the frame the top-3 key, the
+    * rerank shortlist, and the recall grades all read (the oracle's
+    * adc CTE). */
+  private def pqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ex, cent) = pqState(spark, sfDir)
+    val dists = pqDists(ex, cent).localCheckpoint()
+    val wCode = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist2").asc, col("c_id").asc)
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "c_id")
+    val qdt = dists.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("sub"), col("c_id"), col("dist2"))
+    codes.join(broadcast(qdt), Seq("sub", "c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(r6(sum(col("dist2"))).as("adc_dist2"))
+  }
+
+  def llmAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    pqAdc(spark, sfDir)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("q_id", "neighbor_id", "adc_dist2", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** The per-subspace Lloyd chain + codes/distance-table/ADC CTEs —
+    * shared by the pq and pq_recall oracles (the [[ivfOracleProlog]]
+    * discipline: one definition, no drift). */
+  private lazy val pqOracleProlog: String = {
+    val iterCtes = (1 to PqIters).map { i =>
+      s"""pd$i AS (
+         |  SELECT ex.vec_id, ex.sub, c.c_id, ROUND(SUM((ex.v - c.c) * (ex.v - c.c)), 6) AS dist2
+         |  FROM pq_ex ex JOIN pcent${i - 1} c ON ex.sub = c.sub AND ex.pos = c.pos
+         |  GROUP BY ex.vec_id, ex.sub, c.c_id),
+         |pa$i AS (
+         |  SELECT vec_id, sub, c_id FROM (
+         |    SELECT vec_id, sub, c_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist2 ASC, c_id ASC) AS rn
+         |    FROM pd$i) WHERE rn = 1),
+         |pcent$i AS (
+         |  SELECT a.c_id, ex.sub, ex.pos, ROUND(AVG(ex.v), 6) AS c
+         |  FROM pq_ex ex JOIN pa$i a ON ex.vec_id = a.vec_id AND ex.sub = a.sub
+         |  GROUP BY a.c_id, ex.sub, ex.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""pq_ex AS (
+       |  SELECT vec_id, pos, pos // ${64 / PqM} AS sub,
+       |    CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+       |pcent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c_id, sub, pos, ROUND(v, 6) AS c
+       |  FROM pq_ex WHERE vec_id < $PqK),
+       |$iterCtes,
+       |pd_codes AS (
+       |  SELECT ex.vec_id, ex.sub, c.c_id, ROUND(SUM((ex.v - c.c) * (ex.v - c.c)), 6) AS dist2
+       |  FROM pq_ex ex JOIN pcent$PqIters c ON ex.sub = c.sub AND ex.pos = c.pos
+       |  GROUP BY ex.vec_id, ex.sub, c.c_id),
+       |pcodes AS (
+       |  SELECT vec_id, sub, c_id FROM (
+       |    SELECT vec_id, sub, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY dist2 ASC, c_id ASC) AS rn
+       |    FROM pd_codes) WHERE rn = 1),
+       |qdt AS (SELECT vec_id AS q_id, sub, c_id, dist2 FROM pd_codes WHERE vec_id < 30),
+       |adc AS (
+       |  SELECT q.q_id, x.vec_id AS neighbor_id, ROUND(SUM(q.dist2), 6) AS adc_dist2
+       |  FROM pcodes x JOIN qdt q ON q.sub = x.sub AND q.c_id = x.c_id
+       |  WHERE x.vec_id != q.q_id GROUP BY q.q_id, x.vec_id),
+       |pq3 AS (
+       |  SELECT q_id, neighbor_id, adc_dist2, rn FROM (
+       |    SELECT q_id, neighbor_id, adc_dist2, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM adc) WHERE rn <= 3)""".stripMargin
+  }
+
+  val llmAnnPqOracle: String =
+    s"""WITH $pqOracleProlog
+       |SELECT q_id, neighbor_id, adc_dist2, rn FROM pq3 ORDER BY q_id, rn""".stripMargin
+
+  /** PQ RECALL vs the exact L2 top-3 (the metric PQ approximates —
+    * unlike the IVF keys, which rank candidates by true cosine and use
+    * the index only for pruning, PQ's RANKING itself is approximate,
+    * so the honest baseline is exact L2, not cosine). Two graded
+    * operating points, the FAISS `IVFPQ + refine` story in data:
+    *   - `pq_adc`: raw ADC top-3 — cheap but lossy, and the fixture is
+    *     PQ's WORST case (near-uniform random embeddings have no
+    *     cluster structure for codewords to exploit), so this number
+    *     is honestly low;
+    *   - `pq_adc_rerank20`: ADC shortlists the top-20, exact L2 reranks
+    *     only those — the production serving shape: full vectors are
+    *     touched for 20 candidates instead of the whole corpus, and
+    *     recall recovers whatever the shortlist retained.
+    * Measured, not asserted: hits/possible/ppm per method, the
+    * `llm_ann_recall` report shape. */
+  def llmAnnPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ex, _) = pqState(spark, sfDir)
+    val q = ex.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
+    def l2Top(pairsIn: DataFrame, k: Int): DataFrame = {
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      pairsIn
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+        .select("q_id", "neighbor_id")
+    }
+    val allL2 = q.join(ex.withColumnRenamed("vec_id", "neighbor_id"), Seq("pos"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(r6(sum((col("qv") - col("v")) * (col("qv") - col("v")))).as("d2"))
+      .localCheckpoint()
+    val exact = l2Top(allL2, 3).localCheckpoint()
+    val adc = pqAdc(spark, sfDir).localCheckpoint()
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    val raw3 = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 3).select("q_id", "neighbor_id")
+    val short20 = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 20).select("q_id", "neighbor_id")
+    val rerank3 = l2Top(allL2.join(short20, Seq("q_id", "neighbor_id"), "left_semi"), 3)
+    val approx = raw3.withColumn("method", lit("pq_adc"))
+      .unionByName(rerank3.withColumn("method", lit("pq_adc_rerank20")))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    import spark.implicits._
+    Seq("pq_adc", "pq_adc_rerank20").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("possible")))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div possible"))
+      .orderBy("method")
+  }
+
+  val llmAnnPqRecallOracle: String =
+    s"""WITH $pqOracleProlog,
+       |pl2_c AS (
+       |  SELECT qe.vec_id AS q_id, ex.vec_id AS neighbor_id,
+       |    ROUND(SUM((qe.v - ex.v) * (qe.v - ex.v)), 6) AS d2
+       |  FROM pq_ex qe JOIN pq_ex ex ON qe.pos = ex.pos AND ex.vec_id != qe.vec_id
+       |  WHERE qe.vec_id < 30 GROUP BY qe.vec_id, ex.vec_id),
+       |pexact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM pl2_c) WHERE rn <= 3),
+       |pshort AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM adc) WHERE rn <= 20),
+       |prerank AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY c.q_id ORDER BY c.d2 ASC, c.neighbor_id ASC) AS rn
+       |    FROM pl2_c c JOIN pshort s USING (q_id, neighbor_id)) WHERE rn <= 3),
+       |h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |       FROM pq3 JOIN pexact USING (q_id, neighbor_id)),
+       |h2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |       FROM prerank JOIN pexact USING (q_id, neighbor_id)),
+       |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM pexact)
+       |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
+       |FROM (SELECT 'pq_adc' AS method, hits FROM h1
+       |      UNION ALL SELECT 'pq_adc_rerank20', hits FROM h2), poss
+       |ORDER BY method""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction for serving/storing a 100 TB embedding corpus
     * (scale = max|x|/127 per vector, q = round-half-up(x/scale)).
@@ -872,6 +1103,8 @@ object LlmVector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_pq" -> (llmAnnPq _),
+    "llm_ann_pq_recall" -> (llmAnnPqRecall _),
     "llm_knn_graph" -> (llmKnnGraph _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
@@ -887,6 +1120,8 @@ object LlmVector {
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
+    "llm_ann_pq" -> llmAnnPqOracle,
+    "llm_ann_pq_recall" -> llmAnnPqRecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,

@@ -125,6 +125,55 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter(col("frame_md5") =!= col("h")).count() == 0)
   }
 
+  test("PQ: rerank never loses to raw ADC, and the top-3 is ADC-consistent") {
+    val rec = run("llm_ann_pq_recall").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val (rawHits, rawPpm) = rec("pq_adc")
+    val (rrHits, rrPpm) = rec("pq_adc_rerank20")
+    // exact rerank of a superset shortlist can only help
+    assert(rrHits >= rawHits && rrPpm >= rawPpm,
+      s"rerank recall $rrPpm ppm fell below raw ADC $rawPpm ppm")
+    assert(rrPpm > 0, "rerank found nothing — shortlist or codebook broken")
+    val pq = run("llm_ann_pq")
+    // exactly 3 ranked rows per query, distances nonnegative and
+    // nondecreasing in rank
+    val perQ = pq.groupBy("q_id").agg(count(lit(1)).as("n"),
+      min(col("adc_dist2")).as("mn"))
+    assert(perQ.filter(col("n") =!= 3).count() == 0)
+    assert(pq.filter(col("adc_dist2") < 0).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rn")
+    assert(pq.withColumn("prev", lag(col("adc_dist2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("adc_dist2"))
+      .count() == 0, "ADC distance decreased with increasing rank")
+  }
+
+  test("label-propagation communities partition the node set") {
+    val c = run("graph_communities").collect()
+    assert(c.map(_.getLong(0)).distinct.length == c.length,
+      "a node carries two community labels")
+    // community sizes are consistent with the actual label multiplicity
+    val byComm = c.groupBy(_.getLong(1)).map { case (_, rows) => rows }
+    byComm.foreach { rows =>
+      assert(rows.forall(_.getLong(2) == rows.length),
+        "comm_size disagrees with the community's member count")
+    }
+    assert(c.map(_.getLong(2)).sum.toInt >= c.length, "sizes undercount")
+  }
+
+  test("feature hashing: dense 16-dim grid, mass bounded by token count") {
+    val f = run("llm_feature_hash")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(f.count() == docs.count() * 16, "grid is not docs x 16")
+    val mass = f.groupBy("doc_id").agg(sum(abs(col("feat"))).as("mass"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // signed collisions can cancel but never exceed the token count
+    assert(mass.join(toks, Seq("doc_id"))
+      .filter(col("mass") > col("n_tok")).count() == 0)
+    assert(f.filter(col("feat") =!= 0).count() > 0, "all features zero")
+  }
+
   test("media payload is a real parquet BINARY column full of non-ASCII bytes") {
     // the staged media table must carry BinaryType all the way from the
     // parquet file (not a cast alias of the text column)

@@ -281,6 +281,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ serving scans codes against a broadcast distance table") {
+    val p = plan("llm_ann_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query distance tables are not broadcast:\n" + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("Q3 top-k avoids a global sort; Q5's cyclic join broadcasts its dims") {
     val p3 = plan("sql_q3_shipping_priority")
     assert(p3.contains("TakeOrderedAndProject"),
