@@ -1050,7 +1050,84 @@ object Aggregations {
       |  CAST((1000000 * CAST(top_r AS HUGEINT)) // tot AS BIGINT) AS top_share_ppm
       |FROM tot JOIN top ON tot.seg = top.seg ORDER BY tot.seg""".stripMargin
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV SCREEN (r10) — the distribution-
+    * shift detector the moment-based screens (`agg_chi_square` on
+    * category counts, `agg_gini`/`agg_hhi` on concentration) cannot
+    * replace: per customer nation, the KS statistic between the order-
+    * value distributions of the BUILDING and MACHINERY segments —
+    * D = max over the merged value grid of |F₁(v) − F₂(v)|, the thing
+    * an ML-ops pipeline runs between yesterday's and today's feature
+    * distributions. EXACT integer arithmetic end to end: values are
+    * cents, both ECDFs are cumulative counts over the per-(nation,
+    * value) collapsed grid, and the sup-difference compares
+    * CROSS-MULTIPLIED integers |i·n₂ − j·n₁| (never a float fraction),
+    * reported as exact-ppm `(1e6·D) div (n₁·n₂)` on DECIMAL(38,0)/
+    * HUGEINT intermediates (1e6·n₁·n₂ passes BIGINT near sf3 — the
+    * `agg_hhi` headroom lesson applied at authoring time). Scale
+    * shape: one broadcast-dim join, one (nation, value) collapse
+    * (map-side combinable), and nation-PARTITIONED windows — no
+    * global window, no unpartitioned cumsum (the PlanSpec whole-
+    * surface rule), and the merged grid shuffles once by nation. */
+  def aggKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey").as("nk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is1"))
+    val grid = rows.groupBy("nk", "cents")
+      .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+    val w = Window.partitionBy("nk").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = grid.groupBy("nk")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val sup = grid
+      .withColumn("i", sum(col("c1")).over(w))
+      .withColumn("j", sum(col("c2")).over(w))
+      .join(totals, Seq("nk"))
+      .groupBy("nk")
+      .agg(max(abs(col("i") * col("n2") - col("j") * col("n1"))).as("d_num"),
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+    sup
+      .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n1"), col("n2"), col("d_num"),
+        expr("""CASE WHEN n1 * n2 > 0
+                THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num)
+                     div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)
+                ELSE 0 END""").as("ks_ppm"))
+      .orderBy("n_name")
+  }
+
+  val aggKsTestOracle: String =
+    """WITH r AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |g AS (SELECT nk, cents, CAST(SUM(is1) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - is1) AS BIGINT) AS c2
+      |  FROM r GROUP BY nk, cents),
+      |cum AS (SELECT nk, cents,
+      |    SUM(c1) OVER (PARTITION BY nk ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+      |    SUM(c2) OVER (PARTITION BY nk ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+      |  FROM g),
+      |tot AS (SELECT nk, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM g GROUP BY nk),
+      |sup AS (SELECT cum.nk,
+      |    CAST(MAX(ABS(cum.i * tot.n2 - cum.j * tot.n1)) AS BIGINT) AS d_num,
+      |    CAST(MAX(tot.n1) AS BIGINT) AS n1, CAST(MAX(tot.n2) AS BIGINT) AS n2
+      |  FROM cum JOIN tot ON cum.nk = tot.nk GROUP BY cum.nk)
+      |SELECT n_name, n1, n2, d_num,
+      |  CASE WHEN n1 * n2 > 0
+      |       THEN CAST((1000000::HUGEINT * d_num) // (n1::HUGEINT * n2) AS BIGINT)
+      |       ELSE 0 END AS ks_ppm
+      |FROM sup JOIN nation ON nk = n_nationkey ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ks_test" -> (aggKsTest _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_hhi" -> (aggHhi _),
     "agg_pareto" -> (aggPareto _),
@@ -1080,6 +1157,7 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_ks_test" -> aggKsTestOracle,
     "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "agg_hhi" -> aggHhiOracle,
     "agg_pareto" -> aggParetoOracle,

@@ -1102,7 +1102,112 @@ object LlmVector {
        |FROM hit3, poss ORDER BY method""".stripMargin
   }
 
+  /** MMR DIVERSIFIED RETRIEVAL (r10) — maximal marginal relevance
+    * (Carbonell & Goldstein), the greedy re-rank every RAG pipeline
+    * runs between ANN retrieval and the prompt: from each query's
+    * cosine top-10 pool, pick 3 results maximizing
+    * `0.7·relevance − 0.3·max_sim_to_already_picked` — near-duplicate
+    * hits that would waste context slots score themselves out. The
+    * greedy loop is inherently sequential per query, so the 3 picks
+    * UNROLL into fixed DataFrame steps (argmax window → join the pick
+    * back → re-score), every score r6-stabilized with c_id tie-breaks
+    * — both engines select the identical pick chain. Scale shape: the
+    * pool is top-k bounded (10 rows/query), every step is a
+    * q_id-keyed equi-join on pool-sized frames — the expensive part
+    * stays the ANN retrieval that feeds it, as in production. */
+  def llmMmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("embedding"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id").asc)
+    val cand = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"),
+        r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= 10)
+      .drop("rn")
+      .localCheckpoint()
+    val p1 = cand.withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("p1_id"), col("c_emb").as("p1_emb"),
+        col("c_nrm").as("p1_nrm"), col("rel").as("score1"))
+    val rest1 = cand.join(p1, Seq("q_id")).filter(col("c_id") =!= col("p1_id"))
+      .withColumn("sim1",
+        r6(expr("float_dot(c_emb, p1_emb)") / (col("c_nrm") * col("p1_nrm"))))
+      .withColumn("score", r6(lit(0.7) * col("rel") - lit(0.3) * col("sim1")))
+    val wScore = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id").asc)
+    val p2 = rest1.withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("p2_id"), col("c_emb").as("p2_emb"),
+        col("c_nrm").as("p2_nrm"), col("score").as("score2"))
+    val p3 = rest1
+      .join(p2.select("q_id", "p2_id", "p2_emb", "p2_nrm"), Seq("q_id"))
+      .filter(col("c_id") =!= col("p2_id"))
+      .withColumn("sim2",
+        r6(expr("float_dot(c_emb, p2_emb)") / (col("c_nrm") * col("p2_nrm"))))
+      .withColumn("score",
+        r6(lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2"))))
+      .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("p3_id"), col("score").as("score3"))
+    p1.select(col("q_id"), lit(1).as("pick_rank"), col("p1_id").as("doc_id"),
+        col("score1").as("score"))
+      .unionByName(p2.select(col("q_id"), lit(2).as("pick_rank"),
+        col("p2_id").as("doc_id"), col("score2").as("score")))
+      .unionByName(p3.select(col("q_id"), lit(3).as("pick_rank"),
+        col("p3_id").as("doc_id"), col("score3").as("score")))
+      .orderBy("q_id", "pick_rank")
+  }
+
+  val llmMmrDiversifyOracle: String =
+    s"""WITH cand_all AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${cosineSql("q.embedding", "c.embedding")}, 6) AS rel
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10),
+       |cand AS (SELECT q_id, c_id, rel FROM (
+       |    SELECT q_id, c_id, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS rn
+       |    FROM cand_all) WHERE rn <= 10),
+       |p1 AS (SELECT q_id, c_id AS p_id, rel AS score FROM (
+       |    SELECT q_id, c_id, rel, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |r1 AS (
+       |  SELECT cd.q_id, cd.c_id, cd.rel,
+       |    ROUND(${cosineSql("ce.embedding", "pe.embedding")}, 6) AS sim1
+       |  FROM cand cd
+       |  JOIN p1 ON cd.q_id = p1.q_id AND cd.c_id != p1.p_id
+       |  JOIN embeddings ce ON ce.vec_id = cd.c_id
+       |  JOIN embeddings pe ON pe.vec_id = p1.p_id),
+       |s2 AS (SELECT q_id, c_id, rel, sim1,
+       |    ROUND(0.7 * rel - 0.3 * sim1, 6) AS score FROM r1),
+       |p2 AS (SELECT q_id, c_id AS p_id, score FROM (
+       |    SELECT q_id, c_id, score, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |r2 AS (
+       |  SELECT s2.q_id, s2.c_id, s2.rel, s2.sim1,
+       |    ROUND(${cosineSql("ce.embedding", "pe.embedding")}, 6) AS sim2
+       |  FROM s2
+       |  JOIN p2 ON s2.q_id = p2.q_id AND s2.c_id != p2.p_id
+       |  JOIN embeddings ce ON ce.vec_id = s2.c_id
+       |  JOIN embeddings pe ON pe.vec_id = p2.p_id),
+       |s3 AS (SELECT q_id, c_id,
+       |    ROUND(0.7 * rel - 0.3 * GREATEST(sim1, sim2), 6) AS score FROM r2),
+       |p3 AS (SELECT q_id, c_id AS p_id, score FROM (
+       |    SELECT q_id, c_id, score, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn
+       |    FROM s3) WHERE rn = 1)
+       |SELECT q_id, CAST(pick_rank AS INT) AS pick_rank, doc_id, score FROM (
+       |  SELECT q_id, 1 AS pick_rank, p_id AS doc_id, score FROM p1
+       |  UNION ALL SELECT q_id, 2, p_id, score FROM p2
+       |  UNION ALL SELECT q_id, 3, p_id, score FROM p3)
+       |ORDER BY q_id, pick_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mmr_diversify" -> (llmMmrDiversify _),
     "llm_ann_pq" -> (llmAnnPq _),
     "llm_ann_pq_recall" -> (llmAnnPqRecall _),
     "llm_knn_graph" -> (llmKnnGraph _),
@@ -1120,6 +1225,7 @@ object LlmVector {
     "llm_knn_centroid" -> (llmKnnCentroid _))
 
   val oracle: Map[String, String] = Map(
+    "llm_mmr_diversify" -> llmMmrDiversifyOracle,
     "llm_ann_pq" -> llmAnnPqOracle,
     "llm_ann_pq_recall" -> llmAnnPqRecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,

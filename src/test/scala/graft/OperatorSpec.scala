@@ -174,6 +174,54 @@ class OperatorSpec extends SparkSpec {
     assert(f.filter(col("feat") =!= 0).count() > 0, "all features zero")
   }
 
+  test("KS screen: bounds hold and one nation recomputes by hand") {
+    val ks = run("agg_ks_test").collect()
+    assert(ks.nonEmpty)
+    ks.foreach { r =>
+      val (n1, n2, d, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ppm >= 0 && ppm <= 1000000, s"ks_ppm $ppm out of [0, 1e6]")
+      assert(d <= n1 * n2, "sup exceeded the cross-multiplied ceiling")
+    }
+    // independent recompute of the max-|ECDF diff| for the first nation
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val ord = graft.sources.Tables.orders(spark, sf)
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .filter(col("n_name") === ks.head.getString(0)).collect().head.getAs[Number](0).longValue
+    val vals = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === nat &&
+        col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val s1 = vals.collect { case ("BUILDING", c) => c }.sorted
+    val s2 = vals.collect { case ("MACHINERY", c) => c }.sorted
+    val dHand = (s1 ++ s2).distinct.map { v =>
+      math.abs(s1.count(_ <= v).toLong * s2.length - s2.count(_ <= v).toLong * s1.length)
+    }.max
+    assert(ks.head.getLong(3) == dHand, "KS sup disagrees with the hand recompute")
+  }
+
+  test("MMR: greedy scores non-increasing, first pick is the relevance top-1") {
+    val mmr = run("llm_mmr_diversify")
+    val perQ = mmr.groupBy("q_id").agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nd"))
+    assert(perQ.filter(col("n") =!= 3 || col("nd") =!= 3).count() == 0,
+      "a query did not get 3 distinct picks")
+    // the greedy objective can only fall as the picked set grows
+    val rows = mmr.collect().groupBy(_.getLong(0))
+    rows.values.foreach { picks =>
+      val s = picks.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(s(0) >= s(1) && s(1) >= s(2),
+        s"MMR scores increased along the pick chain: ${s.toList}")
+    }
+    // pick 1 ignores diversity — it must be the plain cosine argmax
+    val top1 = run("llm_sim_cosine_topk").filter(col("rn") === 1)
+      .select(col("q_id"), col("neighbor_id"))
+    val p1 = mmr.filter(col("pick_rank") === 1).select(col("q_id"), col("doc_id"))
+    assert(p1.join(top1, Seq("q_id"))
+      .filter(col("doc_id") =!= col("neighbor_id")).count() == 0)
+  }
+
   test("media payload is a real parquet BINARY column full of non-ASCII bytes") {
     // the staged media table must carry BinaryType all the way from the
     // parquet file (not a cast alias of the text column)
