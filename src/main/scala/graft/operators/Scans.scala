@@ -469,6 +469,36 @@ object Scans {
   val sqlQ5LocalVolumeOracle: String =
     sqlQ5Text("customer", "orders", "lineitem", "supplier", "nation", "region")
 
+  /** LATERAL TOP-N PER GROUP (r10) — the last big SQL-front-end shape
+    * the sql_ keys didn't cover: a correlated LATERAL derived table
+    * with ORDER BY + LIMIT inside ("for each customer, their two
+    * most expensive orders"), the form ORMs and BI tools emit for
+    * top-n-per-key. Naively that is a per-outer-row re-execution of
+    * the subquery; Catalyst decorrelates it into a row_number Window
+    * over the inner side joined back on the correlation key
+    * (PlanSpec pins the Window + hash join, no loop, no Cartesian) —
+    * the same plan the hand-written `win_topk` key builds, now
+    * reached FROM SQL. Exact integer cents; total-ordered inner sort
+    * (cents DESC, orderkey) so both engines cut the identical two
+    * rows per customer. */
+  def sqlLateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_lat_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_lat_orders")
+    spark.sql(sqlLateralText("g_lat_customer", "g_lat_orders"))
+  }
+
+  private def sqlLateralText(cust: String, ord: String): String =
+    s"""SELECT c_custkey, o_orderkey, cents
+       |FROM (SELECT c_custkey FROM $cust WHERE c_custkey <= 20) c,
+       |LATERAL (SELECT o_orderkey,
+       |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |         FROM $ord o
+       |         WHERE o.o_custkey = c.c_custkey
+       |         ORDER BY cents DESC, o_orderkey LIMIT 2) t
+       |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin
+
+  val sqlLateralTopnOracle: String = sqlLateralText("customer", "orders")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -514,6 +544,7 @@ object Scans {
     "sql_star_revenue" -> (sqlStarRevenue _),
     "sql_q3_shipping_priority" -> (sqlQ3ShippingPriority _),
     "sql_q5_local_volume" -> (sqlQ5LocalVolume _),
+    "sql_lateral_topn" -> (sqlLateralTopn _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
     "scan_partition_pruning" -> (scanPartitionPruning _),
@@ -531,6 +562,7 @@ object Scans {
     "sql_star_revenue" -> sqlStarRevenueOracle,
     "sql_q3_shipping_priority" -> sqlQ3ShippingPriorityOracle,
     "sql_q5_local_volume" -> sqlQ5LocalVolumeOracle,
+    "sql_lateral_topn" -> sqlLateralTopnOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,
     "scan_partition_pruning" -> scanPartitionPruningOracle,

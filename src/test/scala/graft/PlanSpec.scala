@@ -281,6 +281,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LATERAL top-n decorrelates to a Window, never a per-row loop") {
+    val p = plan("sql_lateral_topn")
+    assert(p.contains("Window"), "no decorrelated window in:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "no keyed join-back in:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("PQ serving scans codes against a broadcast distance table") {
     val p = plan("llm_ann_pq")
     assert(p.contains("BroadcastHashJoin"),
