@@ -1082,12 +1082,19 @@ object Aggregations {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = grid.groupBy("nk")
       .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // The cross-multiply itself rides DECIMAL(38,0), not raw BIGINT:
+    // DuckDB's window SUM already promotes i/j to HUGEINT, so past
+    // n1·n2 ≈ 2⁶³ the raw-BIGINT form would silently wrap here while
+    // the oracle stays exact — same headroom treatment as the final
+    // ppm division. The |sup| itself is ≤ n1·n2, so casting the max
+    // back to BIGINT is exact wherever the oracle's output cast is.
     val sup = grid
       .withColumn("i", sum(col("c1")).over(w))
       .withColumn("j", sum(col("c2")).over(w))
       .join(totals, Seq("nk"))
       .groupBy("nk")
-      .agg(max(abs(col("i") * col("n2") - col("j") * col("n1"))).as("d_num"),
+      .agg(max(abs(expr("CAST(i AS DECIMAL(38,0)) * n2 - CAST(j AS DECIMAL(38,0)) * n1")))
+        .cast("bigint").as("d_num"),
         first(col("n1")).as("n1"), first(col("n2")).as("n2"))
     sup
       .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))

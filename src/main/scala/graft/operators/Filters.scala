@@ -188,7 +188,54 @@ object Filters {
       |     WHERE r2.r_name = 'EUROPE' AND l2.l_partkey = p.p_partkey)
       |ORDER BY min_cost_cents DESC, p_partkey, s_name""".stripMargin
 
+  /** TPC-H Q17 SHAPE (r11) — the remaining decorrelation stress class:
+    * a correlated AGGREGATE THRESHOLD AGAINST THE OUTER ROW'S OWN GROUP
+    * ("lineitems below 20% of their part's average quantity"). Unlike
+    * `filter_correlated` (threshold vs the row's own scalar) and
+    * `filter_q2_min_cost` (equality vs a correlated MIN over a join
+    * tree), the subquery here aggregates the SAME TABLE the outer row
+    * comes from, correlated on the outer row's grouping key — the shape
+    * a naive engine executes as one full lineitem scan PER LINEITEM ROW
+    * (O(n²/parts)). Catalyst decorrelates both correlated aggregates
+    * into ONE per-partkey (count, sum) aggregate joined back on
+    * l_partkey (PlanSpec pins zero surviving subqueries and no
+    * Cartesian product). The 0.2×-average predicate is EXACT INTEGER
+    * algebra — quantities are whole, so `qty < 0.2·(sum/cnt)` is
+    * `5·qty·cnt < sum` with no division anywhere near the boundary.
+    * At 100 TB: one map-side-combinable aggregate keyed on l_partkey,
+    * one keyed join back to lineitem, one broadcast of part — the
+    * per-row rescan never exists in the executed plan. */
+  def filterQ17AvgQty(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT p.p_brand, COUNT(*) AS n_lines,
+         |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         |    AS below_cents
+         |FROM parquet.`$sfDir/lineitem.parquet` l
+         |JOIN parquet.`$sfDir/part.parquet` p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_type IN ('ECONOMY', 'PROMO')
+         |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+         |      (SELECT COUNT(*) FROM parquet.`$sfDir/lineitem.parquet` l2
+         |       WHERE l2.l_partkey = l.l_partkey)
+         |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+         |       FROM parquet.`$sfDir/lineitem.parquet` l2
+         |       WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+
+  val filterQ17AvgQtyOracle: String =
+    """SELECT p.p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS below_cents
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_type IN ('ECONOMY', 'PROMO')
+      |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+      |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_q17_avg_qty" -> (filterQ17AvgQty _),
     "filter_q2_min_cost" -> (filterQ2MinCost _),
     "filter_exists" -> (filterExists _),
     "filter_correlated" -> (filterCorrelated _),
@@ -197,6 +244,7 @@ object Filters {
     "project_case_when" -> (projectCaseWhen _))
 
   val oracle: Map[String, String] = Map(
+    "filter_q17_avg_qty" -> filterQ17AvgQtyOracle,
     "filter_q2_min_cost" -> filterQ2MinCostOracle,
     "filter_exists" -> filterExistsOracle,
     "filter_correlated" -> filterCorrelatedOracle,

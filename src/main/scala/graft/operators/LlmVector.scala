@@ -547,11 +547,12 @@ object LlmVector {
 
   /** PRODUCT QUANTIZATION (r10) — the second half of the FAISS serving
     * pair (IVF prunes candidates; PQ compresses the DISTANCE
-    * arithmetic): each 64-dim embedding splits into 4 sub-vectors of
-    * 16 dims, each sub-vector k-means-quantizes to one of 16 codewords,
-    * so a vector stores as 4 small codes and distance against a query
-    * needs only a per-query 4×16 LOOKUP TABLE of sub-distances — the
-    * asymmetric distance computation (ADC): ‖q − recon(x)‖² =
+    * arithmetic): each 64-dim embedding splits into PqM = 8 sub-vectors
+    * of 64/PqM = 8 dims, each sub-vector k-means-quantizes to one of
+    * PqK = 16 codewords, so a vector stores as 8 small codes (4 bits
+    * each — a ~32× cut vs 64 float32 dims) and distance against a
+    * query needs only a per-query 8×16 LOOKUP TABLE of sub-distances —
+    * the asymmetric distance computation (ADC): ‖q − recon(x)‖² =
     * Σ_sub dist²(q_sub, codeword(x, sub)). The codebook trains with
     * the IVF key's deterministic Lloyd recipe (smallest-vec_id init,
     * fixed iterations, r6-stabilized sums, c_id tie-break) run for all
@@ -608,10 +609,12 @@ object LlmVector {
       .groupBy("vec_id", "sub", "c_id")
       .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
 
-  /** Every query×doc ADC distance — the frame the top-3 key, the
-    * rerank shortlist, and the recall grades all read (the oracle's
-    * adc CTE). */
-  private def pqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The PQ serving INDEX, built once from the trained codebook: the
+    * storage CODES (argmin codeword per (vec, sub) — the oracle's
+    * pcodes CTE) and the query DISTANCE TABLES (rows with vec_id < 30
+    * — the oracle's qdt CTE). Shared by the full-corpus ADC scan
+    * (`llm_ann_pq`) and the cell-pruned IVFADC path (`llm_ann_ivfpq`). */
+  private def pqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val (ex, cent) = pqState(spark, sfDir)
     val dists = pqDists(ex, cent).localCheckpoint()
     val wCode = Window.partitionBy("vec_id", "sub")
@@ -622,6 +625,14 @@ object LlmVector {
       .select("vec_id", "sub", "c_id")
     val qdt = dists.filter(col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("sub"), col("c_id"), col("dist2"))
+    (codes, qdt)
+  }
+
+  /** Every query×doc ADC distance — the frame the top-3 key, the
+    * rerank shortlist, and the recall grades all read (the oracle's
+    * adc CTE). */
+  private[graft] def pqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (codes, qdt) = pqIndex(spark, sfDir)
     codes.join(broadcast(qdt), Seq("sub", "c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
@@ -705,7 +716,16 @@ object LlmVector {
     *     recall recovers whatever the shortlist retained.
     * Measured, not asserted: hits/possible/ppm per method, the
     * `llm_ann_recall` report shape. */
-  def llmAnnPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def llmAnnPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    adcRecallReport(spark, sfDir, pqAdc(spark, sfDir), "pq_adc", "pq_adc_rerank20")
+
+  /** Shared recall-report harness for the ADC methods: grade an ADC
+    * candidate ranking (full-corpus `llm_ann_pq` or cell-pruned
+    * `llm_ann_ivfpq`) against the exact L2 top-3 at two operating
+    * points — raw ADC top-3 and exact-L2 rerank of the ADC top-20
+    * shortlist — reporting hits/possible/ppm per method. */
+  private def adcRecallReport(spark: SparkSession, sfDir: String, adcIn: DataFrame,
+      rawMethod: String, rerankMethod: String): DataFrame = {
     val (ex, _) = pqState(spark, sfDir)
     val q = ex.filter(col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
@@ -723,7 +743,7 @@ object LlmVector {
       .agg(r6(sum((col("qv") - col("v")) * (col("qv") - col("v")))).as("d2"))
       .localCheckpoint()
     val exact = l2Top(allL2, 3).localCheckpoint()
-    val adc = pqAdc(spark, sfDir).localCheckpoint()
+    val adc = adcIn.localCheckpoint()
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     val raw3 = adc.withColumn("rn", row_number().over(wAdc))
@@ -731,12 +751,12 @@ object LlmVector {
     val short20 = adc.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= 20).select("q_id", "neighbor_id")
     val rerank3 = l2Top(allL2.join(short20, Seq("q_id", "neighbor_id"), "left_semi"), 3)
-    val approx = raw3.withColumn("method", lit("pq_adc"))
-      .unionByName(rerank3.withColumn("method", lit("pq_adc_rerank20")))
+    val approx = raw3.withColumn("method", lit(rawMethod))
+      .unionByName(rerank3.withColumn("method", lit(rerankMethod)))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy("method").agg(count(lit(1)).as("hits"))
     import spark.implicits._
-    Seq("pq_adc", "pq_adc_rerank20").toDF("method")
+    Seq(rawMethod, rerankMethod).toDF("method")
       .join(hits, Seq("method"), "left")
       .na.fill(0L, Seq("hits"))
       .crossJoin(exact.agg(count(lit(1)).as("possible")))
@@ -774,6 +794,129 @@ object LlmVector {
        |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
        |FROM (SELECT 'pq_adc' AS method, hits FROM h1
        |      UNION ALL SELECT 'pq_adc_rerank20', hits FROM h2), poss
+       |ORDER BY method""".stripMargin
+
+  /** IVF×PQ COMPOSITION — IVFADC (r11), the production FAISS serving
+    * shape the two halves graded separately until now: the trained IVF
+    * quantizer PRUNES (each query fans out to its nprobe = 2 nearest
+    * cells and candidates are ONLY the vectors stored in those cells'
+    * inverted lists), and PQ's asymmetric distance COMPRESSES the
+    * scoring of those candidates (codes + broadcast per-query lookup
+    * tables — never the full vectors). Against `llm_ann_pq`, the ADC
+    * aggregate's input drops from |corpus| to Σ probed-list sizes per
+    * query — at 10⁹ vectors the difference between scanning the whole
+    * codes table per query batch and touching nprobe/k of it; against
+    * `llm_ann_ivf_probe2`, the candidate scoring never touches a full
+    * float vector. Both models are the MEMOIZED ones their solo keys
+    * trained ([[ivfRanking]], [[pqState]]) — composition, not
+    * retraining, exactly like a FAISS IVFPQ index built once. The
+    * plan shape is PlanSpec-pinned: candidates come from a (cell)
+    * EQUI-join of the broadcast probe list against the cell-tagged
+    * corpus, ADC tables ride a broadcast hash join, and no nested
+    * loop or full-corpus scan appears between them.
+    * `llm_ann_ivfpq_recall` grades what the composed pruning costs. */
+  private[graft] def ivfPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = ivfRanking(spark, sfDir)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val (codes, qdt) = pqIndex(spark, sfDir)
+    // candidate set: the probed cells' inverted lists, NOT the corpus
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qdt), Seq("q_id", "sub", "c_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(r6(sum(col("dist2"))).as("adc_dist2"))
+  }
+
+  def llmAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    ivfPqAdc(spark, sfDir)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("q_id", "neighbor_id", "adc_dist2", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** The composed-candidate CTE pair shared by the ivfpq and
+    * ivfpq_recall oracles: both prologs (IVF chain + PQ chain) are the
+    * SAME shared definitions their solo keys grade, so the composition
+    * cannot drift from its parts. */
+  private lazy val ivfPqCandSql: String =
+    s"""ivfpq_cand AS (
+       |  SELECT p.vec_id AS q_id, e.vec_id AS neighbor_id
+       |  FROM probes p JOIN e ON e.cell = p.cell AND e.vec_id != p.vec_id),
+       |ivfpq_adc AS (
+       |  SELECT c.q_id, c.neighbor_id, ROUND(SUM(q.dist2), 6) AS adc_dist2
+       |  FROM ivfpq_cand c
+       |  JOIN pcodes x ON x.vec_id = c.neighbor_id
+       |  JOIN qdt q ON q.q_id = c.q_id AND q.sub = x.sub AND q.c_id = x.c_id
+       |  GROUP BY c.q_id, c.neighbor_id)""".stripMargin
+
+  val llmAnnIvfPqOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$pqOracleProlog,
+       |$ivfPqCandSql
+       |SELECT q_id, neighbor_id, adc_dist2, rn FROM (
+       |  SELECT q_id, neighbor_id, adc_dist2, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |  FROM ivfpq_adc) WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** IVFADC RECALL vs the exact L2 top-3 — the measured price of the
+    * COMPOSED approximation (IVF pruning can drop a true neighbor
+    * stored in an unprobed cell; PQ ranking can misorder what
+    * survives), at the same two operating points as
+    * `llm_ann_pq_recall` (raw ADC top-3, exact-L2 rerank of the ADC
+    * top-20 shortlist) so the two reports read side by side: the
+    * rerank fix recovers PQ's misordering but NOT IVF's pruning loss
+    * — the shortlist itself never contains an unprobed cell's vector.
+    * Measured, not asserted. */
+  def llmAnnIvfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    adcRecallReport(spark, sfDir, ivfPqAdc(spark, sfDir),
+      "ivfpq_adc", "ivfpq_adc_rerank20")
+
+  val llmAnnIvfPqRecallOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$pqOracleProlog,
+       |$ivfPqCandSql,
+       |il2_c AS (
+       |  SELECT qe.vec_id AS q_id, ex2.vec_id AS neighbor_id,
+       |    ROUND(SUM((qe.v - ex2.v) * (qe.v - ex2.v)), 6) AS d2
+       |  FROM pq_ex qe JOIN pq_ex ex2 ON qe.pos = ex2.pos AND ex2.vec_id != qe.vec_id
+       |  WHERE qe.vec_id < 30 GROUP BY qe.vec_id, ex2.vec_id),
+       |iexact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM il2_c) WHERE rn <= 3),
+       |iraw AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM ivfpq_adc) WHERE rn <= 3),
+       |ishort AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM ivfpq_adc) WHERE rn <= 20),
+       |irerank AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY c.q_id ORDER BY c.d2 ASC, c.neighbor_id ASC) AS rn
+       |    FROM il2_c c JOIN ishort s USING (q_id, neighbor_id)) WHERE rn <= 3),
+       |ih1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM iraw JOIN iexact USING (q_id, neighbor_id)),
+       |ih2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM irerank JOIN iexact USING (q_id, neighbor_id)),
+       |iposs AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM iexact)
+       |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
+       |FROM (SELECT 'ivfpq_adc' AS method, hits FROM ih1
+       |      UNION ALL SELECT 'ivfpq_adc_rerank20', hits FROM ih2), iposs
        |ORDER BY method""".stripMargin
 
   /** Symmetric int8 quantization of the embedding column — the standard
@@ -1210,6 +1353,8 @@ object LlmVector {
     "llm_mmr_diversify" -> (llmMmrDiversify _),
     "llm_ann_pq" -> (llmAnnPq _),
     "llm_ann_pq_recall" -> (llmAnnPqRecall _),
+    "llm_ann_ivfpq" -> (llmAnnIvfPq _),
+    "llm_ann_ivfpq_recall" -> (llmAnnIvfPqRecall _),
     "llm_knn_graph" -> (llmKnnGraph _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
@@ -1228,6 +1373,8 @@ object LlmVector {
     "llm_mmr_diversify" -> llmMmrDiversifyOracle,
     "llm_ann_pq" -> llmAnnPqOracle,
     "llm_ann_pq_recall" -> llmAnnPqRecallOracle,
+    "llm_ann_ivfpq" -> llmAnnIvfPqOracle,
+    "llm_ann_ivfpq_recall" -> llmAnnIvfPqRecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,

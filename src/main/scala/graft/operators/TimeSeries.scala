@@ -439,8 +439,14 @@ object TimeSeries {
     * before its truncation), short of the sentinel's own windows.
     * Returns the raw readStream plus (t1, delaySec) so each key
     * declares its own watermark + windowing. */
-  private def appendModeSource(spark: SparkSession, sfDir: String)
-      : (DataFrame, Long, Long) = {
+  // `splits` stages the REAL events as that many event_id-hashed
+  // micro-batches before the sentinel (mtimes strictly ordered, since
+  // FileStreamSource schedules by modification time): splits = 1 is the
+  // append-mode finalization source; splits = 2 feeds the UPDATE-mode
+  // key, whose multi-emission semantics only show when a window
+  // receives events in more than one trigger.
+  private def appendModeSource(spark: SparkSession, sfDir: String,
+      splits: Int = 1): (DataFrame, Long, Long) = {
     val ev = events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "ts", "value")
     val Array(r) = ev.agg(min(col("ts")).cast("long").as("t0"),
@@ -450,25 +456,39 @@ object TimeSeries {
     // watermark settles at sentinel − delay = t1 + 2h: past every real
     // window end (≤ t1 + 1h), short of the sentinel's own window end
     val sentinelSec = t1 + delaySec + 2 * 3600L
+    val stageName = s"events-append-s$splits"
     val stageDir =
-      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events-append"
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$stageName"
     graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
     val schema = stagedDirs.synchronized {
-      stagedDirs.getOrElseUpdate((sfDir, "events-append", 1), {
+      stagedDirs.getOrElseUpdate((sfDir, stageName, splits), {
         import spark.implicits._
-        ev.coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val before = graft.util.Scratch.parquetFiles(stageDir)
+        // write each split sequentially, then force strictly increasing
+        // mtimes (batch i at base + i minutes) so the micro-batch order
+        // is deterministic regardless of write timing granularity
+        var before = Set.empty[java.nio.file.Path]
+        var baseMs = 0L
+        def stampBatch(step: Int): Unit = {
+          val now = graft.util.Scratch.parquetFiles(stageDir).toSet
+          val fresh = now -- before
+          if (baseMs == 0L)
+            baseMs = fresh.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+          fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(baseMs + step * 60000L)))
+          before = now
+        }
+        (0 until splits).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(splits)) === i).coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(stageDir)
+          stampBatch(i)
+        }
+        // the sentinel must be the LAST micro-batch
         Seq((-1L, -1L, "view", sentinelSec, 0.0))
           .toDF("event_id", "user_id", "event_type", "sec", "value")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("sec").cast("timestamp").as("ts"), col("value"))
           .coalesce(1).write.mode("append").parquet(stageDir)
-        // the sentinel must be the LAST micro-batch (FileStreamSource
-        // schedules by modification time)
-        val latest = before.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
-        graft.util.Scratch.parquetFiles(stageDir).filterNot(before.contains)
-          .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(latest + 60000)))
+        stampBatch(splits)
         ev.schema
       })
     }
@@ -523,6 +543,51 @@ object TimeSeries {
 
   /** Append-mode sliding stream must equal the batch sliding windows. */
   val tsSlidingStreamAppendOracle: String = tsSlidingOracle
+
+  /** UPDATE-MODE SLIDING WINDOWS (r11) — the third and last output
+    * mode for overlapping windows, the low-latency dashboard shape the
+    * complete (`ts_sliding_stream`, full re-emit per trigger) and
+    * append (`ts_sliding_stream_append`, emit once on close) keys
+    * bracket: in update mode a window RE-EMITS each trigger in which
+    * its aggregate CHANGED, and the watermark still evicts its state
+    * once passed — so a consumer sees per-window values converge live
+    * while state stays bounded by the watermark horizon, not stream
+    * length. The events are staged as TWO event_id-hashed micro-batches
+    * (plus the sentinel that drags the watermark past every real
+    * window), so most windows genuinely emit twice with growing counts
+    * — the spec pins that multi-emission. The graded frame reduces the
+    * update stream to its FINAL state per window: `n` strictly
+    * increases across a window's successive emissions (update mode
+    * only re-emits groups that received rows), so the max-n row IS the
+    * last emission, and the result provably equals the batch
+    * `ts_sliding` (shared oracle). The sentinel's own windows never
+    * close but DO emit updates — filtered by window start ≤ t1, same
+    * guard as the append keys. */
+  /** The raw update stream (every emission, real windows only) — the
+    * spec pins multi-emission on this; the graded key reduces it. */
+  private[graft] def tsSlidingStreamUpdateRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, t1, delaySec) = appendModeSource(spark, sfDir, splits = 2)
+    val agg = src
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+    runToMemory(agg, "graft_ts_sliding_update", "update")
+      .filter(col("w.start").cast("long") <= t1)
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+  }
+
+  def tsSlidingStreamUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val wFinal = Window.partitionBy("ws").orderBy(col("n").desc)
+    tsSlidingStreamUpdateRaw(spark, sfDir)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("ws")
+  }
+
+  /** The final per-window update state must equal the batch sliding
+    * aggregate. */
+  val tsSlidingStreamUpdateOracle: String = tsSlidingOracle
 
   val tsStreamOuterJoinOracle: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
@@ -1587,6 +1652,7 @@ object TimeSeries {
     "ts_sliding" -> (tsSliding _),
     "ts_sliding_stream" -> (tsSlidingStream _),
     "ts_sliding_stream_append" -> (tsSlidingStreamAppend _),
+    "ts_sliding_stream_update" -> (tsSlidingStreamUpdate _),
     "ts_session" -> (tsSession _),
     "ts_session_stream" -> (tsSessionStream _),
     "ts_dedup_watermark" -> (tsDedupWatermark _),
@@ -1626,6 +1692,7 @@ object TimeSeries {
     "ts_sliding" -> tsSlidingOracle,
     "ts_sliding_stream" -> tsSlidingOracle,
     "ts_sliding_stream_append" -> tsSlidingStreamAppendOracle,
+    "ts_sliding_stream_update" -> tsSlidingStreamUpdateOracle,
     "ts_session" -> tsSessionOracle,
     "ts_session_stream" -> tsSessionOracle,
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,

@@ -19,14 +19,29 @@ import org.apache.spark.sql.types._
   *
   *  - the probe side keys on `floor(a / W)`;
   *  - the build side EXPLODES to the bucket ids its band can reach,
-  *    `sequence(floor((b+c1)/W) − 1, floor((b+c2)/W) + 1)` — the band
-  *    itself spans 2 buckets; the ±1 slack makes double-rounding at
-  *    exact band boundaries provably unable to lose a match (4 copies
-  *    per build row, still O(1));
+  *    `sequence(floor((b+c1)/W) − s, floor((b+c2)/W) + s)` — the band
+  *    itself spans 2 buckets; the slack s (0 when bucket ids are exact,
+  *    see below) absorbs any bucket-id rounding so a match cannot be
+  *    lost (2–4 copies per build row, still O(1));
   *  - the join becomes `bucket_L = bucket_R AND <original condition>`,
   *    which `ExtractEquiJoinKeys` plans as a shuffled/broadcast HASH
   *    join — O(|L| + 2|R|) with the original band predicates left as
   *    residual filters.
+  *
+  * Bucket-id arithmetic (r11, the double-ulp audit): when both band
+  * bases are INTEGRAL (incl. timestamps, which bucket on their exact
+  * epoch-micros) and the offsets are whole numbers, bucket ids are
+  * computed with EXACT integer floor-division — `(x − pmod(x, W)) div
+  * W` — so no slack is needed: monotonicity of floor alone guarantees
+  * every matching pair shares a reachable bucket, even for BIGINT
+  * nanosecond timestamps (~1.7e18) with a sub-200ns band, where a
+  * Double-cast bucket id would misround by ORDERS of buckets and the
+  * old fixed ±1 slack silently dropped matches. Only genuinely
+  * fractional bases take the Double path, and there the slack is
+  * DERIVED FROM THE VALUE MAGNITUDE per row — 1 + |bucket|/2⁵⁰ covers
+  * the few-ulp relative error of the add/divide/floor chain on both
+  * the probe and build computations (a fixed ±1 would again be
+  * insufficient once |x|/W approaches 2⁵²).
   *
   * Correctness containment:
   *  - fires only when the join has NO cross-side equi conjunct (there
@@ -43,9 +58,12 @@ import org.apache.spark.sql.types._
   *    original predicates riding along in the join condition then
   *    discard the false band candidates;
   *  - both band bounds must share one deterministic base expression
-  *    with foldable numeric offsets (a width that varies per row, as
-  *    in `join_theta_range`'s `b*2 .. b*7`, is out of scope — no
-  *    constant W exists).
+  *    with foldable offsets (a width that varies per row, as in
+  *    `join_theta_range`'s `b*2 .. b*7`, is out of scope — no
+  *    constant W exists). Timestamp bases accept `ts ± INTERVAL`
+  *    day-time offsets (`TimestampAddInterval` after constant folding) and bucket
+  *    on `unix_micros(ts)` so the interval-written trailing-window
+  *    query gets the same escape as the numeric form.
   *
   * 100 TB posture: this turns an accidental quadratic plan a user
   * writes naturally ("clicks within 10 minutes before the purchase")
@@ -56,18 +74,44 @@ object BandJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
 
   private def numeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
 
-  private def litNum(l: Literal): Option[Double] = l.value match {
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Literal read exactly — BigDecimal so integer offsets beyond 2⁵³
+    * (and fractional ones) both survive without rounding. */
+  private def litNum(l: Literal): Option[BigDecimal] = l.value match {
     case null => None
-    case v: java.lang.Number => Some(v.doubleValue())
+    case d: Decimal => Some(d.toBigDecimal)
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d)) Some(BigDecimal(d.doubleValue())) else None
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f)) Some(BigDecimal(f.doubleValue())) else None
+    case n: java.lang.Number => Some(BigDecimal(n.longValue()))
     case _ => None
   }
 
-  /** y decomposed as (base expression, constant offset). */
-  private def baseOffset(y: Expression): Option[(Expression, Double)] = y match {
+  /** y decomposed as (base expression, constant offset). Timestamp ±
+    * day-time interval arrives (post constant folding) as `TimestampAddInterval`
+    * with a foldable interval literal whose value is MICROS — the
+    * same unit `unix_micros` buckets on below. */
+  private def baseOffset(y: Expression): Option[(Expression, BigDecimal)] = y match {
     case Add(e, l: Literal, _) => litNum(l).map(v => (e, v))
     case Add(l: Literal, e, _) => litNum(l).map(v => (e, v))
     case Subtract(e, l: Literal, _) => litNum(l).map(v => (e, -v))
-    case e => Some((e, 0.0))
+    case TimestampAddInterval(e, Literal(us: java.lang.Long, _: DayTimeIntervalType), _) =>
+      Some((e, BigDecimal(us.longValue())))
+    case e => Some((e, BigDecimal(0)))
+  }
+
+  /** The base lifted to a bucketable numeric expression: numerics
+    * pass through; timestamps bucket on exact epoch micros (LongType,
+    * so they ride the exact integer path). */
+  private def asNumericBase(e: Expression): Option[Expression] = e.dataType match {
+    case dt if numeric(dt) => Some(e)
+    case _: TimestampType => Some(UnixMicros(e))
+    case _ => None
   }
 
   /** Which side of the join an expression belongs to (None: mixed,
@@ -117,12 +161,13 @@ object BandJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     * — constant offsets on EITHER side fold into one number, so
     * `c >= p - w && c < p` and `p <= c + w && p > c` read identically. */
   private def normBound(c: Expression, left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, Double, Boolean)] =
+      : Option[(Expression, Expression, BigDecimal, Boolean)] =
     rawBound(c, left, right).flatMap { case (lExpr, rExpr, isLower) =>
       for {
-        (aBase, ca) <- baseOffset(lExpr)
-        (bBase, cb) <- baseOffset(rExpr)
-        if numeric(aBase.dataType) && numeric(bBase.dataType)
+        (aRaw, ca) <- baseOffset(lExpr)
+        (bRaw, cb) <- baseOffset(rExpr)
+        aBase <- asNumericBase(aRaw)
+        bBase <- asNumericBase(bRaw)
       } yield (aBase, bBase, cb - ca, isLower)
     }
 
@@ -140,21 +185,46 @@ object BandJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
           (aU, bU, offHi) <- uppers.iterator
           if aL.semanticEquals(aU) && bL.semanticEquals(bU)
           w = offHi - offLo
-          if w > 0 && java.lang.Double.isFinite(w)
+          if w > 0
         } yield (aL, bL, offLo, offHi, w)).take(1).toList.headOption
         band match {
           case None => j
           case Some((a, b, offLo, offHi, w)) =>
-            val wLit = Literal(w, DoubleType)
-            def bucketOf(e: Expression, off: Double): Expression =
-              Floor(Divide(Add(Cast(e, DoubleType), Literal(off, DoubleType)), wLit))
-            // ±1 bucket of slack: floor-of-double can misround by at
-            // most one bucket at exact band boundaries; the widened
-            // sequence makes a lost match impossible while the original
-            // predicates (riding along below) still discard every false
-            // band candidate. Normal case: 4 exploded copies per row.
-            val lo = Subtract(bucketOf(b, offLo), Literal(1L))
-            val hi = Add(bucketOf(b, offHi), Literal(1L))
+            // EXACT integer path: integral bases + whole offsets ⇒
+            // floor-division in Long arithmetic, zero rounding, zero
+            // slack. floorDiv(x, w) = (x − pmod(x, w)) div w — pmod's
+            // non-negative remainder makes the numerator an exact
+            // multiple of w, so truncating `div` IS floor division.
+            // (Residual assumption: x + off does not overflow Long —
+            // offsets are band bounds, orders of magnitude below 2⁶³.)
+            val exact = integral(a.dataType) && integral(b.dataType) &&
+              offLo.isValidLong && offHi.isValidLong && w.isValidLong
+            val (lo, hi, probeBucket) =
+              if (exact) {
+                val wl = Literal(w.toLongExact)
+                def bucketOf(e: Expression, off: Long): Expression = {
+                  val x = if (off == 0L) Cast(e, LongType)
+                          else Add(Cast(e, LongType), Literal(off))
+                  IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+                }
+                (bucketOf(b, offLo.toLongExact), bucketOf(b, offHi.toLongExact),
+                  bucketOf(a, 0L))
+              } else {
+                // Double path (genuinely fractional bases): bucket ids
+                // carry a few-ulp RELATIVE error, so the slack must
+                // scale with the bucket magnitude — 1 + |bucket|/2⁵⁰
+                // dominates the probe-side and build-side errors
+                // combined (each ≤ a few × |bucket|·2⁻⁵²); a fixed ±1
+                // is only sufficient while |x|/W stays far below 2⁵².
+                val wLit = Literal(w.toDouble, DoubleType)
+                def bucketOf(e: Expression, off: Double): Expression =
+                  Floor(Divide(Add(Cast(e, DoubleType), Literal(off, DoubleType)), wLit))
+                val bLo = bucketOf(b, offLo.toDouble)
+                val bHi = bucketOf(b, offHi.toDouble)
+                val slack = Add(Literal(1L),
+                  IntegralDivide(Greatest(Seq(Abs(bLo), Abs(bHi))), Literal(1L << 50)))
+                (Subtract(bLo, slack), Add(bHi, slack), bucketOf(a, 0.0))
+              }
             val bucketAttr =
               AttributeReference("graft_band_bucket", LongType, nullable = false)()
             // Sequence is TimeZoneAwareExpression: `resolved` demands a
@@ -165,7 +235,7 @@ object BandJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bucketAttr), child = right)
-            val newCond = And(EqualTo(bucketOf(a, 0.0), bucketAttr), cond)
+            val newCond = And(EqualTo(probeBucket, bucketAttr), cond)
             Project(j.output, Join(left, gen, jt, Some(newCond), hint))
         }
       }

@@ -870,6 +870,25 @@ class StreamingSpec extends SparkSpec {
       "append-mode sliding stream diverged from the batch sliding aggregate")
   }
 
+  test("update-mode sliding stream: windows re-emit on change, final state equals batch") {
+    // the raw update stream: with the events staged as two micro-batches,
+    // a window touched by both MUST appear more than once (that is what
+    // update mode IS — append would emit it exactly once, complete would
+    // re-emit everything); and per-window counts must strictly grow
+    val raw = graft.operators.TimeSeries
+      .tsSlidingStreamUpdateRaw(spark, sf).localCheckpoint()
+    val perWindow = raw.groupBy("ws").count()
+    assert(perWindow.filter(col("count") > 1).count() > 0,
+      "no window emitted more than one update — multi-emission never happened")
+    assert(raw.groupBy("ws", "n").count().filter(col("count") > 1).count() == 0,
+      "a window re-emitted without its count changing")
+    // the graded reduction (max-n row per window) equals the batch form
+    val s = run("ts_sliding_stream_update")
+    val batch = run("ts_sliding")
+    assert(s.exceptAll(batch).count() == 0 && batch.exceptAll(s).count() == 0,
+      "final update-mode state diverged from the batch sliding aggregate")
+  }
+
   test("stream-static join equals the batch join") {
     val streamed = run("ts_stream_join")
     val cust = graft.sources.Tables.customer(spark, sf)

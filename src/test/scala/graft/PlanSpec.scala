@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Structural plan assertions: the perf-critical physical-plan shapes
   * that SCALE.md promises must actually appear. Guards against silent
   * plan regressions (a lost broadcast hint, a filter that stops
@@ -353,5 +355,129 @@ class PlanSpec extends SparkSpec {
     val b = rewritten.collect().map(_.toSeq)
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
       "band rewrite changed the join result")
+  }
+
+  // a second session on the SAME SparkContext with the extension
+  // installed; default/active restored immediately after creation so
+  // concurrently running suites never observe the swap
+  private def extSession(): org.apache.spark.sql.SparkSession = {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("Q17-shape correlated AVG threshold decorrelates fully") {
+    // the aggregate-vs-own-group stress: both correlated aggregates
+    // (COUNT and SUM over the outer row's own part) must collapse into
+    // one per-partkey aggregate joined back — no per-row subquery, no
+    // Cartesian, and the part dim broadcast
+    val qe = run("filter_q17_avg_qty").queryExecution
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val survivors = qe.optimizedPlan.expressions.flatMap(_.collect {
+      case s: ScalarSubquery => s
+    })
+    assert(survivors.isEmpty,
+      "a Q17 correlated aggregate subquery survived optimization")
+    val p = plan("filter_q17_avg_qty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast:\n" + p.take(800))
+  }
+
+  test("IVFADC prunes by cell before ADC-scoring — never the full codes table") {
+    val p = plan("llm_ann_ivfpq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // two broadcasts must both appear: the probe list joining the
+    // cell-tagged corpus (candidate generation) and the per-query ADC
+    // distance tables joining the candidate codes
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "expected the cell-candidate broadcast AND the ADC-table broadcast:\n" + p.take(1600))
+    assert(p.contains("cell"), "no cell-keyed candidate join in:\n" + p.take(1600))
+    // the behavioral pin that the plan strings can't express: the ADC
+    // aggregate's input pairs are a strict subset of the full-corpus
+    // scan `llm_ann_pq` performs
+    val pruned = graft.operators.LlmVector.ivfPqAdc(spark, sf).count()
+    val full = graft.operators.LlmVector.pqAdc(spark, sf).count()
+    assert(pruned < full,
+      s"IVFADC scored $pruned pairs but the full ADC scan scores $full — no pruning happened")
+  }
+
+  test("band rule: exact integer buckets survive epoch-nanos magnitudes") {
+    // BIGINT nanosecond timestamps (~1.7e18) with a 150 ns band: a
+    // Double-cast bucket id has an ulp of 256 ns here — floor(x/W) can
+    // misround by whole buckets, and the old fixed ±1 slack silently
+    // dropped matches. The exact integer floor-division path must keep
+    // the rewrite lossless; the nested-loop plan is the ground truth.
+    import org.apache.spark.sql.SparkSession
+    def q(s: SparkSession) = {
+      val base = 1700000000000000000L
+      val purchases = s.range(0, 400)
+        .select((lit(base) + col("id") * 1000L).as("p_ns"), col("id").as("p_id"))
+      val clicks = s.range(0, 4000)
+        .select((lit(base) + pmod(col("id") * 97L, lit(400000L))).as("c_ns"),
+          col("id").as("c_id"))
+      purchases.join(clicks,
+          col("c_ns") >= col("p_ns") - 150L && col("c_ns") < col("p_ns"))
+        .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("p_id")
+    }
+    val plain = q(spark)
+    assert(plain.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      plain.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val rewritten = q(extSession())
+    val extPlan = rewritten.queryExecution.executedPlan.toString
+    assert(!extPlan.contains("BroadcastNestedLoopJoin") && !extPlan.contains("CartesianProduct"),
+      "band rule declined the epoch-nanos band:\n" + extPlan.take(1200))
+    assert(extPlan.contains("SortMergeJoin") || extPlan.contains("ShuffledHashJoin") ||
+      extPlan.contains("BroadcastHashJoin"), "no equi join:\n" + extPlan.take(1200))
+    val a = plain.collect().map(_.toSeq)
+    val b = rewritten.collect().map(_.toSeq)
+    assert(a.nonEmpty, "fixture produced no matches — the test proves nothing")
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "exact-integer band rewrite lost or invented matches at nanos magnitude")
+  }
+
+  test("band rule: timestamp ± INTERVAL bands plan a hash join on epoch micros") {
+    // the interval-written trailing-window query (`ts BETWEEN p.ts -
+    // INTERVAL 10 MINUTES AND p.ts`) — r10's rule only fired on numeric
+    // bases, leaving this natural form a nested loop
+    import org.apache.spark.sql.SparkSession
+    def q(s: SparkSession) = {
+      val ev = graft.sources.Tables.events(s, sf)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .createOrReplaceTempView("g_band_p")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+        .createOrReplaceTempView("g_band_c")
+      s.sql(
+        """SELECT p_id, COUNT(*) AS n_clicks
+          |FROM g_band_p JOIN g_band_c
+          |  ON c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts
+          |GROUP BY p_id ORDER BY p_id""".stripMargin)
+    }
+    val plain = q(spark)
+    assert(plain.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      plain.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "interval fixture no longer nested-loops without the rule")
+    val rewritten = q(extSession())
+    val extPlan = rewritten.queryExecution.executedPlan.toString
+    assert(!extPlan.contains("BroadcastNestedLoopJoin") && !extPlan.contains("CartesianProduct"),
+      "band rule did not fire on the timestamp-interval band:\n" + extPlan.take(1200))
+    assert(extPlan.contains("SortMergeJoin") || extPlan.contains("ShuffledHashJoin") ||
+      extPlan.contains("BroadcastHashJoin"), "no equi join:\n" + extPlan.take(1200))
+    val a = plain.collect().map(_.toSeq)
+    val b = rewritten.collect().map(_.toSeq)
+    assert(a.nonEmpty)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "interval band rewrite changed the join result")
   }
 }

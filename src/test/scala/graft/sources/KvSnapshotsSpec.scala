@@ -247,6 +247,44 @@ class KvSnapshotsSpec extends SparkSpec {
     KvSnapshots.verify(spark, dest, "s1")
   }
 
+  test("the import CLI verb pulls a foreign snapshot end-to-end, with the export verb's failure matrix") {
+    // the symmetric half of the export exit-code matrix (r11): import is
+    // export with the roots reversed — FROM a foreign root INTO the
+    // local store root — and must fail/refuse with the same codes
+    val local = freshRoot() // the store being imported INTO
+    val foreign = freshRoot() // another cluster's exported root
+    KvSnapshots.create(cells, foreign, "s1")
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    // usage failures exit 2: missing --from, missing --name, bad --mappers
+    assert(cli("import", "--root", local, "--name", "s1") == 2)
+    assert(cli("import", "--root", local, "--from", foreign) == 2)
+    assert(cli("import", "--root", local, "--name", "s1", "--from", foreign,
+      "--mappers", "0") == 2)
+    // operation failure exits 1: the foreign root has no such snapshot —
+    // and the failed import must not commit a local manifest
+    assert(cli("import", "--root", local, "--name", "nope", "--from", foreign) == 1)
+    assert(KvSnapshots.list(local).isEmpty,
+      "a failed import committed a local manifest")
+    // happy path: the imported copy restores byte-equal to the source cells
+    assert(cli("import", "--root", local, "--name", "s1", "--from", foreign) == 0)
+    val r = KvSnapshots.restore(spark, local, "s1")
+    assert(r.exceptAll(cells).count() == 0 && cells.exceptAll(r).count() == 0)
+    // re-import of a committed local copy without --overwrite refuses (1),
+    // exactly like a committed export destination
+    assert(cli("import", "--root", local, "--name", "s1", "--from", foreign) == 1)
+    // --overwrite re-imports in place; --force recopies even verified bytes
+    assert(cli("import", "--root", local, "--name", "s1", "--from", foreign,
+      "--overwrite", "true") == 0)
+    assert(cli("import", "--root", local, "--name", "s1", "--from", foreign,
+      "--force", "true") == 0)
+    KvSnapshots.verify(spark, local, "s1")
+    // self-import (same canonical root) must refuse — a typo'd --from
+    // would otherwise uncommit the very source about to be read
+    assert(cli("import", "--root", foreign, "--name", "s1", "--from", foreign,
+      "--force", "true") == 1)
+    KvSnapshots.verify(spark, foreign, "s1") // the source stayed committed
+  }
+
   test("posix perms are recorded in the manifest and survive export + import") {
     import java.nio.file.attribute.PosixFilePermissions
     val src = freshRoot()
