@@ -1133,8 +1133,70 @@ object Aggregations {
       |       ELSE 0 END AS ks_ppm
       |FROM sup JOIN nation ON nk = n_nationkey ORDER BY n_name""".stripMargin
 
+  /** MANN–WHITNEY U (r11) — the RANK-based two-sample screen that
+    * complements `agg_ks_test`'s sup-of-ECDFs: U is sensitive to a
+    * consistent LOCATION shift (one segment's order values
+    * stochastically larger than the other's) that a KS sup can
+    * under-read, and it is THE standard nonparametric A/B test an
+    * ML-ops pipeline runs per cohort. EXACT INTEGERS throughout, tie
+    * handling included: with the (nation, cents) collapsed grid and
+    * j = inclusive cumulative count of segment 2,
+    * 2·U₁ = Σ_v c₁(v) · (2·j(v) − c₂(v)) — each tied pair contributes
+    * exactly 1 to 2·U₁ (the ½ convention, doubled into integers) —
+    * and 2·U₂ = 2·n₁·n₂ − 2·U₁ checks out by construction. The
+    * products ride DECIMAL(38,0) (the `agg_ks_test` headroom rule:
+    * DuckDB's window/agg sums are already HUGEINT). Same scale shape
+    * as KS: one broadcast-dim join, one map-side-combinable (nation,
+    * value) collapse, nation-PARTITIONED cumulative windows. */
+  def aggMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey").as("nk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is1"))
+    val grid = rows.groupBy("nk", "cents")
+      .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+    val w = Window.partitionBy("nk").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("j", sum(col("c2")).over(w))
+      .groupBy("nk")
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * j - c2)")).as("u1x2_dec"))
+      .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n1"), col("n2"),
+        col("u1x2_dec").cast("bigint").as("u1_x2"),
+        (expr("2 * CAST(n1 AS DECIMAL(38,0)) * n2") - col("u1x2_dec"))
+          .cast("bigint").as("u2_x2"))
+      .orderBy("n_name")
+  }
+
+  val aggMannWhitneyOracle: String =
+    """WITH r AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |g AS (SELECT nk, cents, CAST(SUM(is1) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - is1) AS BIGINT) AS c2
+      |  FROM r GROUP BY nk, cents),
+      |cum AS (SELECT nk, cents, c1, c2,
+      |    SUM(c2) OVER (PARTITION BY nk ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+      |  FROM g),
+      |u AS (SELECT nk, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(c1::HUGEINT * (2 * j - c2)) AS u1x2
+      |  FROM cum GROUP BY nk)
+      |SELECT n_name, n1, n2, CAST(u1x2 AS BIGINT) AS u1_x2,
+      |  CAST(2 * n1::HUGEINT * n2 - u1x2 AS BIGINT) AS u2_x2
+      |FROM u JOIN nation ON nk = n_nationkey ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ks_test" -> (aggKsTest _),
+    "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_hhi" -> (aggHhi _),
     "agg_pareto" -> (aggPareto _),
@@ -1165,6 +1227,7 @@ object Aggregations {
 
   val oracle: Map[String, String] = Map(
     "agg_ks_test" -> aggKsTestOracle,
+    "agg_mann_whitney" -> aggMannWhitneyOracle,
     "agg_bitmap_distinct" -> aggBitmapDistinctOracle,
     "agg_hhi" -> aggHhiOracle,
     "agg_pareto" -> aggParetoOracle,

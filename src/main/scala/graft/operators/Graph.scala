@@ -160,6 +160,96 @@ object Graph {
        |  UNION ALL SELECT z FROM tri)
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** HITS HUBS & AUTHORITIES (Kleinberg, r11) — the directed
+    * centrality pair PageRank doesn't give: on the weighted trade
+    * graph, a good HUB (customer nation) buys from good authorities
+    * and a good AUTHORITY (supplier nation) is bought from by good
+    * hubs. Two unrolled mutual-reinforcement rounds in the
+    * `graph_pagerank` EXACT-INTEGER discipline: scores are parts-per-
+    * 1e9 BIGINTs, each step computes raw(v) = Σ w·score over incoming
+    * (authority step) or outgoing (hub step) edges in pure int64 —
+    * order-independent sums, so partitioned summation cannot diverge
+    * from DuckDB's — then L1-normalizes by exact integer division
+    * `(1e9·raw) div Σraw` (HITS requires normalization each step or
+    * scores diverge; L1 on integers replaces the float L2 norm, same
+    * fixpoint direction, zero float anywhere). Headroom: the
+    * UN-normalized raw sums reach Σw·1e9 (already > 2⁶³ at tiny SF),
+    * so every product and sum rides DECIMAL(38,0) on the Spark side
+    * and HUGEINT in DuckDB; only the final normalized ≤ 1e9 scores
+    * cast back to BIGINT. At 100 TB the per-round shape is two
+    * edge-keyed aggregations + one metadata-sized total broadcast —
+    * the same plan family as one PageRank round. */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = nation(spark, sfDir)
+    val n = nations.count()
+    val edges = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val nodes = nations.select(col("n_nationkey").cast("long").as("node"))
+    // L1-normalize to parts-per-1e9: exact integer division; the 1-row
+    // total broadcasts
+    def normalize(scores: DataFrame): DataFrame = {
+      val tot = scores.agg(sum(col("s")).as("tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((CAST($E9 AS DECIMAL(38,0)) * s) div tot AS BIGINT)").as("s"))
+    }
+    def step(scores: DataFrame, in: String, out: String): DataFrame =
+      normalize(nodes.join(
+        edges.join(scores, col(in) === col("node"))
+          .select(col(out).as("tgt"),
+            expr("CAST(w AS DECIMAL(38,0)) * s").as("c"))
+          .groupBy("tgt").agg(sum(col("c")).as("s")),
+        col("node") === col("tgt"), "left")
+        .select(col("node"),
+          coalesce(col("s"), expr("CAST(0 AS DECIMAL(38,0))")).as("s")))
+    var hubs = nodes.withColumn("s", lit(E9 / n))
+    var auths = nodes.withColumn("s", lit(E9 / n))
+    for (_ <- 1 to 2) {
+      auths = step(hubs, "src", "dst").localCheckpoint(true)
+      hubs = step(auths, "dst", "src").localCheckpoint(true)
+    }
+    nations
+      .join(hubs.withColumnRenamed("s", "hub_e9"), col("n_nationkey") === col("node"))
+      .drop("node")
+      .join(auths.withColumnRenamed("s", "auth_e9"), col("n_nationkey") === col("node"))
+      .select(col("n_nationkey"), col("n_name"), col("hub_e9"), col("auth_e9"))
+      .orderBy("n_nationkey")
+  }
+
+  /** The same two rounds unrolled: h0 → a1 → h1 → a2 → h2. Every SUM
+    * is cast back to BIGINT (DuckDB widens to HUGEINT) so both engines
+    * run identical int64 arithmetic. */
+  val graphHitsOracle: String = {
+    // raw sums exceed BIGINT (Σw·1e9) — they stay HUGEINT end to end,
+    // mirroring the Spark side's DECIMAL(38,0); only the normalized
+    // ≤ 1e9 score casts back
+    def step(prev: String, cur: String, in: String, out: String): String =
+      s"""${cur}_raw AS (
+         |  SELECT n.node, COALESCE(c.s, 0::HUGEINT) AS s
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.$out AS tgt, SUM(ed.w::HUGEINT * p.s) AS s
+         |    FROM ed JOIN $prev p ON ed.$in = p.node GROUP BY ed.$out) c
+         |  ON n.node = c.tgt),
+         |$cur AS (
+         |  SELECT node, CAST((1000000000::HUGEINT * s) //
+         |    (SELECT SUM(s) FROM ${cur}_raw) AS BIGINT) AS s
+         |  FROM ${cur}_raw)""".stripMargin
+    s"""WITH $edgesSql,
+       |ed AS (SELECT src, dst, w FROM e WHERE src <> dst),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |h0 AS (SELECT node,
+       |  CAST(1000000000 // (SELECT COUNT(*) FROM nation) AS BIGINT) AS s FROM nodes),
+       |${step("h0", "a1", "src", "dst")},
+       |${step("a1", "h1", "dst", "src")},
+       |${step("h1", "a2", "src", "dst")},
+       |${step("a2", "h2", "dst", "src")}
+       |SELECT n_nationkey, n_name, h.s AS hub_e9, a.s AS auth_e9
+       |FROM nation
+       |JOIN h2 h ON n_nationkey = h.node
+       |JOIN a2 a ON n_nationkey = a.node
+       |ORDER BY n_nationkey""".stripMargin
+  }
+
   /** CONNECTED COMPONENTS on the thresholded undirected trade graph
     * (same mean-weight edge set as `graph_triangles`): component id =
     * min nationkey reachable. Resolution reuses [[LlmDedup
@@ -809,6 +899,7 @@ object Graph {
     "graph_kcore" -> (graphKcore _),
     "graph_jaccard" -> (graphJaccard _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_hits" -> (graphHits _),
     "graph_triangles" -> (graphTriangles _),
     "graph_components" -> (graphComponents _),
     "graph_bfs" -> (graphBfs _))
@@ -822,6 +913,7 @@ object Graph {
     "graph_kcore" -> graphKcoreOracle,
     "graph_jaccard" -> graphJaccardOracle,
     "graph_pagerank" -> graphPagerankOracle,
+    "graph_hits" -> graphHitsOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_components" -> graphComponentsOracle,
     "graph_bfs" -> graphBfsOracle)

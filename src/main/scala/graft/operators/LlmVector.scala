@@ -919,6 +919,98 @@ object LlmVector {
        |      UNION ALL SELECT 'ivfpq_adc_rerank20', hits FROM ih2), iposs
        |ORDER BY method""".stripMargin
 
+  /** SCALAR QUANTIZATION SERVING (SQ8, r11) — the THIRD compression
+    * point on the accuracy/size curve, completing the family
+    * (full float → SQ8 int8 ~4× → PQ codes ~32×): the corpus stores as
+    * `llm_embed_quantize`'s exact per-vector symmetric int8 form
+    * (scale = max|x|/127, q = floor(x/scale + 0.5) — the deterministic
+    * recipe that key grades), queries stay full-precision, and search
+    * ranks by ASYMMETRIC L2 against the dequantized corpus
+    * (q·scale — the FAISS SQfp pattern: only the stored side pays the
+    * quantization error). Graded through the SAME recall harness as
+    * the PQ/IVFPQ keys so the three reports read as one curve: on this
+    * fixture SQ8's per-component error is ≤ scale/2 ≈ 0.4% of the
+    * range, so raw recall lands far above PQ's — the measured point
+    * that justifies SQ8 as the default serving compression when 4× is
+    * enough. At 100 TB: the int8 corpus is a column scan like any
+    * other, the dequantized distance is a codegen'd expression, no
+    * index state at all. */
+  private def sq8Dists(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .withColumn("v", col("v0").cast("double"))
+      .localCheckpoint()
+    val scales = ex.groupBy("vec_id")
+      .agg((max(abs(col("v"))) / 127).as("scale"))
+    // dequantized corpus value: round-trips the int8 code exactly as
+    // llm_embed_quantize stores it
+    val recon = ex.join(scales, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("pos"),
+        when(col("scale") === 0, 0.0)
+          .otherwise(expr("floor(v / scale + 0.5d) * scale")).as("rv"))
+    val q = ex.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
+    q.join(recon, Seq("pos"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(r6(sum((col("qv") - col("rv")) * (col("qv") - col("rv")))).as("adc_dist2"))
+  }
+
+  def llmAnnSq8Recall(spark: SparkSession, sfDir: String): DataFrame =
+    adcRecallReport(spark, sfDir, sq8Dists(spark, sfDir),
+      "sq8_l2", "sq8_l2_rerank20")
+
+  val llmAnnSq8RecallOracle: String =
+    s"""WITH sq_ex AS (
+       |  SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
+       |sq_scale AS (SELECT vec_id, MAX(ABS(v)) / 127 AS scale
+       |  FROM sq_ex GROUP BY vec_id),
+       |sq_recon AS (
+       |  SELECT e.vec_id AS neighbor_id, e.pos,
+       |    CASE WHEN s.scale = 0 THEN 0.0
+       |         ELSE FLOOR(e.v / s.scale + 0.5) * s.scale END AS rv
+       |  FROM sq_ex e JOIN sq_scale s ON e.vec_id = s.vec_id),
+       |sq_adc AS (
+       |  SELECT q.vec_id AS q_id, r.neighbor_id,
+       |    ROUND(SUM((q.v - r.rv) * (q.v - r.rv)), 6) AS adc_dist2
+       |  FROM sq_ex q JOIN sq_recon r ON q.pos = r.pos AND r.neighbor_id != q.vec_id
+       |  WHERE q.vec_id < 30 GROUP BY q.vec_id, r.neighbor_id),
+       |sl2_c AS (
+       |  SELECT qe.vec_id AS q_id, ex2.vec_id AS neighbor_id,
+       |    ROUND(SUM((qe.v - ex2.v) * (qe.v - ex2.v)), 6) AS d2
+       |  FROM sq_ex qe JOIN sq_ex ex2 ON qe.pos = ex2.pos AND ex2.vec_id != qe.vec_id
+       |  WHERE qe.vec_id < 30 GROUP BY qe.vec_id, ex2.vec_id),
+       |sexact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM sl2_c) WHERE rn <= 3),
+       |sraw AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM sq_adc) WHERE rn <= 3),
+       |sshort AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM sq_adc) WHERE rn <= 20),
+       |srerank AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY c.q_id ORDER BY c.d2 ASC, c.neighbor_id ASC) AS rn
+       |    FROM sl2_c c JOIN sshort s USING (q_id, neighbor_id)) WHERE rn <= 3),
+       |sh1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM sraw JOIN sexact USING (q_id, neighbor_id)),
+       |sh2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM srerank JOIN sexact USING (q_id, neighbor_id)),
+       |sposs AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM sexact)
+       |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
+       |FROM (SELECT 'sq8_l2' AS method, hits FROM sh1
+       |      UNION ALL SELECT 'sq8_l2_rerank20', hits FROM sh2), sposs
+       |ORDER BY method""".stripMargin
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction for serving/storing a 100 TB embedding corpus
     * (scale = max|x|/127 per vector, q = round-half-up(x/scale)).
@@ -1355,6 +1447,7 @@ object LlmVector {
     "llm_ann_pq_recall" -> (llmAnnPqRecall _),
     "llm_ann_ivfpq" -> (llmAnnIvfPq _),
     "llm_ann_ivfpq_recall" -> (llmAnnIvfPqRecall _),
+    "llm_ann_sq8_recall" -> (llmAnnSq8Recall _),
     "llm_knn_graph" -> (llmKnnGraph _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
@@ -1375,6 +1468,7 @@ object LlmVector {
     "llm_ann_pq_recall" -> llmAnnPqRecallOracle,
     "llm_ann_ivfpq" -> llmAnnIvfPqOracle,
     "llm_ann_ivfpq_recall" -> llmAnnIvfPqRecallOracle,
+    "llm_ann_sq8_recall" -> llmAnnSq8RecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,

@@ -499,6 +499,47 @@ object Scans {
 
   val sqlLateralTopnOracle: String = sqlLateralText("customer", "orders")
 
+  /** TPC-H Q22 SHAPE (global-average anti-join report, r11) — the one
+    * subquery combination the sql_/filter_ keys still lacked:
+    * UNCORRELATED scalar aggregate subqueries (the global
+    * positive-balance count/sum — planned ONCE as a broadcast scalar,
+    * not per row; correlated decorrelation is the OTHER keys' job)
+    * gating a NOT EXISTS anti join ("well-funded customers who never
+    * placed an URGENT order" — Q22's lapsed-accounts report with
+    * c_mktsegment standing in for the phone country code this schema
+    * doesn't carry, and the priority filter inside the subquery
+    * because this generator gives nearly every customer SOME order —
+    * the unfiltered form would grade an empty result). The
+    * above-average threshold is exact integer cross-multiplication
+    * (cents·n_pos > sum_pos — no division at the boundary); Catalyst
+    * plans the NOT EXISTS as a LEFT ANTI join on c_custkey and
+    * evaluates each global aggregate exactly once (PlanSpec). At
+    * 100 TB: two metadata-sized scalar broadcasts + one keyed anti
+    * join against orders — never a rescan per customer. */
+  def sqlQ22GlobalCust(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_q22_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_q22_orders")
+    spark.sql(sqlQ22Text("g_q22_customer", "g_q22_orders"))
+  }
+
+  private def sqlQ22Text(cust: String, ord: String): String =
+    s"""SELECT c_mktsegment AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(SUM(cents) AS BIGINT) AS total_cents
+       |FROM (SELECT c_custkey, c_mktsegment,
+       |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |      FROM $cust) c
+       |WHERE cents > 0
+       |  AND cents * (SELECT CAST(COUNT(*) AS BIGINT) FROM $cust WHERE c_acctbal > 0)
+       |      > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+       |         FROM $cust WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM $ord o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+
+  val sqlQ22GlobalCustOracle: String = sqlQ22Text("customer", "orders")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -544,6 +585,7 @@ object Scans {
     "sql_star_revenue" -> (sqlStarRevenue _),
     "sql_q3_shipping_priority" -> (sqlQ3ShippingPriority _),
     "sql_q5_local_volume" -> (sqlQ5LocalVolume _),
+    "sql_q22_global_cust" -> (sqlQ22GlobalCust _),
     "sql_lateral_topn" -> (sqlLateralTopn _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
@@ -562,6 +604,7 @@ object Scans {
     "sql_star_revenue" -> sqlStarRevenueOracle,
     "sql_q3_shipping_priority" -> sqlQ3ShippingPriorityOracle,
     "sql_q5_local_volume" -> sqlQ5LocalVolumeOracle,
+    "sql_q22_global_cust" -> sqlQ22GlobalCustOracle,
     "sql_lateral_topn" -> sqlLateralTopnOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,

@@ -201,6 +201,88 @@ class OperatorSpec extends SparkSpec {
     assert(ks.head.getLong(3) == dHand, "KS sup disagrees with the hand recompute")
   }
 
+  test("Mann-Whitney: U1+U2 identity holds and one nation recomputes pairwise") {
+    val mw = run("agg_mann_whitney").collect()
+    assert(mw.nonEmpty)
+    mw.foreach { r =>
+      val (n1, n2, u1, u2) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // 2U1 + 2U2 == 2·n1·n2 — the rank-sum identity, exact by construction
+      assert(u1 + u2 == 2 * n1 * n2, s"U identity broken: $u1 + $u2 != 2*$n1*$n2")
+      assert(u1 >= 0 && u2 >= 0)
+    }
+    // brute-force pairwise recompute for the first nation:
+    // 2U1 = Σ over (a in BUILDING, b in MACHINERY) of 2·[a>b] + [a=b]
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val ord = graft.sources.Tables.orders(spark, sf)
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .filter(col("n_name") === mw.head.getString(0)).collect().head.getAs[Number](0).longValue
+    val vals = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === nat &&
+        col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val s1 = vals.collect { case ("BUILDING", c) => c }
+    val s2 = vals.collect { case ("MACHINERY", c) => c }
+    val u1Hand = (for (a <- s1; b <- s2)
+      yield (if (a > b) 2L else 0L) + (if (a == b) 1L else 0L)).sum
+    assert(mw.head.getLong(3) == u1Hand,
+      s"2U1 ${mw.head.getLong(3)} disagrees with the pairwise recompute $u1Hand")
+  }
+
+  test("HITS: L1-normalized scores recompute exactly in driver-side BigInt") {
+    val h = run("graph_hits").collect()
+    assert(h.length == 25)
+    // normalization: each score vector sums to 1e9 minus per-node
+    // truncation (< n off)
+    val hubSum = h.map(_.getLong(2)).sum
+    val authSum = h.map(_.getLong(3)).sum
+    assert(hubSum > 1000000000L - 25 && hubSum <= 1000000000L, s"hub L1 sum $hubSum")
+    assert(authSum > 1000000000L - 25 && authSum <= 1000000000L, s"auth L1 sum $authSum")
+    // independent recompute: same two mutual-reinforcement rounds in
+    // exact BigInt over the collected (≤ nations²) edge list
+    val edges = graft.operators.Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getLong(2)))
+    val nodes = h.map(_.getAs[Number](0).longValue).sorted
+    def normalize(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> (BigInt(1000000000L) * v / tot) }
+    }
+    def step(scores: Map[Long, BigInt], incoming: Boolean): Map[Long, BigInt] =
+      normalize(nodes.map { v =>
+        v -> edges.collect {
+          case (s, d, w) if (if (incoming) d == v else s == v) =>
+            BigInt(w) * scores(if (incoming) s else d)
+        }.sum
+      }.toMap)
+    var hubs = nodes.map(_ -> BigInt(1000000000L / 25)).toMap
+    var auths = hubs
+    for (_ <- 1 to 2) {
+      auths = step(hubs, incoming = true)
+      hubs = step(auths, incoming = false)
+    }
+    h.foreach { r =>
+      val n = r.getAs[Number](0).longValue
+      assert(BigInt(r.getLong(2)) == hubs(n), s"hub($n) diverged")
+      assert(BigInt(r.getLong(3)) == auths(n), s"auth($n) diverged")
+    }
+  }
+
+  test("SQ8: near-lossless at 4x compression — recall dominates PQ's 32x point") {
+    val rec = run("llm_ann_sq8_recall").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val pq = run("llm_ann_pq_recall").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // the compression curve must be monotone: 4x (SQ8) loses less than
+    // 32x (PQ) at both operating points — on any fixture
+    assert(rec("sq8_l2") >= pq("pq_adc"),
+      s"SQ8 raw ${rec("sq8_l2")} fell below PQ raw ${pq("pq_adc")}")
+    assert(rec("sq8_l2_rerank20") >= pq("pq_adc_rerank20"),
+      s"SQ8 rerank ${rec("sq8_l2_rerank20")} below PQ rerank ${pq("pq_adc_rerank20")}")
+    assert(rec("sq8_l2_rerank20") >= rec("sq8_l2"), "rerank lost to raw")
+  }
+
   test("MMR: greedy scores non-increasing, first pick is the relevance top-1") {
     val mmr = run("llm_mmr_diversify")
     val perQ = mmr.groupBy("q_id").agg(count(lit(1)).as("n"),

@@ -392,6 +392,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "part dim not broadcast:\n" + p.take(800))
   }
 
+  test("Q22-shape global-average gate plans an anti join, scalar subqueries run once") {
+    val p = plan("sql_q22_global_cust")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become an anti join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    // the UNCORRELATED aggregates must appear as once-executed scalar
+    // subqueries (broadcast scalars), not correlate to the outer row
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val subs = run("sql_q22_global_cust").queryExecution.optimizedPlan
+      .expressions.flatMap(_.collect { case s: ScalarSubquery => s })
+    assert(subs.forall(_.outerAttrs.isEmpty),
+      "a global-average subquery stayed correlated (per-row execution at scale)")
+  }
+
   test("IVFADC prunes by cell before ADC-scoring — never the full codes table") {
     val p = plan("llm_ann_ivfpq")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
