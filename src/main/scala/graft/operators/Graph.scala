@@ -385,6 +385,68 @@ object Graph {
        |  ON n_nationkey = m.node
        |ORDER BY n_nationkey""".stripMargin
 
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS (r11) — `graph_bfs` counts
+    * HOPS; this key minimizes COST, the routing/dependency-latency
+    * primitive hops can't answer (two cheap hops through a high-volume
+    * intermediary can beat one expensive direct edge — measurably true
+    * on this graph). Edge cost inverts trade volume exactly in
+    * integers: c = 1 + floor(1e6 / w) (double division of small ints is
+    * correctly rounded, so the floor is portable; the +1 keeps every
+    * cost positive). Algorithm: Bellman–Ford relaxation UNROLLED to 5
+    * synchronized rounds — dk(v) = min(dk-1(v), min over edges
+    * (u,v) of dk-1(u) + c) — each round ONE edge-keyed equi-join + one
+    * min-groupBy, the Pregel SSSP shape (at 100 TB each round shuffles
+    * candidate relaxations on the node key; rounds bound by optimal-
+    * path hop count, small on dense graphs). 5 fixed rounds, not
+    * convergence-tested, for the LPA determinism reason; the spec
+    * asserts round 5 IS the fixpoint on the test graph (round 4 equal),
+    * and unreachable nodes hold the sentinel 1e15 rather than NULL so
+    * the min-lattice stays total. The oracle runs the same 5 unrolled
+    * min-relaxation rounds as CTEs — identical lattice, engine-
+    * independent arithmetic (all integer adds/mins). */
+  def graphSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val INF = 1000000000000000L
+    val ec = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        (lit(1L) + floor(lit(1000000L) / col("w")).cast("long")).as("c"))
+      .localCheckpoint(true)
+    var dist = nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("node"))
+      .withColumn("d", when(col("node") === 0L, 0L).otherwise(INF))
+    for (round <- 1 to 5) {
+      val relaxed = ec.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node2"), (col("d") + col("c")).as("d2"))
+      dist = dist.join(relaxed, col("node") === col("node2"), "left")
+        .groupBy("node")
+        .agg(least(min(col("d")), coalesce(min(col("d2")), lit(INF))).as("d"))
+      // lineage cut every other round (memory note: checkpoint cost vs
+      // plan fan-out on node-bounded frames)
+      if (round % 2 == 0) dist = dist.localCheckpoint(true)
+    }
+    nation(spark, sfDir)
+      .join(dist, col("n_nationkey") === col("node"))
+      .select(col("n_nationkey"), col("n_name"), col("d").as("dist_cost"))
+      .orderBy("n_nationkey")
+  }
+
+  val graphSsspOracle: String = {
+    val roundSql = (k: Int) =>
+      s"""d$k AS (SELECT node, MIN(d) AS d FROM (
+         |  SELECT node, d FROM d${k - 1} UNION ALL
+         |  SELECT e.dst, p.d + e.c FROM d${k - 1} p JOIN ec e ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $edgesSql,
+       |ec AS (SELECT src, dst, 1 + CAST(FLOOR(1000000 / w) AS BIGINT) AS c
+       |       FROM e WHERE src <> dst),
+       |d0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |  CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(1000000000000000 AS BIGINT) END AS d FROM nation),
+       |${(1 to 5).map(roundSql).mkString(",\n")}
+       |SELECT n_nationkey, n_name, d AS dist_cost
+       |FROM nation JOIN d5 ON n_nationkey = node
+       |ORDER BY n_nationkey""".stripMargin
+  }
+
   /** NEIGHBOR-SET JACCARD — link prediction's baseline similarity
     * (|N(a)∩N(b)| / |N(a)∪N(b)| for every node pair sharing at least
     * one neighbor): candidate pairs are GENERATED by an equi-join on
@@ -902,7 +964,8 @@ object Graph {
     "graph_hits" -> (graphHits _),
     "graph_triangles" -> (graphTriangles _),
     "graph_components" -> (graphComponents _),
-    "graph_bfs" -> (graphBfs _))
+    "graph_bfs" -> (graphBfs _),
+    "graph_sssp" -> (graphSssp _))
 
   val oracle: Map[String, String] = Map(
     "graph_communities" -> graphCommunitiesOracle,
@@ -916,5 +979,6 @@ object Graph {
     "graph_hits" -> graphHitsOracle,
     "graph_triangles" -> graphTrianglesOracle,
     "graph_components" -> graphComponentsOracle,
-    "graph_bfs" -> graphBfsOracle)
+    "graph_bfs" -> graphBfsOracle,
+    "graph_sssp" -> graphSsspOracle)
 }

@@ -540,6 +540,81 @@ object Scans {
 
   val sqlQ22GlobalCustOracle: String = sqlQ22Text("customer", "orders")
 
+  /** TPC-H Q21 SHAPE (suppliers who kept orders waiting, r11) — the
+    * hardest stock decorrelation: TWO predicate subqueries on the SAME
+    * fact table with the same correlation key but opposite quantifiers
+    * — EXISTS (another supplier contributed to this order) AND
+    * NOT EXISTS (another supplier was ALSO late on it), i.e. "this
+    * supplier was the sole bottleneck of a multi-supplier order".
+    * Catalyst must plan ONE left-semi and ONE left-anti join against
+    * lineitem on the order key (RewritePredicateSubquery) — three
+    * scans of the same fact, never a per-row loop; PlanSpec pins zero
+    * surviving subqueries and no Cartesian. Lateness adapts Q21's
+    * receipt-vs-commit (columns this schema doesn't carry) to
+    * ship-vs-order + 60 days — the NOT EXISTS body is itself a
+    * lineitem⋈orders join, so the anti side is a JOIN TREE like Q2's
+    * subquery body. Identical SQL text on both engines; counts are
+    * deterministic (numwait DESC, name tiebreak). At 100 TB: three
+    * order-key shuffles of lineitem + a broadcast supplier dim — the
+    * semi/anti sides carry only (orderkey, suppkey). */
+  def sqlQ21WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    supplier(spark, sfDir).createOrReplaceTempView("g_q21_supplier")
+    orders(spark, sfDir).createOrReplaceTempView("g_q21_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q21_lineitem")
+    spark.sql(sqlQ21Text("g_q21_supplier", "g_q21_orders", "g_q21_lineitem"))
+  }
+
+  private def sqlQ21Text(supp: String, ord: String, li: String): String =
+    s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM $supp JOIN $li l1 ON s_suppkey = l1.l_suppkey
+       |JOIN $ord o ON o.o_orderkey = l1.l_orderkey
+       |WHERE o.o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       |  AND EXISTS (SELECT 1 FROM $li l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM $li l3
+       |                  JOIN $ord o3 ON o3.o_orderkey = l3.l_orderkey
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  val sqlQ21WaitingSupplierOracle: String =
+    sqlQ21Text("supplier", "orders", "lineitem")
+
+  /** TPC-H Q18 SHAPE (large-volume orders, r11) — the IN-over-
+    * aggregated-HAVING subquery the other sql_ keys don't grade:
+    * membership is defined by an AGGREGATE of the inner table
+    * (orders whose lines total > 180 units), so Catalyst must plan
+    * aggregate-then-LEFT-SEMI-join (the subquery collapses lineitem to
+    * order grain BEFORE the probe — at 100 TB the semi side is
+    * |orders| keys, not |lineitem| rows), then the outer re-joins
+    * lineitem to re-aggregate the winners' quantities. Whole-number
+    * quantities make SUM exact in double and the BIGINT cast lossless;
+    * ORDER BY (total_qty DESC, orderkey) is a total order. Identical
+    * SQL text on both engines. */
+  def sqlQ18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_q18_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_q18_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q18_lineitem")
+    spark.sql(sqlQ18Text("g_q18_customer", "g_q18_orders", "g_q18_lineitem"))
+  }
+
+  private def sqlQ18Text(cust: String, ord: String, li: String): String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  CAST(o_orderdate AS DATE) AS odate,
+       |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+       |FROM $cust JOIN $ord ON c_custkey = o_custkey
+       |JOIN $li ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM $li
+       |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  val sqlQ18LargeOrdersOracle: String =
+    sqlQ18Text("customer", "orders", "lineitem")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -586,6 +661,8 @@ object Scans {
     "sql_q3_shipping_priority" -> (sqlQ3ShippingPriority _),
     "sql_q5_local_volume" -> (sqlQ5LocalVolume _),
     "sql_q22_global_cust" -> (sqlQ22GlobalCust _),
+    "sql_q21_waiting_supplier" -> (sqlQ21WaitingSupplier _),
+    "sql_q18_large_orders" -> (sqlQ18LargeOrders _),
     "sql_lateral_topn" -> (sqlLateralTopn _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
@@ -605,6 +682,8 @@ object Scans {
     "sql_q3_shipping_priority" -> sqlQ3ShippingPriorityOracle,
     "sql_q5_local_volume" -> sqlQ5LocalVolumeOracle,
     "sql_q22_global_cust" -> sqlQ22GlobalCustOracle,
+    "sql_q21_waiting_supplier" -> sqlQ21WaitingSupplierOracle,
+    "sql_q18_large_orders" -> sqlQ18LargeOrdersOracle,
     "sql_lateral_topn" -> sqlLateralTopnOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,

@@ -1076,6 +1076,77 @@ object Sources {
 
   val kvRegionMergeOracle: String = Scans.scanKvModelOracle
 
+  /** REGION REBALANCE (r11) — the third verb of the region lifecycle
+    * (split grows the region count, merge shrinks it, REBALANCE moves
+    * regions across servers when load skews — HBase's balancer). The
+    * production balancer is randomized (stochastic cost descent), so
+    * this grades the deterministic core every balancer reduces to:
+    * LPT-style snake placement — regions ranked by size (cells DESC,
+    * region-id tiebreak), dealt across 5 servers boustrophedon (left-
+    * to-right, then right-to-left), which bounds the max/min server
+    * spread by one region size without any sequential greedy state —
+    * fully parallel, no driver loop (contrast MMR's unrolled greedy:
+    * here the snake closed form IS the assignment). The global
+    * size-rank itself is computed the DISTRIBUTED way — never an
+    * unpartitioned window (the whole-surface PlanSpec rule): rank =
+    * (count of strictly-larger regions, from a broadcast histogram
+    * theta-join) + row_number within the equal-size group (a
+    * PARTITIONED window) — the standard two-phase global-rank idiom
+    * that holds at any region count. Regions = rowkey÷8 ranges over
+    * the store's cells, read back through the graft-kv connector like
+    * every kv key. At 100 TB the input is region METADATA (count ≈
+    * store size / region size), dimension-sized regardless of table
+    * size. */
+  def kvRegionRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = freshKvStore(spark, sfDir, "supplier_kv_rebalance")
+    val regions = cells
+      .groupBy(floor(col("rowkey") / 8).cast("long").as("region"))
+      .agg(count(lit(1)).as("cells"))
+    // phase 1: regions strictly larger than mine, via the size
+    // histogram (metadata-sized, broadcast)
+    val hist = regions.groupBy(col("cells").as("hc")).agg(count(lit(1)).as("hn"))
+    val prefix = hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.hc") > col("a.hc"), "left")
+      .groupBy(col("a.hc").as("pc"))
+      .agg(coalesce(sum(col("b.hn")), lit(0L)).as("before"))
+    // phase 2: row_number within the equal-size group only — partitioned
+    val within = row_number()
+      .over(Window.partitionBy(col("cells")).orderBy(col("region"))) - 1
+    regions
+      .join(broadcast(prefix), col("cells") === col("pc"))
+      .withColumn("rn", (col("before") + within).cast("long"))
+      .withColumn("server",
+        when((col("rn") / 5).cast("long") % 2 === 0, col("rn") % 5)
+          .otherwise(lit(4) - col("rn") % 5))
+      .groupBy(col("server").cast("long").as("server"))
+      .agg(count(lit(1)).as("n_regions"), sum(col("cells")).as("total_cells"),
+        min(col("region")).as("min_region"), max(col("region")).as("max_region"))
+      .orderBy("server")
+  }
+
+  val kvRegionRebalanceOracle: String =
+    """WITH cells AS (
+      |  SELECT s_suppkey AS rowkey FROM supplier
+      |  UNION ALL SELECT s_suppkey FROM supplier
+      |  UNION ALL SELECT s_suppkey FROM supplier),
+      |regions AS (SELECT CAST(FLOOR(rowkey / 8) AS BIGINT) AS region,
+      |    CAST(COUNT(*) AS BIGINT) AS cells
+      |  FROM cells GROUP BY 1),
+      |ranked AS (SELECT region, cells,
+      |    ROW_NUMBER() OVER (ORDER BY cells DESC, region) - 1 AS rn
+      |  FROM regions),
+      |placed AS (SELECT region, cells,
+      |    CASE WHEN CAST(FLOOR(rn / 5) AS BIGINT) % 2 = 0 THEN rn % 5
+      |         ELSE 4 - rn % 5 END AS server
+      |  FROM ranked)
+      |SELECT CAST(server AS BIGINT) AS server,
+      |  CAST(COUNT(*) AS BIGINT) AS n_regions,
+      |  CAST(SUM(cells) AS BIGINT) AS total_cells,
+      |  CAST(MIN(region) AS BIGINT) AS min_region,
+      |  CAST(MAX(region) AS BIGINT) AS max_region
+      |FROM placed GROUP BY server ORDER BY server""".stripMargin
+
   /** PIVOT: order counts per priority × status (explicit value list so
     * the output schema is static). */
   def pivotStatusByPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -1341,6 +1412,7 @@ object Sources {
     "kv_pitr_restore" -> (kvPitrRestore _),
     "kv_wal_replay" -> (kvWalReplay _),
     "kv_region_merge" -> (kvRegionMerge _),
+    "kv_region_rebalance" -> (kvRegionRebalance _),
     "source_schema_evolution" -> (sourceSchemaEvolution _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
@@ -1379,6 +1451,7 @@ object Sources {
     "kv_pitr_restore" -> kvPitrRestoreOracle,
     "kv_wal_replay" -> kvWalReplayOracle,
     "kv_region_merge" -> kvRegionMergeOracle,
+    "kv_region_rebalance" -> kvRegionRebalanceOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle,
     "source_text_roundtrip" -> sourceTextRoundtripOracle,
     "source_csv_roundtrip" -> sourceCsvRoundtripOracle,

@@ -269,6 +269,61 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("SSSP: 5-round relaxation is the fixpoint and matches a driver Dijkstra") {
+    val got = run("graph_sssp").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(2)).toMap
+    // independent algorithm: plain Dijkstra in driver-side Scala over
+    // the collected (≤ nations²) cost edges
+    val edges = graft.operators.Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        1L + 1000000L / r.getLong(2)))
+    val INF = 1000000000000000L
+    val dist = scala.collection.mutable.Map(got.keys.map(_ -> INF).toSeq: _*)
+    dist(0L) = 0L
+    val unvisited = scala.collection.mutable.Set(got.keys.toSeq: _*)
+    while (unvisited.nonEmpty) {
+      val u = unvisited.minBy(dist)
+      unvisited -= u
+      edges.foreach { case (s, d, c) =>
+        if (s == u && dist(u) != INF && dist(u) + c < dist(d)) dist(d) = dist(u) + c
+      }
+    }
+    got.foreach { case (n, d) =>
+      assert(d == dist(n), s"dist($n): graded $d, Dijkstra ${dist(n)}")
+    }
+    // the key is interesting only if some optimum is genuinely multi-hop
+    val direct = edges.collect { case (0L, d, c) => d -> c }.toMap
+    assert(got.exists { case (n, d) => n != 0L && direct.get(n).exists(d < _) },
+      "no node where a multi-hop path beats the direct edge — weights degenerate")
+  }
+
+  test("region rebalance: lossless totals and the exact snake recompute") {
+    val got = run("kv_region_rebalance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nSupp = graft.sources.Tables.supplier(spark, sf).count()
+    assert(got.map(_._3).sum == 3 * nSupp, "assigned cells != store cells")
+    // recompute the snake placement sequentially from region sizes
+    val regions = graft.sources.Tables.supplier(spark, sf)
+      .groupBy(floor(col("s_suppkey") / 8).cast("long").as("region"))
+      .agg((count(lit(1)) * 3).as("cells")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (region, cells) => (-cells, region) }
+    val byServer = regions.zipWithIndex.groupBy { case (_, rn) =>
+      if ((rn / 5) % 2 == 0) rn % 5 else 4 - rn % 5
+    }
+    got.foreach { case (server, n, total) =>
+      val exp = byServer(server.toInt)
+      assert(n == exp.length && total == exp.map(_._1._2).sum,
+        s"server $server: graded ($n, $total) vs snake recompute")
+    }
+    // LPT balance: no present server's total exceeds another's by more
+    // than the largest single region
+    val spread = got.map(_._3).max - got.map(_._3).min
+    assert(spread <= regions.map(_._2).max,
+      s"spread $spread exceeds the largest region ${regions.map(_._2).max}")
+  }
+
   test("SQ8: near-lossless at 4x compression — recall dominates PQ's 32x point") {
     val rec = run("llm_ann_sq8_recall").collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap

@@ -405,6 +405,30 @@ class PlanSpec extends SparkSpec {
       "a global-average subquery stayed correlated (per-row execution at scale)")
   }
 
+  test("Q21-shape EXISTS + NOT EXISTS plan as one semi and one anti join") {
+    val p = plan("sql_q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(1200))
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become an anti join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a predicate subquery degenerated to a per-row loop:\n" + p.take(1200))
+  }
+
+  test("Q18-shape IN over an aggregated HAVING plans aggregate-then-semi-join") {
+    val qe = run("sql_q18_large_orders").queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // the semi probe side must be the collapsed order-grain aggregate,
+    // not raw lineitem rows
+    val semiWithAgg = qe.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi &&
+        j.right.collectFirst { case a: Aggregate => a }.nonEmpty => j
+    }
+    assert(semiWithAgg.nonEmpty,
+      "no semi join probing an aggregated subquery in the optimized plan")
+    val p = plan("sql_q18_large_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVFADC prunes by cell before ADC-scoring — never the full codes table") {
     val p = plan("llm_ann_ivfpq")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
