@@ -1165,7 +1165,11 @@ object Aggregations {
       .groupBy("nk")
       .agg(
         sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * j - c2)")).as("u1x2_dec"))
+        // the doubling rides DECIMAL too (r12 advice): DuckDB's window
+        // SUM already promoted j to HUGEINT, so BIGINT-side 2*j would
+        // wrap first on the Spark side at extreme per-nation counts
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * CAST(j AS DECIMAL(38,0)) - c2)"))
+          .as("u1x2_dec"))
       .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
       .select(col("n_name"), col("n1"), col("n2"),
         col("u1x2_dec").cast("bigint").as("u1_x2"),

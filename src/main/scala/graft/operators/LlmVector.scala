@@ -559,8 +559,8 @@ object LlmVector {
     * subspaces in ONE DataFrame pass — the subspace is just a grouping
     * column. At 100 TB: the codebook is m·k·(64/m) doubles on the
     * driver, the query distance tables broadcast, and scoring the
-    * corpus is one scan of the CODES table (4 small ints per vector —
-    * a ~64× storage cut vs float32) + a (sub, code)-keyed broadcast
+    * corpus is one scan of the CODES table (8 small codes per vector —
+    * a ~32× storage cut vs float32) + a (sub, code)-keyed broadcast
     * join; no full vector moves at query time. `llm_ann_pq_recall`
     * measures what the compression costs against the exact L2 top-3. */
   private val PqM = 8

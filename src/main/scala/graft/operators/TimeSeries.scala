@@ -467,14 +467,21 @@ object TimeSeries {
         // mtimes (batch i at base + i minutes) so the micro-batch order
         // is deterministic regardless of write timing granularity
         var before = Set.empty[java.nio.file.Path]
-        var baseMs = 0L
+        // Option, not a 0L sentinel (r12 advice): an epoch-0 mtime is a
+        // legitimate value, and an empty first split must not throw on
+        // fresh.max — it simply has nothing to stamp.
+        var baseMs: Option[Long] = None
         def stampBatch(step: Int): Unit = {
           val now = graft.util.Scratch.parquetFiles(stageDir).toSet
           val fresh = now -- before
-          if (baseMs == 0L)
-            baseMs = fresh.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
-          fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(baseMs + step * 60000L)))
+          if (fresh.nonEmpty) {
+            val base = baseMs.getOrElse {
+              val b = fresh.map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+              baseMs = Some(b); b
+            }
+            fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(base + step * 60000L)))
+          }
           before = now
         }
         (0 until splits).foreach { i =>

@@ -28,20 +28,27 @@ import org.apache.spark.sql.types._
   *    join — O(|L| + 2|R|) with the original band predicates left as
   *    residual filters.
   *
-  * Bucket-id arithmetic (r11, the double-ulp audit): when both band
-  * bases are INTEGRAL (incl. timestamps, which bucket on their exact
-  * epoch-micros) and the offsets are whole numbers, bucket ids are
-  * computed with EXACT integer floor-division — `(x − pmod(x, W)) div
-  * W` — so no slack is needed: monotonicity of floor alone guarantees
-  * every matching pair shares a reachable bucket, even for BIGINT
-  * nanosecond timestamps (~1.7e18) with a sub-200ns band, where a
-  * Double-cast bucket id would misround by ORDERS of buckets and the
-  * old fixed ±1 slack silently dropped matches. Only genuinely
-  * fractional bases take the Double path, and there the slack is
-  * DERIVED FROM THE VALUE MAGNITUDE per row — 1 + |bucket|/2⁵⁰ covers
-  * the few-ulp relative error of the add/divide/floor chain on both
-  * the probe and build computations (a fixed ±1 would again be
-  * insufficient once |x|/W approaches 2⁵²).
+  * Bucket-id arithmetic (r11 double-ulp audit; r12 overflow-total
+  * rework): when both band bases are INTEGRAL (incl. timestamps,
+  * which bucket on their exact epoch-micros) and the offsets are
+  * whole numbers, bucket ids are computed with EXACT integer
+  * floor-division in arithmetic that is TOTAL over the Long range —
+  * `x + off` is never formed (it wraps within |off| of ±2⁶³);
+  * instead off decomposes as q·W + r and the bucket is
+  * `q + [pmod(x,W)+r ≥ W] + floorDiv(x,W)`, every step provably in
+  * range for 2 ≤ W ≤ 2⁶². No slack is needed: monotonicity of floor
+  * alone guarantees every matching pair shares a reachable bucket,
+  * even for BIGINT nanosecond timestamps (~1.7e18) with a sub-200ns
+  * band, where a Double-cast bucket id would misround by ORDERS of
+  * buckets. Integral bands the exact path cannot serve safely
+  * (W = 1, where the bucket id itself can exceed Long) are DECLINED,
+  * never routed to Doubles. Only genuinely fractional bases take the
+  * Double path, and there the slack is DERIVED FROM THE VALUE
+  * MAGNITUDE per row — 1 + |bucket|/2⁵⁰ covers the few-ulp relative
+  * error of the add/divide/floor chain on both the probe and build
+  * computations — with the quotient clamped to ±2⁵² before Floor so
+  * the slack (and hence the explode factor) is capped at 5 and the
+  * Long conversion cannot overflow at any input magnitude.
   *
   * Correctness containment:
   *  - fires only when the join has NO cross-side equi conjunct (there
@@ -191,52 +198,128 @@ object BandJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
           case None => j
           case Some((a, b, offLo, offHi, w)) =>
             // EXACT integer path: integral bases + whole offsets ⇒
-            // floor-division in Long arithmetic, zero rounding, zero
-            // slack. floorDiv(x, w) = (x − pmod(x, w)) div w — pmod's
-            // non-negative remainder makes the numerator an exact
-            // multiple of w, so truncating `div` IS floor division.
-            // (Residual assumption: x + off does not overflow Long —
-            // offsets are band bounds, orders of magnitude below 2⁶³.)
-            val exact = integral(a.dataType) && integral(b.dataType) &&
-              offLo.isValidLong && offHi.isValidLong && w.isValidLong
-            val (lo, hi, probeBucket) =
+            // floor-division computed with OVERFLOW-TOTAL Long
+            // arithmetic (r12 advice: a band on full-range 64-bit hash
+            // keys must not wrap x + off and silently lose matches).
+            // Never form x + off: decompose off = q·w + r (Scala-side
+            // exact, 0 ≤ r < w) and use
+            //   floorDiv(x + off, w) = q + [pmod(x, w) + r ≥ w] + floorDiv(x, w)
+            // where floorDiv(x, w) adjusts truncating `div` by the
+            // dividend-sign test (w > 0). With 2 ≤ w ≤ 2⁶²: pmod + r ≤
+            // 2w − 2 fits, |q| + 1 ≤ 2⁶²+1 fits, and the true bucket
+            // |floor((x+off)/w)| ≤ 2⁶⁴/w ≤ 2⁶³ is Long-representable,
+            // so no intermediate or final value can overflow for ANY
+            // input x. w = 1 (where bucket = x + off itself can exceed
+            // Long range) is declined below rather than routed to the
+            // Double path — a 2⁶³-magnitude integral base would clamp
+            // into one degenerate bucket there.
+            val isIntegral = integral(a.dataType) && integral(b.dataType)
+            val exact = isIntegral &&
+              offLo.isValidLong && offHi.isValidLong && w.isValidLong &&
+              w >= 2 && w <= BigDecimal(Long.MaxValue / 2)
+            if (isIntegral && !exact) j
+            else {
+            def seqOf(sLo: Expression, sHi: Expression): Expression =
+              Sequence(sLo, sHi, Some(Literal(1L)),
+                // Sequence is TimeZoneAwareExpression: `resolved` demands
+                // a zone id even for pure-integral sequences — set it
+                // here, as the analyzer that normally would has run
+                Some(conf.sessionLocalTimeZone))
+            val (buckets, probeBucket) =
               if (exact) {
-                val wl = Literal(w.toLongExact)
-                def bucketOf(e: Expression, off: Long): Expression = {
-                  val x = if (off == 0L) Cast(e, LongType)
-                          else Add(Cast(e, LongType), Literal(off))
-                  IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+                val wLong = w.toLongExact
+                val wl = Literal(wLong)
+                def floorDivW(x: Expression): Expression = {
+                  val tdiv = IntegralDivide(x, wl)
+                  If(And(LessThan(x, Literal(0L)),
+                      Not(EqualTo(Remainder(x, wl), Literal(0L)))),
+                    Subtract(tdiv, Literal(1L)), tdiv)
                 }
-                (bucketOf(b, offLo.toLongExact), bucketOf(b, offHi.toLongExact),
-                  bucketOf(a, 0L))
+                def bucketOf(e: Expression, off: Long): Expression = {
+                  val x = Cast(e, LongType)
+                  if (off == 0L) floorDivW(x)
+                  else {
+                    val q = Math.floorDiv(off, wLong)
+                    val r = Math.floorMod(off, wLong)
+                    val carry = If(
+                      GreaterThanOrEqual(Add(Pmod(x, wl), Literal(r)), wl),
+                      Literal(1L), Literal(0L))
+                    Add(Add(Literal(q), carry), floorDivW(x))
+                  }
+                }
+                val (offL, offH) = (offLo.toLongExact, offHi.toLongExact)
+                val main = seqOf(bucketOf(b, offL), bucketOf(b, offH))
+                // Non-ANSI wrap-zone cover: with ANSI off, Spark's own
+                // `b + off` in the ORIGINAL predicate wraps silently, so
+                // a pair can legitimately match through the wrapped
+                // bounds when b sits within |off| of ±2⁶³ (both bounds
+                // wrap together — a partial wrap makes the accepted
+                // interval empty). Those matches live in the buckets of
+                // the WRAPPED bounds, which is exactly what a plain
+                // two's-complement Add computes — emit that range too,
+                // only for rows in the wrap zone. Its buckets are sign-
+                // opposite to the main range's (w ≥ 2), so no build row
+                // emits a duplicate bucket and LeftOuter multiplicity is
+                // unchanged. With ANSI on the predicate would throw
+                // instead of wrap, so no such matches exist (candidates
+                // that do meet still evaluate the original predicate and
+                // raise the same error as the un-rewritten plan).
+                val x = Cast(b, LongType)
+                val wrapZone: Option[Expression] =
+                  if (conf.ansiEnabled) None
+                  else if (offL > 0L)
+                    Some(GreaterThan(x, Literal(Long.MaxValue - offL)))
+                  else if (offH < 0L)
+                    Some(LessThan(x, Literal(Long.MinValue - offH)))
+                  else None
+                val arr = wrapZone match {
+                  case None => main
+                  case Some(zone) =>
+                    val wrapped = seqOf(
+                      floorDivW(Add(x, Literal(offL))),
+                      floorDivW(Add(x, Literal(offH))))
+                    If(zone, Concat(Seq(main, wrapped)), main)
+                }
+                (arr, bucketOf(a, 0L))
               } else {
                 // Double path (genuinely fractional bases): bucket ids
                 // carry a few-ulp RELATIVE error, so the slack must
                 // scale with the bucket magnitude — 1 + |bucket|/2⁵⁰
                 // dominates the probe-side and build-side errors
-                // combined (each ≤ a few × |bucket|·2⁻⁵²); a fixed ±1
-                // is only sufficient while |x|/W stays far below 2⁵².
+                // combined (each ≤ a few × |bucket|·2⁻⁵²). Both the
+                // slack (= explode factor) and Floor's Long conversion
+                // must stay BOUNDED (r12 advice), so the quotient is
+                // clamped to ±2⁵² before Floor: clamp is monotone and
+                // 1-Lipschitz, so bucket ordering and the error bound
+                // survive, rows beyond the clamp collapse into the
+                // boundary bucket on BOTH sides and still meet, the
+                // slack caps at 1 + 2⁵²/2⁵⁰ = 5 (explode ≤ ~12 copies
+                // per build row), and Floor's output always fits Long.
+                // NaN/±Inf quotients clamp too (greatest(NaN, c) = NaN,
+                // least(NaN, L) = L in Spark's ordering); the original
+                // predicate discards those candidates afterwards.
                 val wLit = Literal(w.toDouble, DoubleType)
+                val limD = Literal((1L << 52).toDouble, DoubleType)
+                val negLimD = Literal(-(1L << 52).toDouble, DoubleType)
                 def bucketOf(e: Expression, off: Double): Expression =
-                  Floor(Divide(Add(Cast(e, DoubleType), Literal(off, DoubleType)), wLit))
+                  Floor(Least(Seq(Greatest(Seq(
+                    Divide(Add(Cast(e, DoubleType), Literal(off, DoubleType)), wLit),
+                    negLimD)), limD)))
                 val bLo = bucketOf(b, offLo.toDouble)
                 val bHi = bucketOf(b, offHi.toDouble)
                 val slack = Add(Literal(1L),
                   IntegralDivide(Greatest(Seq(Abs(bLo), Abs(bHi))), Literal(1L << 50)))
-                (Subtract(bLo, slack), Add(bHi, slack), bucketOf(a, 0.0))
+                (seqOf(Subtract(bLo, slack), Add(bHi, slack)), bucketOf(a, 0.0))
               }
             val bucketAttr =
               AttributeReference("graft_band_bucket", LongType, nullable = false)()
-            // Sequence is TimeZoneAwareExpression: `resolved` demands a
-            // zone id even for pure-integral sequences — set it here,
-            // as the analyzer that normally would has already run
             val gen = Generate(
-              Explode(Sequence(lo, hi, Some(Literal(1L)),
-                Some(conf.sessionLocalTimeZone))),
+              Explode(buckets),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bucketAttr), child = right)
             val newCond = And(EqualTo(probeBucket, bucketAttr), cond)
             Project(j.output, Join(left, gen, jt, Some(newCond), hint))
+            }
         }
       }
   }

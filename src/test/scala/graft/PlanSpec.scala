@@ -482,6 +482,59 @@ class PlanSpec extends SparkSpec {
       "exact-integer band rewrite lost or invented matches at nanos magnitude")
   }
 
+  test("band rule: exact buckets are overflow-total at the Long-range edge") {
+    // Full-range 64-bit keys within |offset| of Long.MaxValue (r12
+    // advice): the old exact path formed x + off in raw Long arithmetic,
+    // so the build-side bucket range wrapped and silently LOST matches.
+    // With ANSI off, Spark's own predicate Add also wraps — so a pair
+    // can legitimately match THROUGH the wrapped bounds (b near +2⁶³,
+    // a near −2⁶³), and the rewrite must preserve those too. The
+    // nested-loop plan under identical session conf is the ground truth.
+    import org.apache.spark.sql.SparkSession
+    val M = Long.MaxValue
+    def session(ext: Boolean): SparkSession = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try {
+        val b = SparkSession.builder().master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.ansi.enabled", "false")
+          .config("spark.ui.enabled", "false")
+        (if (ext) b.withExtensions(new GraftExtensions) else b).getOrCreate()
+      } finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    }
+    def q(s: SparkSession) = {
+      import s.implicits._
+      // (M-250, M-400) and (M-9850, M-10000) match in true math;
+      // (Min+100, M-50) matches ONLY via the wrapped bounds; and
+      // (M-50, M-200) matches in true math but is REJECTED by Spark's
+      // own wrapped upper bound (b+250 wraps to Min+49) — the rewrite
+      // must reproduce all four behaviors, not mathematical truth
+      val probe = Seq(M - 50L, M - 250L, M - 9850L, Long.MinValue + 100L).toDF("a")
+      val build = Seq(M - 200L, M - 400L, M - 10000L, M - 50L).toDF("b")
+      probe.join(build,
+          col("a") >= col("b") + 100L && col("a") <= col("b") + 250L)
+        .select("a", "b")
+    }
+    val plainS = session(ext = false)
+    val plain = q(plainS)
+    assert(plain.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      plain.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val groundTruth = plain.collect().map(_.toSeq).sortBy(_.toString)
+    assert(groundTruth.length == 3,
+      s"fixture expected 3 matches (incl. one wrapped-only), got ${groundTruth.length}")
+    val rewritten = q(session(ext = true))
+    val extPlan = rewritten.queryExecution.executedPlan.toString
+    assert(!extPlan.contains("BroadcastNestedLoopJoin") && !extPlan.contains("CartesianProduct"),
+      "band rule declined the Long-edge band:\n" + extPlan.take(1200))
+    val got = rewritten.collect().map(_.toSeq).sortBy(_.toString)
+    assert(groundTruth.toSeq == got.toSeq,
+      s"Long-edge band rewrite diverged:\nexpected ${groundTruth.toSeq}\ngot      ${got.toSeq}")
+  }
+
   test("band rule: timestamp ± INTERVAL bands plan a hash join on epoch micros") {
     // the interval-written trailing-window query (`ts BETWEEN p.ts -
     // INTERVAL 10 MINUTES AND p.ts`) — r10's rule only fired on numeric
