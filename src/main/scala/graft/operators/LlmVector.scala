@@ -570,6 +570,35 @@ object LlmVector {
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
+  /** The per-subspace deterministic Lloyd training, generic over its
+    * input frame (vec_id, pos, sub, v) so the RAW-vector codebook
+    * (`llm_ann_pq`) and the RESIDUAL codebook (`llm_ann_ivfpq_res`,
+    * the FAISS IVFPQ recipe) are literally one procedure trained on
+    * two inputs. The trained model is memoized per (process, input
+    * identity) like [[kmeansState]]. */
+  private def pqLloyd(spark: SparkSession, cacheKey: String, exSub: DataFrame): DataFrame = {
+    val (rows, schema) = pqCache.getOrElseUpdate(cacheKey, {
+      var cent = exSub.filter(col("vec_id") < PqK)
+        .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
+          r6(col("v")).as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to PqIters) {
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("dist2").asc, col("c_id").asc)
+        val assign = pqDists(exSub, cent)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "sub", "c_id")
+        cent = exSub.join(assign, Seq("vec_id", "sub"))
+          .groupBy("sub", "c_id", "pos")
+          .agg(r6(avg(col("v"))).as("c"))
+          .localCheckpoint() // m×k×(64/m) rows: cuts the unrolled plan
+      }
+      (cent.collect(), cent.schema)
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Exploded per-subspace corpus + the trained (sub, c_id, pos, c)
     * codebook, memoized per (process, sfDir) like [[kmeansState]]. */
   private def pqState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
@@ -578,26 +607,7 @@ object LlmVector {
       .withColumn("v", col("v").cast("double"))
       .withColumn("sub", expr(s"pos div ${64 / PqM}"))
       .localCheckpoint()
-    val (rows, schema) = pqCache.getOrElseUpdate(sfDir, {
-      var cent = ex.filter(col("vec_id") < PqK)
-        .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
-          r6(col("v")).as("c"))
-        .localCheckpoint()
-      for (_ <- 1 to PqIters) {
-        val w = Window.partitionBy("vec_id", "sub")
-          .orderBy(col("dist2").asc, col("c_id").asc)
-        val assign = pqDists(ex, cent)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("vec_id", "sub", "c_id")
-        cent = ex.join(assign, Seq("vec_id", "sub"))
-          .groupBy("sub", "c_id", "pos")
-          .agg(r6(avg(col("v"))).as("c"))
-          .localCheckpoint() // m×k×(64/m) rows: cuts the unrolled plan
-      }
-      (cent.collect(), cent.schema)
-    })
-    (ex, spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+    (ex, pqLloyd(spark, sfDir + "#raw", ex))
   }
 
   /** Every (vector, subspace, codeword) squared distance — the single
@@ -652,39 +662,50 @@ object LlmVector {
   /** The per-subspace Lloyd chain + codes/distance-table/ADC CTEs —
     * shared by the pq and pq_recall oracles (the [[ivfOracleProlog]]
     * discipline: one definition, no drift). */
-  private lazy val pqOracleProlog: String = {
+  /** One generated Lloyd-chain prolog (input CTE → trained codebook →
+    * storage codes), shared verbatim by the RAW ("" prefix) and
+    * RESIDUAL ("r" prefix) paths so the two codebooks differ ONLY in
+    * their input frame — the one-definition discipline applied to the
+    * training procedure itself. */
+  private def pqChainSql(p: String, exSql: String): String = {
     val iterCtes = (1 to PqIters).map { i =>
-      s"""pd$i AS (
+      s"""${p}pd$i AS (
          |  SELECT ex.vec_id, ex.sub, c.c_id, ROUND(SUM((ex.v - c.c) * (ex.v - c.c)), 6) AS dist2
-         |  FROM pq_ex ex JOIN pcent${i - 1} c ON ex.sub = c.sub AND ex.pos = c.pos
+         |  FROM ${p}pq_ex ex JOIN ${p}pcent${i - 1} c ON ex.sub = c.sub AND ex.pos = c.pos
          |  GROUP BY ex.vec_id, ex.sub, c.c_id),
-         |pa$i AS (
+         |${p}pa$i AS (
          |  SELECT vec_id, sub, c_id FROM (
          |    SELECT vec_id, sub, c_id, ROW_NUMBER() OVER (
          |      PARTITION BY vec_id, sub ORDER BY dist2 ASC, c_id ASC) AS rn
-         |    FROM pd$i) WHERE rn = 1),
-         |pcent$i AS (
+         |    FROM ${p}pd$i) WHERE rn = 1),
+         |${p}pcent$i AS (
          |  SELECT a.c_id, ex.sub, ex.pos, ROUND(AVG(ex.v), 6) AS c
-         |  FROM pq_ex ex JOIN pa$i a ON ex.vec_id = a.vec_id AND ex.sub = a.sub
+         |  FROM ${p}pq_ex ex JOIN ${p}pa$i a ON ex.vec_id = a.vec_id AND ex.sub = a.sub
          |  GROUP BY a.c_id, ex.sub, ex.pos)""".stripMargin
     }.mkString(",\n")
-    s"""pq_ex AS (
-       |  SELECT vec_id, pos, pos // ${64 / PqM} AS sub,
-       |    CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
-       |  FROM embeddings CROSS JOIN range(0, 64) r(pos)),
-       |pcent0 AS (
+    s"""${p}pq_ex AS (
+       |  $exSql),
+       |${p}pcent0 AS (
        |  SELECT CAST(vec_id AS INT) AS c_id, sub, pos, ROUND(v, 6) AS c
-       |  FROM pq_ex WHERE vec_id < $PqK),
+       |  FROM ${p}pq_ex WHERE vec_id < $PqK),
        |$iterCtes,
-       |pd_codes AS (
+       |${p}pd_codes AS (
        |  SELECT ex.vec_id, ex.sub, c.c_id, ROUND(SUM((ex.v - c.c) * (ex.v - c.c)), 6) AS dist2
-       |  FROM pq_ex ex JOIN pcent$PqIters c ON ex.sub = c.sub AND ex.pos = c.pos
+       |  FROM ${p}pq_ex ex JOIN ${p}pcent$PqIters c ON ex.sub = c.sub AND ex.pos = c.pos
        |  GROUP BY ex.vec_id, ex.sub, c.c_id),
-       |pcodes AS (
+       |${p}pcodes AS (
        |  SELECT vec_id, sub, c_id FROM (
        |    SELECT vec_id, sub, c_id, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id, sub ORDER BY dist2 ASC, c_id ASC) AS rn
-       |    FROM pd_codes) WHERE rn = 1),
+       |    FROM ${p}pd_codes) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val pqOracleProlog: String = {
+    val rawExSql =
+      s"""SELECT vec_id, pos, pos // ${64 / PqM} AS sub,
+         |    CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN range(0, 64) r(pos)""".stripMargin
+    s"""${pqChainSql("", rawExSql)},
        |qdt AS (SELECT vec_id AS q_id, sub, c_id, dist2 FROM pd_codes WHERE vec_id < 30),
        |adc AS (
        |  SELECT q.q_id, x.vec_id AS neighbor_id, ROUND(SUM(q.dist2), 6) AS adc_dist2
@@ -917,6 +938,217 @@ object LlmVector {
        |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
        |FROM (SELECT 'ivfpq_adc' AS method, hits FROM ih1
        |      UNION ALL SELECT 'ivfpq_adc_rerank20', hits FROM ih2), iposs
+       |ORDER BY method""".stripMargin
+
+  /** RESIDUAL-ENCODED IVFPQ (r12) — the actual FAISS IVFPQ recipe,
+    * upgrading `llm_ann_ivfpq`'s raw-vector composition: PQ trains and
+    * encodes the RESIDUAL x − centroid(cell(x)) instead of x itself,
+    * so the codebook spends its 16 codewords per subspace on what the
+    * coarse quantizer COULDN'T express rather than re-describing the
+    * cell offset the IVF assignment already encodes — that subtraction
+    * is what makes the coarse+fine composition accurate at a fixed
+    * code budget (same PqM = 8 / PqK = 16 as the raw path, byte-
+    * identical storage). The query side pays one extra twist: the
+    * query's residual DEPENDS ON THE PROBED CELL, so the ADC lookup
+    * tables are per-(query, probed cell) — nprobe × m × k entries per
+    * query instead of m × k, still a broadcast-sized model (30 × 2 ×
+    * 8 × 16 rows here; at 10⁹ vectors it is nprobe·m·k doubles per
+    * in-flight query, never a corpus-sized structure). Candidates are
+    * scored ONLY against the table of the cell they are stored in —
+    * exactly the inverted-list+ADC serving loop. Both parent models
+    * are the memoized ones their solo keys trained ([[ivfRanking]],
+    * [[kmeansState]]); the residual codebook is the SAME deterministic
+    * Lloyd procedure ([[pqLloyd]]) pointed at the residual frame.
+    *
+    * Measured payoff, honestly stated: the residual codebook's total
+    * reconstruction SSE — the quantity residual encoding improves —
+    * is systematically ~4% below the raw codebook's at BOTH test SFs
+    * (270.3 vs 281.1 at sf0.001, 270.5 vs 280.5 at sf0.01;
+    * PlanSpec-pinned). The top-3 recall deltas, however, are
+    * noise-dominated on this near-uniform fixture (90 possible hits,
+    * no cluster structure for the coarse quantizer to drain into the
+    * residuals): 222,222 vs raw's 144,444 ppm at sf0.001, 155,555 vs
+    * 200,000 ppm at sf0.01 — the sign flips between scales. On
+    * clustered real embeddings (where cells are tight and residual
+    * variance is a small fraction of raw variance) the SSE gap — and
+    * with it the recall gap — widens in residual's favor; that is the
+    * published FAISS result this key's machinery reproduces. */
+  private def resExploded(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = ivfRanking(spark, sfDir)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val (ex, ivfCent) = kmeansState(spark, sfDir)
+    val centK = ivfCent.select(col("c_id").as("cell"), col("pos"), col("c"))
+    ex.join(cells, Seq("vec_id"))
+      .join(broadcast(centK), Seq("cell", "pos"))
+      .select(col("vec_id"), col("pos"), expr(s"pos div ${64 / PqM}").as("sub"),
+        (col("v") - col("c")).as("v"))
+      .localCheckpoint()
+  }
+
+  /** Residual codes + per-(query, probed cell) distance tables — the
+    * residual mirror of [[pqIndex]]. */
+  private def resPqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val exR = resExploded(spark, sfDir)
+    val centRpq = pqLloyd(spark, sfDir + "#res", exR)
+    val dists = pqDists(exR, centRpq).localCheckpoint()
+    val wCode = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist2").asc, col("c_id").asc)
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "c_id")
+    val ranked = ivfRanking(spark, sfDir)
+    val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val (ex, ivfCent) = kmeansState(spark, sfDir)
+    val centK = ivfCent.select(col("c_id").as("cell"), col("pos"), col("c"))
+    val qRes = ex.filter(col("vec_id") < 30)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(probes), Seq("q_id"))
+      .join(broadcast(centK), Seq("cell", "pos"))
+      .select(col("q_id"), col("cell"), col("pos"),
+        expr(s"pos div ${64 / PqM}").as("sub"), (col("v") - col("c")).as("qv"))
+    val qdt = qRes.join(broadcast(centRpq), Seq("sub", "pos"))
+      .groupBy("q_id", "cell", "sub", "c_id")
+      .agg(r6(sum((col("qv") - col("c")) * (col("qv") - col("c")))).as("dist2"))
+    (codes, qdt)
+  }
+
+  /** Total quantization SSE of the stored codes under each codebook —
+    * the quantity residual encoding systematically improves (the
+    * recall deltas on this 90-possible clusterless fixture are
+    * noise-dominated and flip sign between SFs; the SSE gap does
+    * not). PlanSpec pins residual < raw. */
+  private[graft] def pqCodeSse(spark: SparkSession, sfDir: String): (Double, Double) = {
+    def sse(exSub: DataFrame, cent: DataFrame): Double = {
+      val dists = pqDists(exSub, cent)
+      val wCode = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("dist2").asc, col("c_id").asc)
+      dists.withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .agg(sum(col("dist2"))).collect()(0).getDouble(0)
+    }
+    val (ex, centRaw) = pqState(spark, sfDir)
+    val exR = resExploded(spark, sfDir)
+    (sse(ex, centRaw), sse(exR, pqLloyd(spark, sfDir + "#res", exR)))
+  }
+
+  private[graft] def resIvfPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = ivfRanking(spark, sfDir)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val (codes, qdt) = resPqIndex(spark, sfDir)
+    // candidate set: the probed cells' inverted lists, carrying the
+    // cell so each candidate is ADC-scored against the table of the
+    // ONE cell it is stored in
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "cell", "vec_id")
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qdt), Seq("q_id", "cell", "sub", "c_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(r6(sum(col("dist2"))).as("adc_dist2"))
+  }
+
+  def llmAnnIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    resIvfPqAdc(spark, sfDir)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("q_id", "neighbor_id", "adc_dist2", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** RESIDUAL-IVFPQ RECALL — the same two operating points as the raw
+    * composition's report (`llm_ann_ivfpq_recall`) so the residual
+    * payoff reads as one side-by-side curve at identical code budget.
+    * The rerank ceiling is still IVF-pruning-bound (an unprobed cell's
+    * true neighbor cannot be resurrected); what the residual encoding
+    * buys is a sharper ADC ORDERING of what the probed lists contain. */
+  def llmAnnIvfPqResRecall(spark: SparkSession, sfDir: String): DataFrame =
+    adcRecallReport(spark, sfDir, resIvfPqAdc(spark, sfDir),
+      "ivfpq_res_adc", "ivfpq_res_adc_rerank20")
+
+  /** The residual Lloyd chain + codes/per-cell-table/ADC CTEs: the
+    * SAME generated chain as the raw prolog ([[pqChainSql]]) pointed
+    * at the residual frame (ex − cells0's cent$IvfIters centroid), so
+    * the two codebooks cannot drift procedurally. */
+  private lazy val resPqOracleProlog: String = {
+    val resExSql =
+      s"""SELECT ex.vec_id, ex.pos, ex.pos // ${64 / PqM} AS sub, ex.v - c.c AS v
+         |  FROM ex JOIN cells0 USING (vec_id)
+         |  JOIN cent$IvfIters c ON c.c_id = cells0.c_id AND c.pos = ex.pos""".stripMargin
+    s"""${pqChainSql("r", resExSql)},
+       |rq_ex AS (
+       |  SELECT p.vec_id AS q_id, p.cell, ex.pos, ex.pos // ${64 / PqM} AS sub,
+       |    ex.v - c.c AS v
+       |  FROM probes p JOIN ex ON ex.vec_id = p.vec_id
+       |  JOIN cent$IvfIters c ON c.c_id = p.cell AND c.pos = ex.pos),
+       |rqdt AS (
+       |  SELECT q.q_id, q.cell, q.sub, c.c_id,
+       |    ROUND(SUM((q.v - c.c) * (q.v - c.c)), 6) AS dist2
+       |  FROM rq_ex q JOIN rpcent$PqIters c ON q.sub = c.sub AND q.pos = c.pos
+       |  GROUP BY q.q_id, q.cell, q.sub, c.c_id),
+       |rivfpq_adc AS (
+       |  SELECT p.vec_id AS q_id, s.vec_id AS neighbor_id,
+       |    ROUND(SUM(q.dist2), 6) AS adc_dist2
+       |  FROM probes p
+       |  JOIN cells0 s ON s.c_id = p.cell AND s.vec_id != p.vec_id
+       |  JOIN rpcodes x ON x.vec_id = s.vec_id
+       |  JOIN rqdt q ON q.q_id = p.vec_id AND q.cell = p.cell
+       |    AND q.sub = x.sub AND q.c_id = x.c_id
+       |  GROUP BY p.vec_id, s.vec_id)""".stripMargin
+  }
+
+  val llmAnnIvfPqResOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$resPqOracleProlog
+       |SELECT q_id, neighbor_id, adc_dist2, rn FROM (
+       |  SELECT q_id, neighbor_id, adc_dist2, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |  FROM rivfpq_adc) WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
+  val llmAnnIvfPqResRecallOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$resPqOracleProlog,
+       |rl2_c AS (
+       |  SELECT qe.vec_id AS q_id, ex2.vec_id AS neighbor_id,
+       |    ROUND(SUM((qe.v - ex2.v) * (qe.v - ex2.v)), 6) AS d2
+       |  FROM ex qe JOIN ex ex2 ON qe.pos = ex2.pos AND ex2.vec_id != qe.vec_id
+       |  WHERE qe.vec_id < 30 GROUP BY qe.vec_id, ex2.vec_id),
+       |rexact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM rl2_c) WHERE rn <= 3),
+       |rraw AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM rivfpq_adc) WHERE rn <= 3),
+       |rshort AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+       |    FROM rivfpq_adc) WHERE rn <= 20),
+       |rrerank AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY c.q_id ORDER BY c.d2 ASC, c.neighbor_id ASC) AS rn
+       |    FROM rl2_c c JOIN rshort s USING (q_id, neighbor_id)) WHERE rn <= 3),
+       |rh1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM rraw JOIN rexact USING (q_id, neighbor_id)),
+       |rh2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |        FROM rrerank JOIN rexact USING (q_id, neighbor_id)),
+       |rposs AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM rexact)
+       |SELECT method, hits, possible, (1000000 * hits) // possible AS recall_ppm
+       |FROM (SELECT 'ivfpq_res_adc' AS method, hits FROM rh1
+       |      UNION ALL SELECT 'ivfpq_res_adc_rerank20', hits FROM rh2), rposs
        |ORDER BY method""".stripMargin
 
   /** SCALAR QUANTIZATION SERVING (SQ8, r11) — the THIRD compression
@@ -1447,6 +1679,8 @@ object LlmVector {
     "llm_ann_pq_recall" -> (llmAnnPqRecall _),
     "llm_ann_ivfpq" -> (llmAnnIvfPq _),
     "llm_ann_ivfpq_recall" -> (llmAnnIvfPqRecall _),
+    "llm_ann_ivfpq_res" -> (llmAnnIvfPqRes _),
+    "llm_ann_ivfpq_res_recall" -> (llmAnnIvfPqResRecall _),
     "llm_ann_sq8_recall" -> (llmAnnSq8Recall _),
     "llm_knn_graph" -> (llmKnnGraph _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
@@ -1468,6 +1702,8 @@ object LlmVector {
     "llm_ann_pq_recall" -> llmAnnPqRecallOracle,
     "llm_ann_ivfpq" -> llmAnnIvfPqOracle,
     "llm_ann_ivfpq_recall" -> llmAnnIvfPqRecallOracle,
+    "llm_ann_ivfpq_res" -> llmAnnIvfPqResOracle,
+    "llm_ann_ivfpq_res_recall" -> llmAnnIvfPqResRecallOracle,
     "llm_ann_sq8_recall" -> llmAnnSq8RecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,

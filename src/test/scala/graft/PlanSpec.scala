@@ -447,6 +447,20 @@ class PlanSpec extends SparkSpec {
       s"IVFADC scored $pruned pairs but the full ADC scan scores $full — no pruning happened")
   }
 
+  test("residual IVFPQ: prunes by cell and its codebook reconstructs better than raw") {
+    // the candidate-set pin mirrors the raw composition's; the SSE pin
+    // is the SYSTEMATIC residual-encoding claim (top-3 recall on the
+    // 90-possible clusterless fixture is noise-dominated and flips
+    // sign between SFs — reconstruction SSE does not)
+    val pruned = graft.operators.LlmVector.resIvfPqAdc(spark, sf).count()
+    val full = graft.operators.LlmVector.pqAdc(spark, sf).count()
+    assert(pruned < full,
+      s"residual IVFADC scored $pruned pairs vs full scan $full — no pruning happened")
+    val (rawSse, resSse) = graft.operators.LlmVector.pqCodeSse(spark, sf)
+    assert(resSse < rawSse,
+      s"residual codebook SSE $resSse is not below raw $rawSse — residual encoding buys nothing")
+  }
+
   test("band rule: exact integer buckets survive epoch-nanos magnitudes") {
     // BIGINT nanosecond timestamps (~1.7e18) with a 150 ns band: a
     // Double-cast bucket id has an ulp of 256 ns here — floor(x/W) can
