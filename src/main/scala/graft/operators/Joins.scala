@@ -10,7 +10,9 @@ import graft.sources.Tables._
   *  - dims (region/nation/supplier) are `broadcast()` → BroadcastHashJoin,
   *    zero shuffle of the fact side at any scale;
   *  - fact⋈fact (orders⋈lineitem, events self-joins) shuffle on the join
-  *    key → SortMergeJoin; AQE handles skew-split at runtime;
+  *    key → SortMergeJoin; AQE handles skew-split at runtime (not just
+  *    asserted: PlanSpec r12 forces a 90%-one-key shuffle join and pins
+  *    OptimizeSkewedJoin splitting it, byte-identical to the unsplit run);
   *  - theta/cross joins are restricted to dimension tables so the
   *    BroadcastNestedLoopJoin stays bounded;
   *  - as-of is expressed as a single window pass (no join at all) — at

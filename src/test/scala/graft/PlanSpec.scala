@@ -461,6 +461,54 @@ class PlanSpec extends SparkSpec {
       s"residual codebook SSE $resSse is not below raw $rawSse — residual encoding buys nothing")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (OptimizeSkewedJoin)") {
+    // the one join-family scale claim that lived only in a comment
+    // (Joins.scala header): at 100 TB a skewed fact⋈fact join is the
+    // most common scale-killer, and the engine's posture is "AQE
+    // handles it". Force the situation — 90% of a 500k-row side on ONE
+    // key, broadcast disabled, thresholds lowered to test scale — and
+    // pin that OptimizeSkewedJoin actually split the skewed partition,
+    // with the result byte-identical to the unsplit run.
+    def fixture(s: org.apache.spark.sql.SparkSession) = {
+      val left = s.range(0, 500000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = s.range(0, 1000).select(col("id").as("k"), (col("id") * 7).as("w"))
+      left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("chk_v"), sum(col("w")).as("chk_w"))
+    }
+    def session(skew: Boolean) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
+      // the threshold math at test scale: the key-0 partition carries
+      // 450k of 500k rows (~7 MB of shuffle bytes), the other 7
+      // partitions ~100 KB each — so 256 KB + factor 2 marks exactly
+      // one partition skewed, and the 64 KB advisory target forces a
+      // genuine multi-way split, not a boundary no-op
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      s
+    }
+    val withSkew = fixture(session(skew = true))
+    val got = withSkew.collect().map(_.toSeq).toSeq
+    // adaptive plans finalize during execution — inspect AFTER collect
+    val plan = withSkew.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE did not finalize:\n" + plan.take(800))
+    assert(plan.contains("skew=true"),
+      "OptimizeSkewedJoin did not split the skewed partition:\n" + plan.take(1600))
+    val unsplit = fixture(session(skew = false))
+    val expected = unsplit.collect().map(_.toSeq).toSeq
+    assert(!unsplit.queryExecution.executedPlan.toString.contains("skew=true"))
+    assert(got == expected,
+      s"skew-split run diverged from unsplit run:\n$got\nvs\n$expected")
+  }
+
   test("band rule: exact integer buckets survive epoch-nanos magnitudes") {
     // BIGINT nanosecond timestamps (~1.7e18) with a 150 ns band: a
     // Double-cast bucket id has an ulp of 256 ns here — floor(x/W) can
