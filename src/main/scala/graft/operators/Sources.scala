@@ -1302,6 +1302,38 @@ object Sources {
   /** PITR must equal full-log replay from scratch. */
   val kvPitrRestoreOracle: String = kvWalReplayOracle
 
+  /** CONTINUOUS WAL REPLICATION (r12) — the HBase inter-cluster
+    * replication story end-to-end: the primary's edit log ships to a
+    * replica queue in 4 bounded seq-range batches behind a durable
+    * atomic OFFSET ledger ([[graft.sources.KvReplication.ship]] —
+    * kill-mid-ship and resume are spec-covered with fault injection,
+    * KvSnapshotsSpec), the replica applies the committed queue with
+    * one cell-keyed last-write-wins shuffle (deletes suppress) and
+    * flushes into a graft-kv store, and the graded read-back must
+    * equal FULL-log replay from scratch — the same oracle PITR
+    * answers to, so shipping in batches provably loses and invents
+    * nothing. The VerifyReplication-style checksum convergence report
+    * is asserted in the spec (it detects a tampered replica cell).
+    * At 100 TB each batch ships as a bounded tail write and apply is
+    * one shuffle over shipped edits — replication cost scales with
+    * the edit rate, never the store size. */
+  def kvReplication(spark: SparkSession, sfDir: String): DataFrame = {
+    val wal = events(spark, sfDir).select(
+      col("user_id").as("rowkey"),
+      col("event_type").as("qualifier"),
+      col("event_id").as("seq"),
+      when(col("value") < 5.0, "delete").otherwise("put").as("op"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) AS STRING)").as("value"))
+    val replRoot = snapshotRoot(sfDir, "kv_repl_root")
+    graft.sources.KvReplication.ship(spark, wal, replRoot, batches = 4)
+    val store = freshStorePath(sfDir, "kv_repl_store")
+    graft.sources.KvReplication.applyShipped(spark, replRoot, store)
+    spark.read.format("graft-kv").load(store).orderBy("rowkey", "qualifier")
+  }
+
+  /** Replication must converge to exactly full-log replay. */
+  val kvReplicationOracle: String = kvWalReplayOracle
+
   /** COMPRESSION CODECS — a 100 TB pipeline never ships uncompressed
     * text: gzip'd CSV is the classic interchange shape (unsplittable —
     * one task per file, which is exactly why many small .gz files beat
@@ -1411,6 +1443,7 @@ object Sources {
     "pivot_unpivot" -> (pivotUnpivot _),
     "kv_pitr_restore" -> (kvPitrRestore _),
     "kv_wal_replay" -> (kvWalReplay _),
+    "kv_replication" -> (kvReplication _),
     "kv_region_merge" -> (kvRegionMerge _),
     "kv_region_rebalance" -> (kvRegionRebalance _),
     "source_schema_evolution" -> (sourceSchemaEvolution _),
@@ -1450,6 +1483,7 @@ object Sources {
     "pivot_unpivot" -> pivotUnpivotOracle,
     "kv_pitr_restore" -> kvPitrRestoreOracle,
     "kv_wal_replay" -> kvWalReplayOracle,
+    "kv_replication" -> kvReplicationOracle,
     "kv_region_merge" -> kvRegionMergeOracle,
     "kv_region_rebalance" -> kvRegionRebalanceOracle,
     "source_schema_evolution" -> sourceSchemaEvolutionOracle,

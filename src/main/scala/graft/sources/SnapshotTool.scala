@@ -110,6 +110,22 @@ object SnapshotTool {
             force = force)
           ok(s"${action}ed snapshot ${need("name")} to $dst " +
             s"(${stats.copied} copied, ${stats.skipped} already verified)")
+        case "replicate" =>
+          // continuous WAL shipping to a replica store (r12): ship the
+          // edit log into --dest's queue in seq-range batches behind
+          // the durable offset ledger (resumable — a re-run skips
+          // committed batches), then apply the committed queue onto
+          // --store with last-write-wins semantics
+          val batches = flags.get("batches").map { b =>
+            b.toIntOption.filter(_ > 0).getOrElse(throw CliError(s"bad --batches: $b"))
+          }.getOrElse(4)
+          // ALL flags validate before the first side effect: a usage
+          // error must never leave a half-shipped queue behind
+          val (walDir, replDest, replStore) = (need("wal"), need("dest"), need("store"))
+          val st = KvReplication.ship(spark, spark.read.parquet(walDir), replDest, batches)
+          val n = KvReplication.applyShipped(spark, replDest, replStore)
+          ok(s"replicated: shipped ${st.shipped} batch(es), skipped ${st.skipped} " +
+            s"already committed, applied $n cell(s) to $replStore")
         case "info" =>
           // manifest summary without touching data bytes: what the
           // reference's snapshot-description output shows (name, age,
@@ -218,7 +234,7 @@ object SnapshotTool {
   private def usage(err: String): Int = {
     System.err.println(
       s"""error: $err
-         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|scrub|list> [--flag value ...]
+         |usage: SnapshotTool <create|export|import|restore|verify|info|delete|cleanup|clone|compact|merge-regions|bulk-load|scrub|replicate|list> [--flag value ...]
          |  create  --root R --name N --source <parquet cells dir> [--created-at EPOCH_SEC]
          |  export  --root R --name N --dest <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
          |  import  --root R --name N --from <second root> [--mappers N] [--bandwidth MBps] [--overwrite true] [--force true]
@@ -232,6 +248,7 @@ object SnapshotTool {
          |  merge-regions --a <region store> --b <region store> --dest <merged store>
          |  bulk-load --staging <staged dir> --store <kv store dir>
          |  scrub   --store <kv store dir>
+         |  replicate --wal <edit-log parquet dir> --dest <replica queue root> --store <replica kv store dir> [--batches N]
          |  list    --root R""".stripMargin)
     2
   }

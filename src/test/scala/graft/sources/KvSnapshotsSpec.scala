@@ -639,4 +639,97 @@ class KvSnapshotsSpec extends SparkSpec {
     // s2 unaffected and still restorable after s1's delete
     assert(KvSnapshots.restore(spark, root, "s2").count() == cells.count())
   }
+
+  /** A deterministic 1000-edit WAL over 50 rows × 3 qualifiers with
+    * interleaved deletes — enough coordinate churn that last-write-wins
+    * is genuinely exercised by every replication test below. */
+  private def replWal = spark.range(0, 1000).select(
+    (col("id") % 50).as("rowkey"),
+    concat(lit("q"), (col("id") % 3).cast("string")).as("qualifier"),
+    col("id").as("seq"),
+    when(col("id") % 7 === 0, "delete").otherwise("put").as("op"),
+    concat(lit("v"), col("id").cast("string")).as("value"))
+
+  private def replExpected = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rowkey", "qualifier").orderBy(col("seq").desc)
+    replWal.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "put")
+      .select("rowkey", "qualifier", "value")
+  }
+
+  test("WAL shipping killed between batch publish and offset commit resumes losslessly") {
+    val dest = freshRoot()
+    // kill in the NASTIEST window: batch 1's data is already published
+    // to the queue, but its offset never committed
+    KvReplication.shipFault =
+      i => if (i == 1) throw new RuntimeException(s"injected kill after batch $i publish")
+    try intercept[RuntimeException] {
+      KvReplication.ship(spark, replWal, dest, batches = 4)
+    } finally KvReplication.shipFault = _ => ()
+    // resume: batch 0 committed (skipped); batch 1 was published but
+    // uncommitted, so it MUST be re-shipped — nothing lost, nothing
+    // double-counted
+    val resumed = KvReplication.ship(spark, replWal, dest, batches = 4)
+    assert(resumed == KvReplication.ShipStats(shipped = 3, skipped = 1, batches = 4),
+      s"resume must re-ship the uncommitted batch: $resumed")
+    // a second full run ships nothing
+    assert(KvReplication.ship(spark, replWal, dest, batches = 4) ==
+      KvReplication.ShipStats(shipped = 0, skipped = 4, batches = 4))
+    // resuming with different geometry refuses instead of mis-splitting
+    intercept[IllegalArgumentException] {
+      KvReplication.ship(spark, replWal, dest, batches = 5)
+    }
+    // apply converges to exactly the full-log LWW state, and is
+    // idempotent (a second apply to a fresh store yields the same state)
+    val store1 = freshRoot() + "/store1"
+    val store2 = freshRoot() + "/store2"
+    KvReplication.applyShipped(spark, dest, store1)
+    KvReplication.applyShipped(spark, dest, store2)
+    val r1 = spark.read.format("graft-kv").load(store1)
+    val r2 = spark.read.format("graft-kv").load(store2)
+    assert(r1.exceptAll(replExpected).count() == 0 && replExpected.exceptAll(r1).count() == 0)
+    assert(r1.exceptAll(r2).count() == 0 && r2.exceptAll(r1).count() == 0)
+    // VerifyReplication: converged on the honest replica...
+    val report = KvReplication.verify(replExpected, r1).collect()
+    assert(report.nonEmpty && report.forall(_.getAs[Boolean]("converged")))
+    // ...and a single tampered cell flips exactly its qualifier's row
+    // (1, q1) survives as a put (winner seq 901, 901 % 7 != 0) — a
+    // coordinate that EXISTS in the final state, so the tamper lands
+    val tampered = r1.withColumn("value",
+      when(col("rowkey") === 1 && col("qualifier") === "q1", lit("evil"))
+        .otherwise(col("value")))
+    val bad = KvReplication.verify(replExpected, tampered).collect()
+    assert(bad.count(!_.getAs[Boolean]("converged")) == 1,
+      "tampering one cell must break exactly one qualifier's convergence")
+  }
+
+  test("the replicate CLI verb ships and applies end-to-end, with the exit-code matrix") {
+    val walDir = freshRoot() + "/wal"
+    replWal.write.parquet(walDir)
+    val dest = freshRoot()
+    val store = freshRoot() + "/store"
+    def cli(args: String*): Int = SnapshotTool.run(spark, args)
+    // usage failures exit 2: missing --store, missing --wal, bad --batches
+    assert(cli("replicate", "--wal", walDir, "--dest", dest) == 2)
+    assert(cli("replicate", "--dest", dest, "--store", store) == 2)
+    assert(cli("replicate", "--wal", walDir, "--dest", dest, "--store", store,
+      "--batches", "0") == 2)
+    // operation failure exits 1: unreadable WAL — and nothing commits
+    assert(cli("replicate", "--wal", freshRoot() + "/nope", "--dest", dest,
+      "--store", store) == 1)
+    assert(!Files.exists(Paths.get(dest, "OFFSET")),
+      "a failed replicate must not commit an offset")
+    // happy path: the replica store equals the full-log LWW state
+    assert(cli("replicate", "--wal", walDir, "--dest", dest, "--store", store) == 0)
+    val r = spark.read.format("graft-kv").load(store)
+    assert(r.exceptAll(replExpected).count() == 0 && replExpected.exceptAll(r).count() == 0)
+    // a re-run against the same queue ships nothing and still exits 0
+    // (continuous replication's steady state); applying into a fresh
+    // store converges identically
+    val store2 = freshRoot() + "/store2"
+    assert(cli("replicate", "--wal", walDir, "--dest", dest, "--store", store2) == 0)
+    val r2 = spark.read.format("graft-kv").load(store2)
+    assert(r2.exceptAll(replExpected).count() == 0 && replExpected.exceptAll(r2).count() == 0)
+  }
 }
