@@ -615,6 +615,87 @@ object Scans {
   val sqlQ18LargeOrdersOracle: String =
     sqlQ18Text("customer", "orders", "lineitem")
 
+  /** TPC-H Q15 SHAPE — TOP SUPPLIER (r12): HAVING-equals-global-MAX
+    * over an aggregated view, the one classic subquery shape the
+    * q2/q17/q18/q21/q22 family doesn't cover. The revenue CTE is
+    * referenced TWICE — once as the join input, once under the
+    * uncorrelated scalar `(SELECT MAX(total_rev) FROM revenue)` — and
+    * the scale question is whether that scalar executes ONCE as a
+    * broadcast one-row subquery (PlanSpec pins `outerAttrs.isEmpty`:
+    * nothing correlates to the outer row, so cost is one extra
+    * aggregate over the k-row view, not a per-row re-scan). Revenue
+    * rides exact integer cents (price_cents × (100 − disc_pct), ~1e13
+    * per supplier — far inside BIGINT) so the equality gate against
+    * MAX is exact on both engines; DuckDB's HUGEINT sum is cast back
+    * per the §5.4 conventions. At 100 TB: one lineitem scan with the
+    * quarter filter pushed to parquet, one supplier-keyed partial
+    * aggregate, a broadcast dim join, and a 1-row broadcast gate. */
+  def sqlQ15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    supplier(spark, sfDir).createOrReplaceTempView("g_q15_supplier")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q15_lineitem")
+    spark.sql(sqlQ15Text("g_q15_supplier", "g_q15_lineitem"))
+  }
+
+  private def sqlQ15Text(supp: String, li: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |             * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+       |      AS BIGINT) AS total_rev
+       |  FROM $li
+       |  WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+       |    AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM $supp JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  val sqlQ15TopSupplierOracle: String = sqlQ15Text("supplier", "lineitem")
+
+  /** TPC-H Q7 SHAPE — NATION-PAIR VOLUME SHIPPING (r12, unasked-for
+    * breadth): the symmetric-OR join predicate
+    * `(n1 = A AND n2 = B) OR (n1 = B AND n2 = A)` over a 4-fact-deep
+    * join chain. The OR spans BOTH dim sides, so it cannot split into
+    * per-scan pushdowns — the scale question is whether the two nation
+    * joins stay BROADCAST hash joins with the pair filter as a cheap
+    * residual (PlanSpec pins ≥2 broadcasts, no nested loop), instead
+    * of degenerating into a cartesian on the 625-row nation×nation
+    * space or shuffling the fact chain twice. Revenue rides the same
+    * exact integer cents as Q15. */
+  def sqlQ7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    supplier(spark, sfDir).createOrReplaceTempView("g_q7_supplier")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q7_lineitem")
+    orders(spark, sfDir).createOrReplaceTempView("g_q7_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_q7_customer")
+    nation(spark, sfDir).createOrReplaceTempView("g_q7_nation")
+    spark.sql(sqlQ7Text("g_q7_supplier", "g_q7_lineitem", "g_q7_orders",
+      "g_q7_customer", "g_q7_nation"))
+  }
+
+  private def sqlQ7Text(supp: String, li: String, ord: String,
+      cust: String, nat: String): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+       |    AS BIGINT) AS revenue
+       |FROM $supp
+       |JOIN $li ON s_suppkey = l_suppkey
+       |JOIN $ord ON o_orderkey = l_orderkey
+       |JOIN $cust ON c_custkey = o_custkey
+       |JOIN $nat n1 ON s_nationkey = n1.n_nationkey
+       |JOIN $nat n2 ON c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |  AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+       |  AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val sqlQ7VolumeShippingOracle: String =
+    sqlQ7Text("supplier", "lineitem", "orders", "customer", "nation")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -663,6 +744,8 @@ object Scans {
     "sql_q22_global_cust" -> (sqlQ22GlobalCust _),
     "sql_q21_waiting_supplier" -> (sqlQ21WaitingSupplier _),
     "sql_q18_large_orders" -> (sqlQ18LargeOrders _),
+    "sql_q15_top_supplier" -> (sqlQ15TopSupplier _),
+    "sql_q7_volume_shipping" -> (sqlQ7VolumeShipping _),
     "sql_lateral_topn" -> (sqlLateralTopn _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
@@ -684,6 +767,8 @@ object Scans {
     "sql_q22_global_cust" -> sqlQ22GlobalCustOracle,
     "sql_q21_waiting_supplier" -> sqlQ21WaitingSupplierOracle,
     "sql_q18_large_orders" -> sqlQ18LargeOrdersOracle,
+    "sql_q15_top_supplier" -> sqlQ15TopSupplierOracle,
+    "sql_q7_volume_shipping" -> sqlQ7VolumeShippingOracle,
     "sql_lateral_topn" -> sqlLateralTopnOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,

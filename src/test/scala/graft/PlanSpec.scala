@@ -405,6 +405,30 @@ class PlanSpec extends SparkSpec {
       "a global-average subquery stayed correlated (per-row execution at scale)")
   }
 
+  test("Q15-shape max-over-aggregated-view gates through a once-executed scalar") {
+    // the revenue view is referenced twice (join input + MAX gate);
+    // the gate must be an UNCORRELATED scalar subquery — one extra
+    // aggregate over the k-row view, never a per-outer-row re-scan
+    val qe = run("sql_q15_top_supplier").queryExecution
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val subs = qe.optimizedPlan.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case s: ScalarSubquery => s })
+    assert(subs.nonEmpty, "the MAX gate vanished from the optimized plan:\n" +
+      qe.optimizedPlan.toString.take(1600))
+    assert(subs.forall(_.outerAttrs.isEmpty),
+      "the MAX(total_rev) gate stayed correlated (per-row execution at scale)")
+    val p = plan("sql_q15_top_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("Q7-shape symmetric-OR nation pair keeps both dim joins broadcast") {
+    val p = plan("sql_q7_volume_shipping")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the OR-of-conjuncts degenerated to a nested loop:\n" + p.take(1600))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "both nation joins must broadcast:\n" + p.take(1600))
+  }
+
   test("Q21-shape EXISTS + NOT EXISTS plan as one semi and one anti join") {
     val p = plan("sql_q21_waiting_supplier")
     assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(1200))
