@@ -696,6 +696,109 @@ object Scans {
   val sqlQ7VolumeShippingOracle: String =
     sqlQ7Text("supplier", "lineitem", "orders", "customer", "nation")
 
+  /** TPC-H Q13 SHAPE — CUSTOMER ORDER-COUNT DISTRIBUTION (r12): the
+    * double-aggregate over a LEFT OUTER join — count per customer
+    * INCLUDING zero-order customers (the outer join's whole point:
+    * an inner join would silently drop the c_count = 0 bucket, the
+    * most business-critical row of the histogram), then a second
+    * aggregate over the counts. The join-level extra predicate
+    * (priority ≠ '4-NOT SPECIFIED', standing in for the reference's
+    * comment filter — this fixture has no o_comment) must stay IN the
+    * outer join's ON clause: as a WHERE it would turn the outer join
+    * inner. At 100 TB: one customer-keyed shuffle for the outer
+    * count, then a k-row histogram aggregate. */
+  def sqlQ13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g_q13_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g_q13_orders")
+    spark.sql(sqlQ13Text("g_q13_customer", "g_q13_orders"))
+  }
+
+  private def sqlQ13Text(cust: String, ord: String): String =
+    s"""WITH c_orders AS (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM $cust LEFT OUTER JOIN $ord
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+       |  GROUP BY c_custkey)
+       |SELECT c_count, COUNT(*) AS custdist
+       |FROM c_orders GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val sqlQ13CustDistOracle: String = sqlQ13Text("customer", "orders")
+
+  /** TPC-H Q14 SHAPE — PROMO REVENUE SHARE (r12): the conditional-
+    * aggregate ratio (CASE inside SUM over the same scan — never two
+    * scans) by month. The ratio rides exact integers end-to-end:
+    * cents-scaled revenue, ppm-scaled division with DECIMAL(38,0) /
+    * HUGEINT intermediates (1e6 × a month's revenue sum overflows
+    * BIGINT at scale — the `agg_ks_test` headroom rule), so both
+    * engines produce identical integers with zero float drift. */
+  def sqlQ14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q14_lineitem")
+    part(spark, sfDir).createOrReplaceTempView("g_q14_part")
+    spark.sql(
+      """SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+        |  CAST((CAST(1000000 AS DECIMAL(38,0)) *
+        |        SUM(CASE WHEN p_type = 'PROMO'
+        |            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                 * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+        |            ELSE 0 END))
+        |    div SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+        |    AS BIGINT) AS promo_ppm
+        |FROM g_q14_lineitem JOIN g_q14_part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+        |  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+        |GROUP BY year(l_shipdate) * 100 + month(l_shipdate)
+        |ORDER BY ym""".stripMargin)
+  }
+
+  val sqlQ14PromoShareOracle: String =
+    """SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+      |  CAST((1000000::HUGEINT *
+      |        SUM(CASE WHEN p_type = 'PROMO'
+      |            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                 * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+      |            ELSE 0 END))
+      |    // SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+      |    AS BIGINT) AS promo_ppm
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+      |  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+      |GROUP BY year(l_shipdate) * 100 + month(l_shipdate)
+      |ORDER BY ym""".stripMargin
+
+  /** TPC-H Q19 SHAPE — DISJUNCTIVE PREDICATE REVENUE (r12): three
+    * OR'd conjunct groups, each mixing build-side (brand, size) and
+    * probe-side (quantity) attributes — the OR cannot push into
+    * either scan alone, and the scale question is whether the join
+    * still plans as an EQUI hash join on l_partkey = p_partkey with
+    * the disjunction as a residual filter (PlanSpec pins no nested
+    * loop; part broadcasts as the dim). Grouped by brand so the
+    * oracle checks three revenue cells, not one scalar. */
+  def sqlQ19DisjunctiveRev(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q19_lineitem")
+    part(spark, sfDir).createOrReplaceTempView("g_q19_part")
+    spark.sql(sqlQ19Text("g_q19_lineitem", "g_q19_part"))
+  }
+
+  private def sqlQ19Text(li: String, pt: String): String =
+    s"""SELECT p_brand,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+       |    AS BIGINT) AS revenue_cents_x100
+       |FROM $li JOIN $pt ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity BETWEEN 10 AND 25)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |       AND l_quantity BETWEEN 20 AND 35)
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  val sqlQ19DisjunctiveRevOracle: String = sqlQ19Text("lineitem", "part")
+
   /** SQL FRONT-END, ANALYTIC SHAPE — `sql_star_revenue` proves the
     * star join through `spark.sql`; this key proves the ANALYTIC half
     * of the SQL surface: a CTE feeding two different window frames in
@@ -746,6 +849,9 @@ object Scans {
     "sql_q18_large_orders" -> (sqlQ18LargeOrders _),
     "sql_q15_top_supplier" -> (sqlQ15TopSupplier _),
     "sql_q7_volume_shipping" -> (sqlQ7VolumeShipping _),
+    "sql_q13_custdist" -> (sqlQ13CustDist _),
+    "sql_q14_promo_share" -> (sqlQ14PromoShare _),
+    "sql_q19_disjunctive_rev" -> (sqlQ19DisjunctiveRev _),
     "sql_lateral_topn" -> (sqlLateralTopn _),
     "scan_profile" -> (scanProfile _),
     "scan_dynamic_pruning" -> (scanDynamicPruning _),
@@ -769,6 +875,9 @@ object Scans {
     "sql_q18_large_orders" -> sqlQ18LargeOrdersOracle,
     "sql_q15_top_supplier" -> sqlQ15TopSupplierOracle,
     "sql_q7_volume_shipping" -> sqlQ7VolumeShippingOracle,
+    "sql_q13_custdist" -> sqlQ13CustDistOracle,
+    "sql_q14_promo_share" -> sqlQ14PromoShareOracle,
+    "sql_q19_disjunctive_rev" -> sqlQ19DisjunctiveRevOracle,
     "sql_lateral_topn" -> sqlLateralTopnOracle,
     "scan_profile" -> scanProfileOracle,
     "scan_dynamic_pruning" -> scanDynamicPruningOracle,

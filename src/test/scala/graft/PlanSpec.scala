@@ -429,6 +429,14 @@ class PlanSpec extends SparkSpec {
       "both nation joins must broadcast:\n" + p.take(1600))
   }
 
+  test("Q19-shape disjunction stays an equi hash join with a residual OR") {
+    val p = plan("sql_q19_disjunctive_rev")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the OR-of-conjuncts broke the equi join:\n" + p.take(1600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "no hash/merge join on p_partkey:\n" + p.take(1600))
+  }
+
   test("Q21-shape EXISTS + NOT EXISTS plan as one semi and one anti join") {
     val p = plan("sql_q21_waiting_supplier")
     assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(1200))
