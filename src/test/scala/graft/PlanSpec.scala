@@ -195,6 +195,68 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("whole surface: every non-equi join has a bounded side or is declared") {
+    // the third whole-surface scale guard (r12): a join with no
+    // cross-side equality plans as a nested loop — O(|L|·|R|) — which
+    // is only acceptable when one side is provably at most one row (a
+    // broadcast global-aggregate scalar, the idiom every recall/ratio
+    // key uses). Anything else is a latent 100 TB quadratic. The two
+    // deliberately-unbounded theta keys and the rebalancer's bounded
+    // histogram theta-join (≤ region-count rows, data-dependent) are
+    // declared here, not silently exempted.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.expressions.PredicateHelper
+    object H extends PredicateHelper {
+      def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+    }
+    // Declared exceptions, each with its boundedness story:
+    //  - join_cross / join_theta_range: the deliberate theta keys,
+    //    restricted to dimension tables by design;
+    //  - kv_region_rebalance: broadcast histogram theta-join, bounded
+    //    by the region count;
+    //  - llm_sim_cosine_topk / llm_ann_rerank / llm_dedup_embed /
+    //    str_fuzzy_match: DECLARED brute-force baselines — a broadcast
+    //    query/dim batch against the corpus scan (their scaladocs carry
+    //    the O(·) statement and the indexed keys are the scale path);
+    //  - llm_pack_chunks: prefix theta-join on shard ids, bounded by
+    //    the shard count, not the corpus.
+    val declared = Set("join_cross", "join_theta_range", "kv_region_rebalance",
+      "llm_sim_cosine_topk", "llm_ann_rerank", "llm_dedup_embed",
+      "str_fuzzy_match", "llm_pack_chunks")
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(declared).toSeq.sorted.foreach { k =>
+      val optimized = run(k).queryExecution.optimizedPlan
+      optimized.foreach {
+        case j @ Join(l, r, jt, cond, _) =>
+          def spans(a: Expression, b: Expression): Boolean =
+            a.references.nonEmpty && b.references.nonEmpty &&
+              ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+                (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)))
+          val equi = cond.toSeq.flatMap(H.split).exists {
+            case EqualTo(a, b) => spans(a, b)
+            case EqualNullSafe(a, b) => spans(a, b)
+            case _ => false
+          }
+          // single-column NOT IN: Or(a = b, isnull(a = b)) — Spark's
+          // null-aware anti join, planned as a broadcast hash join
+          val nullAwareAnti = jt == LeftAnti && cond.exists(c => c.collect {
+            case e @ EqualTo(a, b) if spans(a, b) => e
+          }.nonEmpty)
+          // a side bounded by a SMALL CONSTANT (a range/local lookup
+          // dim — explode-like fan-out, not a data-sized quadratic)
+          val bounded = l.maxRows.exists(_ <= 64) || r.maxRows.exists(_ <= 64)
+          if (!equi && !nullAwareAnti && !bounded)
+            violations += s"$k: ${j.joinType} join with no equi key and no bounded side " +
+              s"(l=${l.nodeName} maxRows=${l.maxRows}, r=${r.nodeName} maxRows=${r.maxRows}, cond=$cond)"
+        case _ =>
+      }
+    }
+    assert(violations.isEmpty,
+      "non-equi joins without a bounded side:\n" + violations.mkString("\n"))
+  }
+
   test("scan_dynamic_pruning injects a runtime pruning filter into the fact scan") {
     val p = plan("scan_dynamic_pruning")
     assert(p.toLowerCase.contains("dynamicpruning"),
