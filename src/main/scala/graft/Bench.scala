@@ -76,10 +76,22 @@ object Bench {
         // an unconditional gc per key would tax the wall ~98×.
         if (pinned.nonEmpty) System.gc()
       }
+      // MEMO HONESTY (r12 advice): several keys memoize trained models /
+      // staged fixtures process-wide (LlmVector's codebooks, stream and
+      // media staging). A naive rerun of a key that POPULATED a memo in
+      // run 1 would skip that work in run 2, so min(run1, run2) graded a
+      // warm-memo pass instead of damping a spike. Restoring the memo
+      // maps to their pre-run-1 key sets makes run 2 repeat run 1's
+      // exact work: cold keys re-train, keys that rode an earlier key's
+      // memo stay warm, and run 2 re-adds what run 1 added so later
+      // keys amortize exactly as without the rerun. Snapshot + restore
+      // both run OUTSIDE the timed sections.
+      val memoBefore = graft.util.ProcessMemo.snapshot()
       val (t1, ok1) = timedRun()
       cleanup()
       val (t, spike) =
         if (ok1 && t1 <= rerunMax) {
+          graft.util.ProcessMemo.restore(memoBefore)
           val (t2, ok2) = timedRun()
           cleanup()
           if (!ok2) (t1, None) // key already proven ok; keep run 1

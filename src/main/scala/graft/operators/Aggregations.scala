@@ -1198,7 +1198,242 @@ object Aggregations {
       |  CAST(2 * n1::HUGEINT * n2 - u1x2 AS BIGINT) AS u2_x2
       |FROM u JOIN nation ON nk = n_nationkey ORDER BY n_name""".stripMargin
 
+  /** WELCH'S T-TEST (r13) — the PARAMETRIC member of the two-sample
+    * screen family (`agg_ks_test` reads shape, `agg_mann_whitney`
+    * reads rank shift, Welch reads MEAN shift under unequal
+    * variances — the default A/B report statistic). Per nation:
+    * BUILDING vs MACHINERY customer account balances. Discipline:
+    * the data-sized aggregation produces EXACT integer moments (n,
+    * Σcents as BIGINT, Σcents² as DECIMAL(38,0) — cents² alone
+    * overflows int64 under ANSI near sf1), and only the final k-row
+    * projection computes t and the Welch–Satterthwaite df in doubles
+    * from those exact moments — both engines evaluate the SAME
+    * literal expression tree over the SAME integers, so IEEE
+    * determinism carries the hash (the `agg_corr_exact` recipe).
+    * One broadcast-dim join + one map-side-combinable groupBy. */
+  def aggWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey").as("nk"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is1"))
+    rows.groupBy("nk")
+      .agg(
+        sum(col("is1")).as("n1"),
+        sum(lit(1L) - col("is1")).as("n2"),
+        sum(expr("is1 * cents")).as("s1"),
+        sum(expr("(1 - is1) * cents")).as("s2"),
+        sum(expr("is1 * CAST(cents AS DECIMAL(38,0)) * cents")).as("q1d"),
+        sum(expr("(1 - is1) * CAST(cents AS DECIMAL(38,0)) * cents")).as("q2d"))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+      .withColumn("v1", expr(
+        "(CAST(q1d AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1)"))
+      .withColumn("v2", expr(
+        "(CAST(q2d AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)"))
+      .withColumn("se2", expr("v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)"))
+      .withColumn("t_welch", expr(
+        "ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(se2), 6)"))
+      .withColumn("df_welch", expr(
+        "ROUND(se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)), 6)"))
+      .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n1"), col("n2"),
+        col("s1"), col("s2"), col("t_welch"), col("df_welch"))
+      .orderBy("n_name")
+  }
+
+  val aggWelchTtestOracle: String =
+    """WITH r AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |m AS (SELECT nk,
+      |    CAST(SUM(is1) AS BIGINT) AS n1, CAST(SUM(1 - is1) AS BIGINT) AS n2,
+      |    CAST(SUM(is1 * cents) AS BIGINT) AS s1,
+      |    CAST(SUM((1 - is1) * cents) AS BIGINT) AS s2,
+      |    SUM(is1 * cents::HUGEINT * cents) AS q1d,
+      |    SUM((1 - is1) * cents::HUGEINT * cents) AS q2d
+      |  FROM r GROUP BY nk),
+      |v AS (SELECT *,
+      |    (CAST(q1d AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) AS v1,
+      |    (CAST(q2d AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) AS v2
+      |  FROM m WHERE n1 >= 2 AND n2 >= 2),
+      |s AS (SELECT *, v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2 FROM v)
+      |SELECT n_name, n1, n2, s1, s2,
+      |  ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(se2), 6) AS t_welch,
+      |  ROUND(se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)), 6) AS df_welch
+      |FROM s JOIN nation ON nk = n_nationkey ORDER BY n_name""".stripMargin
+
+  /** CRAMÉR'S V (r13) — the EFFECT-SIZE companion to `agg_chi_square`:
+    * chi² says "nation and market segment are (in)dependent", V says
+    * HOW STRONGLY, normalized to [0,1] so it is comparable across
+    * tables of different size — the statistic a feature-selection
+    * pass over categorical columns actually ranks by. Contingency:
+    * customer nation × market segment. The cell/margin aggregation is
+    * exact integers (the chi_square DECIMAL(38,0) headroom rule for
+    * obs·n − rt·ct); the 125 per-cell contributions then divide in
+    * doubles and fold into one row — identical expression text on
+    * both engines, r6-rounded. Scale shape: one map-side-combinable
+    * groupBy over the fact, then k² metadata rows. */
+  def aggCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = customer(spark, sfDir)
+      .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy("nk").agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy("seg").agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("nk")).as("r_levels"),
+      countDistinct(col("seg")).as("c_levels"))
+    cells
+      .join(broadcast(rowT), Seq("nk"))
+      .join(broadcast(colT), Seq("seg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr(
+        "CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE)"))
+      .withColumn("contrib", expr(
+        "d * d / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"))
+      .groupBy("n", "r_levels", "c_levels")
+      .agg(sum(col("contrib")).as("chi2_raw"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        expr("ROUND(chi2_raw, 6)").as("chi2"),
+        expr("ROUND(SQRT(chi2_raw / (CAST(n AS DOUBLE) * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))), 6)")
+          .as("cramers_v"))
+  }
+
+  val aggCramersVOracle: String =
+    """WITH cells AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+      |    CAST(COUNT(*) AS BIGINT) AS obs FROM customer GROUP BY 1, 2),
+      |rt AS (SELECT nk, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY nk),
+      |ct AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY seg),
+      |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT nk) AS BIGINT) AS r_levels,
+      |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS c_levels FROM cells),
+      |contrib AS (SELECT n, r_levels, c_levels,
+      |    CAST(obs::HUGEINT * n - rt::HUGEINT * ct AS DOUBLE) AS d,
+      |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS den
+      |  FROM cells JOIN rt USING (nk) JOIN ct USING (seg) CROSS JOIN tot),
+      |chi AS (SELECT n, r_levels, c_levels, SUM(d * d / den) AS chi2_raw
+      |  FROM contrib GROUP BY 1, 2, 3)
+      |SELECT n, r_levels, c_levels, ROUND(chi2_raw, 6) AS chi2,
+      |  ROUND(SQRT(chi2_raw / (CAST(n AS DOUBLE) * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))), 6) AS cramers_v
+      |FROM chi""".stripMargin
+
+  /** THEIL T INDEX (r13) — the DECOMPOSABLE inequality measure
+    * `agg_gini` isn't: T = T_between + Σ_g w_g·T_g splits order-value
+    * inequality exactly into a within-nation and a between-nation
+    * part — the property that makes Theil the index used for
+    * drill-down dashboards (Gini does not decompose additively).
+    * Per nation: n_g, exact cent sum s_g, within-group
+    * T_g = Σ (x/μ_g)·ln(x/μ_g) / n_g, and the between contribution
+    * w_g·ln(μ_g/μ) with w_g = s_g/S. Discipline: one fact groupBy for
+    * the exact integer moments, a 25-row broadcast join back for the
+    * per-row ln terms (μ_g must reach every row — join-back, not a
+    * second scan... the join IS the second pass over the fact, but
+    * map-side against a broadcast), doubles only in the final
+    * expressions, identical text both engines, ln-ulp caveat
+    * r6-rounded (the entropy_filter precedent). */
+  def aggTheil(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val grp = rows.groupBy("nk")
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+    val tot = grp.agg(sum(col("n_g")).as("n_all"), sum(col("s_g")).as("s_all"))
+    rows.join(broadcast(grp), Seq("nk"))
+      .withColumn("term", expr(
+        "(CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE)) * LN(CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE))"))
+      .groupBy("nk", "n_g", "s_g")
+      .agg(sum(col("term")).as("tsum"))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n_g"), col("s_g"),
+        expr("ROUND(tsum / CAST(n_g AS DOUBLE), 6)").as("t_within"),
+        expr("""ROUND((CAST(s_g AS DOUBLE) / CAST(s_all AS DOUBLE)) *
+                LN((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)) / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE))), 6)""")
+          .as("between_contrib"))
+      .orderBy("n_name")
+  }
+
+  val aggTheilOracle: String =
+    """WITH r AS (SELECT c_nationkey AS nk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(cents) AS BIGINT) AS s_g FROM r GROUP BY nk),
+      |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_all,
+      |    CAST(SUM(s_g) AS BIGINT) AS s_all FROM g),
+      |t AS (SELECT nk, n_g, s_g,
+      |    SUM((CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE)) * LN(CAST(cents AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE))) AS tsum
+      |  FROM r JOIN g USING (nk) GROUP BY nk, n_g, s_g)
+      |SELECT n_name, n_g, s_g,
+      |  ROUND(tsum / CAST(n_g AS DOUBLE), 6) AS t_within,
+      |  ROUND((CAST(s_g AS DOUBLE) / CAST(s_all AS DOUBLE)) *
+      |        LN((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)) / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE))), 6) AS between_contrib
+      |FROM t CROSS JOIN tot JOIN nation ON nk = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** MEDIAN ABSOLUTE DEVIATION (r13) — the robust spread companion to
+    * `agg_robust_zscore`-style screens: MAD = median(|x − median(x)|),
+    * immune to the outliers that blow up stddev. BOTH medians use
+    * `agg_weighted_median`'s LOWER-median convention (min value whose
+    * doubled cumulative count reaches the total — no interpolation,
+    * so the whole key is EXACT integers, no float in sight). Two
+    * passes: per-nation median via a partitioned cumulative window,
+    * 25-row broadcast join-back, then the same window over the
+    * absolute deviations. Total-ordered window keys (cents, custkey)
+    * keep every frame deterministic. */
+  def aggMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = customer(spark, sfDir)
+      .select(col("c_nationkey").as("nk"), col("c_custkey").as("ck"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val ord = Window.partitionBy("nk").orderBy(col(valueCol).asc, col("ck").asc)
+      val all = Window.partitionBy("nk")
+      df.withColumn("rn", row_number().over(ord))
+        .withColumn("n", count(lit(1)).over(all))
+        .filter(col("rn") * 2 >= col("n"))
+        .groupBy("nk")
+        .agg(min(col(valueCol)).as(outCol), max(col("n")).as("n_custs"))
+    }
+    val med = lowerMedian(rows, "cents", "median_cents")
+    val dev = rows.join(broadcast(med.select("nk", "median_cents")), Seq("nk"))
+      .withColumn("adev", abs(col("cents") - col("median_cents")))
+    lowerMedian(dev, "adev", "mad_cents")
+      .join(med.select("nk", "median_cents"), Seq("nk"))
+      .join(broadcast(nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .select("n_name", "n_custs", "median_cents", "mad_cents")
+      .orderBy("n_name")
+  }
+
+  val aggMadOracle: String =
+    """WITH r AS (SELECT c_nationkey AS nk, c_custkey AS ck,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |rk AS (SELECT nk, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, ck) AS rn,
+      |    COUNT(*) OVER (PARTITION BY nk) AS n
+      |  FROM r),
+      |med AS (SELECT nk, CAST(MIN(cents) AS BIGINT) AS median_cents,
+      |    CAST(MAX(n) AS BIGINT) AS n_custs
+      |  FROM rk WHERE rn * 2 >= n GROUP BY nk),
+      |dev AS (SELECT r.nk, r.ck, ABS(r.cents - m.median_cents) AS adev
+      |  FROM r JOIN med m ON r.nk = m.nk),
+      |rk2 AS (SELECT nk, adev,
+      |    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY adev, ck) AS rn,
+      |    COUNT(*) OVER (PARTITION BY nk) AS n
+      |  FROM dev),
+      |mad AS (SELECT nk, CAST(MIN(adev) AS BIGINT) AS mad_cents
+      |  FROM rk2 WHERE rn * 2 >= n GROUP BY nk)
+      |SELECT n_name, n_custs, median_cents, mad_cents
+      |FROM med JOIN mad USING (nk) JOIN nation ON nk = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil" -> (aggTheil _),
+    "agg_mad" -> (aggMad _),
+    "agg_welch_ttest" -> (aggWelchTtest _),
+    "agg_cramers_v" -> (aggCramersV _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -1230,6 +1465,10 @@ object Aggregations {
     "udaf_weighted_avg" -> (udafWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
+    "agg_theil" -> aggTheilOracle,
+    "agg_mad" -> aggMadOracle,
+    "agg_welch_ttest" -> aggWelchTtestOracle,
+    "agg_cramers_v" -> aggCramersVOracle,
     "agg_ks_test" -> aggKsTestOracle,
     "agg_mann_whitney" -> aggMannWhitneyOracle,
     "agg_bitmap_distinct" -> aggBitmapDistinctOracle,

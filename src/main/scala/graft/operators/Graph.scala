@@ -160,6 +160,137 @@ object Graph {
        |  UNION ALL SELECT z FROM tri)
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** LOCAL CLUSTERING COEFFICIENT (r13) — the per-node sibling of
+    * `graph_triangles`' raw counts: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * the standard "how clique-like is v's neighborhood" measure
+    * (Watts–Strogatz) that a graph-quality screen reads next to
+    * degree. Same thresholded undirected trade graph, same ordered
+    * 3-way equi-join for T(v); degree is one UNION-ALL + groupBy over
+    * the edge list; nodes with an edge but deg < 2 or no triangle
+    * report 0 (LEFT join + COALESCE — an inner join would silently
+    * drop exactly the open-neighborhood nodes the screen looks for).
+    * The ratio is EXACT integer ppm (2·T·10⁶ floor-div deg·(deg−1),
+    * riding DECIMAL(38,0)/HUGEINT for billion-edge headroom) — no
+    * float division to diverge. Scale: everything after the fact⋈fact
+    * edge aggregation is degree-sum-bounded. */
+  def graphLocalClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select("u", "v").localCheckpoint(true)
+    val deg = ed.select(col("u").as("node"))
+      .union(ed.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val a = ed.select(col("u").as("x"), col("v").as("y"))
+    val b = ed.select(col("u").as("y"), col("v").as("z"))
+    val c = ed.select(col("u").as("x"), col("v").as("z"))
+    val tri = a.join(b, "y").join(c, Seq("x", "z"))
+    val tc = tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tc, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN degree >= 2 THEN
+                 CAST((CAST(COALESCE(n_tri, 0) AS DECIMAL(38,0)) * 2000000)
+                   div (CAST(degree AS DECIMAL(38,0)) * (degree - 1)) AS BIGINT)
+                ELSE 0 END""").as("lcc_ppm"))
+      .orderBy("node")
+  }
+
+  val graphLocalClusteringOracle: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |ed AS (SELECT u, v FROM und, tot WHERE w * np > tw),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |  SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY node),
+       |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+       |        FROM ed a JOIN ed b ON a.v = b.u
+       |        JOIN ed c ON c.u = a.u AND c.v = b.v),
+       |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY node)
+       |SELECT node, degree, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+       |  CASE WHEN degree >= 2 THEN
+       |    CAST((COALESCE(n_tri, 0)::HUGEINT * 2000000)
+       |      // (degree::HUGEINT * (degree - 1)) AS BIGINT)
+       |  ELSE 0 END AS lcc_ppm
+       |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin
+
+  /** DEGREE ASSORTATIVITY (Newman 2002, r13) — do high-degree nations
+    * trade with other hubs (r > 0, social-network shape) or with
+    * spokes (r < 0, hub-and-spoke/internet shape)? The one-number
+    * mixing summary next to `graph_local_clustering`'s per-node view:
+    * Pearson correlation of endpoint degrees over the symmetrized
+    * edge set of the thresholded undirected trade graph (each edge
+    * contributes both orientations — the standard undirected
+    * convention, and it makes Σx = Σy by construction). Degrees are
+    * exact integers, the five moments aggregate exactly (DECIMAL
+    * headroom for the squares), and r evaluates in doubles from those
+    * exact moments (the corr_exact recipe). Everything after the edge
+    * aggregation is degree-sum bounded. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    val ed = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select("u", "v").localCheckpoint(true)
+    val deg = ed.select(col("u").as("node"))
+      .union(ed.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val sym = ed.select(col("u").as("a"), col("v").as("b"))
+      .union(ed.select(col("v").as("a"), col("u").as("b")))
+    sym
+      .join(broadcast(deg.select(col("node").as("a"), col("degree").as("x"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("degree").as("y"))), Seq("b"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("n_endpoints"),
+        expr("""ROUND((CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (SQRT(CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 SQRT(CAST(n_endpoints AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""")
+          .as("assortativity"))
+  }
+
+  val graphAssortativityOracle: String =
+    s"""WITH $edgesSql,
+       |und AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+       |  CAST(SUM(w) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |  CAST(SUM(w) AS BIGINT) AS tw FROM und),
+       |ed AS (SELECT u, v FROM und, tot WHERE w * np > tw),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |  SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY node),
+       |sym AS (SELECT u AS a, v AS b FROM ed UNION ALL SELECT v, u FROM ed),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+       |    CAST(SUM(dx.degree) AS BIGINT) AS sx, CAST(SUM(dy.degree) AS BIGINT) AS sy,
+       |    SUM(dx.degree::HUGEINT * dy.degree) AS sxy,
+       |    SUM(dx.degree::HUGEINT * dx.degree) AS sxx,
+       |    SUM(dy.degree::HUGEINT * dy.degree) AS syy
+       |  FROM sym JOIN deg dx ON sym.a = dx.node JOIN deg dy ON sym.b = dy.node)
+       |SELECT n_endpoints,
+       |  ROUND((CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |        (SQRT(CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |         SQRT(CAST(n_endpoints AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+       |FROM m""".stripMargin
+
   /** HITS HUBS & AUTHORITIES (Kleinberg, r11) — the directed
     * centrality pair PageRank doesn't give: on the weighted trade
     * graph, a good HUB (customer nation) buys from good authorities
@@ -963,6 +1094,8 @@ object Graph {
     "graph_pagerank" -> (graphPagerank _),
     "graph_hits" -> (graphHits _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_local_clustering" -> (graphLocalClustering _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_components" -> (graphComponents _),
     "graph_bfs" -> (graphBfs _),
     "graph_sssp" -> (graphSssp _))
@@ -978,6 +1111,8 @@ object Graph {
     "graph_pagerank" -> graphPagerankOracle,
     "graph_hits" -> graphHitsOracle,
     "graph_triangles" -> graphTrianglesOracle,
+    "graph_local_clustering" -> graphLocalClusteringOracle,
+    "graph_assortativity" -> graphAssortativityOracle,
     "graph_components" -> graphComponentsOracle,
     "graph_bfs" -> graphBfsOracle,
     "graph_sssp" -> graphSsspOracle)

@@ -1403,7 +1403,56 @@ object LlmText {
       |LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = g.dim
       |ORDER BY d.doc_id, dim""".stripMargin
 
+  /** ZIPF SLOPE (r13) — the rank-frequency power-law fit: natural
+    * text obeys freq ∝ rank^s with s ≈ −1, and a per-language slope
+    * far from −1 is the classic corpus-health smell (template spam
+    * flattens it, deduplicated boilerplate steepens it) that curation
+    * dashboards track next to `llm_entropy_filter`. Per lang: term
+    * frequencies (the shared tokenization), a DETERMINISTIC rank
+    * (freq desc, term asc — row_number without the total order would
+    * hash-diverge on ties), head truncated at rank ≤ 200 (the fit is
+    * about the head; the tail is where Zipf breaks by design), then
+    * the closed-form least-squares slope of ln(freq) on ln(rank).
+    * ln() sums carry the `llm_entropy_filter` caveat (last-ulp
+    * engine drift, r6-rounded away). One term-keyed shuffle + one
+    * k-row window per language. */
+  def llmTextZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 200)
+      .select(col("lang"),
+        expr("LN(CAST(rank AS DOUBLE))").as("x"),
+        expr("LN(CAST(tf AS DOUBLE))").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        expr("ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6)")
+          .as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val llmTextZipfOracle: String =
+    """WITH tok AS (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |rk AS (SELECT lang, term, tf, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY tf DESC, term ASC) AS rank FROM tf),
+      |xy AS (SELECT lang, LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(tf AS DOUBLE)) AS y
+      |  FROM rk WHERE rank <= 200),
+      |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM xy GROUP BY lang)
+      |SELECT lang, n_terms,
+      |  ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+      |FROM m ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_zipf" -> (llmTextZipf _),
     "llm_feature_hash" -> (llmFeatureHash _),
     "llm_keywords" -> (llmKeywords _),
     "llm_cms_heavy_hitters" -> (llmCmsHeavyHitters _),
@@ -1438,6 +1487,7 @@ object LlmText {
     "llm_fingerprint" -> (llmFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "llm_text_zipf" -> llmTextZipfOracle,
     "llm_feature_hash" -> llmFeatureHashOracle,
     "llm_keywords" -> llmKeywordsOracle,
     "llm_cms_heavy_hitters" -> llmCmsHeavyHittersOracle,

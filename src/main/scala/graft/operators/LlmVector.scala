@@ -316,6 +316,7 @@ object LlmVector {
   // concurrent first call — benign (same deterministic model wins).
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+  graft.util.ProcessMemo.register("llm_vector.centCache", centCache)
 
   private def kmeansState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(spark)
@@ -365,6 +366,7 @@ object LlmVector {
     * immutable-sfDir precondition as centCache. */
   private val rankedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+  graft.util.ProcessMemo.register("llm_vector.rankedCache", rankedCache)
 
   /** The cached ranking is backed by localCheckpoint BLOCKS, which any
     * session-level hygiene pass (`spark.catalog.clearCache()` + blanket
@@ -569,6 +571,7 @@ object LlmVector {
 
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+  graft.util.ProcessMemo.register("llm_vector.pqCache", pqCache)
 
   /** The per-subspace deterministic Lloyd training, generic over its
     * input frame (vec_id, pos, sub, v) so the RAW-vector codebook

@@ -99,6 +99,7 @@ object Multimodal {
 
   private val runTag: String = java.util.UUID.randomUUID().toString.take(8)
   private val staged = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  graft.util.ProcessMemo.register("multimodal.staged", staged)
 
   /** The media table: `doc_id` + a REAL parquet BINARY payload column,
     * staged once per (process, sfDir) and read back from disk — every

@@ -839,7 +839,125 @@ object Scans {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
       |FROM m ORDER BY seg, ym""".stripMargin
 
+  /** TPC-H Q6 SHAPE — FORECASTING REVENUE CHANGE (r13): the pure
+    * scan → filter → single-row aggregate, deliberately join-free —
+    * the one classic shape the q3..q22 family still lacked and the
+    * canonical predicate-pushdown showcase: all three filters (date
+    * range, discount band, quantity cap) must reach the parquet scan
+    * as PushedFilters, so at 100 TB the query reads only the row
+    * groups whose min/max stats survive them. The discount band
+    * compares as DECIMAL(4,2), never raw doubles — an exact 0.05 ≤ d ≤
+    * 0.07 on binary floats would be engine-dependent at the
+    * boundaries. Revenue is the exact integer cent·percent product. */
+  def sqlQ6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q6_lineitem")
+    spark.sql(sqlQ6Text("g_q6_lineitem"))
+  }
+  private def sqlQ6Text(li: String): String =
+    s"""SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |         * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT)
+       |    AS revenue_cent_pct,
+       |  COUNT(*) AS n_lines
+       |FROM $li
+       |WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+       |  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+       |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  val sqlQ6ForecastRevenueOracle: String = sqlQ6Text("lineitem")
+
+  /** TPC-H Q8 SHAPE — NATIONAL MARKET SHARE (r13): the conditional-
+    * aggregate-over-a-star shape — NATION_1's share of ECONOMY-part
+    * revenue among AMERICA-region customers, per order year. The
+    * nation table joins TWICE under different roles (customer-side
+    * region gate, supplier-side share target), the five dims all
+    * broadcast, and the share is a per-group conditional sum over one
+    * fact⋈fact pass — no second scan for the denominator. Exact
+    * integer volumes; the ppm division rides DECIMAL(38,0)/HUGEINT
+    * (the q14 rule), and Spark `div` vs DuckDB `//` forces the split
+    * final text. */
+  def sqlQ8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q8_lineitem")
+    orders(spark, sfDir).createOrReplaceTempView("g_q8_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_q8_customer")
+    supplier(spark, sfDir).createOrReplaceTempView("g_q8_supplier")
+    nation(spark, sfDir).createOrReplaceTempView("g_q8_nation")
+    region(spark, sfDir).createOrReplaceTempView("g_q8_region")
+    part(spark, sfDir).createOrReplaceTempView("g_q8_part")
+    spark.sql(sqlQ8Text("g_q8_lineitem", "g_q8_orders", "g_q8_customer",
+      "g_q8_supplier", "g_q8_nation", "g_q8_region", "g_q8_part",
+      "CAST(1000000 AS DECIMAL(38,0))", "div"))
+  }
+  private def sqlQ8Text(li: String, ord: String, cust: String, supp: String,
+      nat: String, reg: String, part: String, ppmLit: String, divOp: String): String =
+    s"""SELECT o_year,
+       |  CAST(($ppmLit *
+       |        SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END))
+       |    $divOp SUM(vol) AS BIGINT) AS mkt_share_ppm,
+       |  CAST(SUM(vol) AS BIGINT) AS total_vol
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS vol,
+       |    n2.n_name AS supp_nation
+       |  FROM $li
+       |  JOIN $ord ON l_orderkey = o_orderkey
+       |  JOIN $cust ON o_custkey = c_custkey
+       |  JOIN $supp ON l_suppkey = s_suppkey
+       |  JOIN $nat n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN $reg ON n1.n_regionkey = r_regionkey
+       |  JOIN $nat n2 ON s_nationkey = n2.n_nationkey
+       |  JOIN $part ON l_partkey = p_partkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  val sqlQ8MarketShareOracle: String =
+    sqlQ8Text("lineitem", "orders", "customer", "supplier", "nation",
+      "region", "part", "1000000::HUGEINT", "//")
+
+  /** TPC-H Q10 SHAPE — RETURNED ITEM REPORTING (r13): the top-k
+    * revenue-loss ranking — customers whose Q1-1996 orders shipped
+    * lines that came back flagged 'R', ranked by exact lost revenue.
+    * A 4-table star (two broadcast dims, one fact⋈fact), a customer-
+    * keyed aggregate, and a deterministic top-20 (revenue DESC, then
+    * custkey — LIMIT without a total order is nondeterministic under
+    * shuffle, the driver-hash trap every `*_topk` key dodges the same
+    * way). At 100 TB the date gate prunes orders BEFORE the fact⋈fact
+    * join and the returnflag filter pushes to the lineitem scan. */
+  def sqlQ10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q10_lineitem")
+    orders(spark, sfDir).createOrReplaceTempView("g_q10_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g_q10_customer")
+    nation(spark, sfDir).createOrReplaceTempView("g_q10_nation")
+    spark.sql(sqlQ10Text("g_q10_lineitem", "g_q10_orders", "g_q10_customer",
+      "g_q10_nation"))
+  }
+  private def sqlQ10Text(li: String, ord: String, cust: String, nat: String): String =
+    s"""SELECT c_custkey, c_name,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+       |    AS BIGINT) AS revenue,
+       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+       |  n_name
+       |FROM $cust
+       |JOIN $ord ON c_custkey = o_custkey
+       |JOIN $li ON l_orderkey = o_orderkey
+       |JOIN $nat ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+       |  AND o_orderdate < CAST('1996-04-01' AS TIMESTAMP)
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  val sqlQ10ReturnedItemsOracle: String =
+    sqlQ10Text("lineitem", "orders", "customer", "nation")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q6_forecast_revenue" -> (sqlQ6ForecastRevenue _),
+    "sql_q8_market_share" -> (sqlQ8MarketShare _),
+    "sql_q10_returned_items" -> (sqlQ10ReturnedItems _),
     "sql_window_cte" -> (sqlWindowCte _),
     "sql_star_revenue" -> (sqlStarRevenue _),
     "sql_q3_shipping_priority" -> (sqlQ3ShippingPriority _),
@@ -866,6 +984,9 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "sql_q6_forecast_revenue" -> sqlQ6ForecastRevenueOracle,
+    "sql_q8_market_share" -> sqlQ8MarketShareOracle,
+    "sql_q10_returned_items" -> sqlQ10ReturnedItemsOracle,
     "sql_window_cte" -> sqlWindowCteOracle,
     "sql_star_revenue" -> sqlStarRevenueOracle,
     "sql_q3_shipping_priority" -> sqlQ3ShippingPriorityOracle,

@@ -30,6 +30,7 @@ object TimeSeries {
     * either way; only the redundant staging write is saved). */
   private val stagedDirs = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), org.apache.spark.sql.types.StructType]
+  graft.util.ProcessMemo.register("time_series.stagedDirs", stagedDirs)
 
   /** Stage the events file as `nCopies` full copies (each one micro-batch
     * under `maxFilesPerTrigger=1`) under a per-process scratch dir and

@@ -377,7 +377,51 @@ object Windows {
       |WHERE b.rnk <> a.rnk
       |ORDER BY a.day, a.event_type""".stripMargin
 
+  /** SKYLINE / PARETO FRONTIER (r13) — the classic dominance query
+    * (Börzsönyi et al., "The Skyline Operator", ICDE'01): per brand,
+    * the parts not dominated on (size↓, retailprice↑) — q dominates p
+    * iff q.size ≤ p.size ∧ q.price ≥ p.price with one strict. The
+    * window formulation needs NO self-join: sorted by size, a point
+    * survives iff its price beats the running max over STRICTLY
+    * smaller sizes (RANGE frame ending at -1 — a ROWS frame would
+    * wrongly let same-size rows dominate each other by sort order)
+    * and it is the max-price row within its own size. Equal
+    * (size, price) twins dominate neither and both stay. One
+    * brand-keyed shuffle + per-partition sort — at 100 TB the frame
+    * is the textbook single-pass skyline sweep per group. Prices
+    * compare as exact cents. */
+  def winSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val priced = part(spark, sfDir)
+      .select(col("p_brand"), col("p_size"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_cents"))
+    val smaller = Window.partitionBy("p_brand").orderBy(col("p_size").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameSize = Window.partitionBy("p_brand", "p_size")
+    priced
+      .withColumn("best_smaller", max(col("price_cents")).over(smaller))
+      .withColumn("best_same", max(col("price_cents")).over(sameSize))
+      .filter((col("best_smaller").isNull || col("best_smaller") < col("price_cents")) &&
+        col("price_cents") === col("best_same"))
+      .select("p_brand", "p_size", "price_cents")
+      .orderBy("p_brand", "p_size", "price_cents")
+  }
+
+  val winSkylineOracle: String =
+    """WITH priced AS (SELECT p_brand, p_size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |  FROM part),
+      |w AS (SELECT p_brand, p_size, price_cents,
+      |    MAX(price_cents) OVER (PARTITION BY p_brand ORDER BY p_size
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller,
+      |    MAX(price_cents) OVER (PARTITION BY p_brand, p_size) AS best_same
+      |  FROM priced)
+      |SELECT p_brand, p_size, price_cents FROM w
+      |WHERE (best_smaller IS NULL OR best_smaller < price_cents)
+      |  AND price_cents = best_same
+      |ORDER BY p_brand, p_size, price_cents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_skyline" -> (winSkyline _),
     "win_rank_delta" -> (winRankDelta _),
     "win_sliding_median" -> (winSlidingMedian _),
     "win_streaks" -> (winStreaks _),
@@ -393,6 +437,7 @@ object Windows {
     "win_first_last" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_skyline" -> winSkylineOracle,
     "win_rank_delta" -> winRankDeltaOracle,
     "win_sliding_median" -> winSlidingMedianOracle,
     "win_streaks" -> winStreaksOracle,

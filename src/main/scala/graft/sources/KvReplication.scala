@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   *    offset ledger and re-checked on resume — resuming with a
   *    different --batches or a mutated WAL fails loudly instead of
   *    silently mis-splitting;
-  *  - apply() is idempotent: it reads only committed batches (index ≤
-  *    offset) and resolves per-coordinate winners by seq, so applying
-  *    the same queue twice yields the same state.
+  *  - apply() is idempotent AGAINST THE SAME STORE (r12 advice): a
+  *    per-(queue, store) applied-offset ledger makes the steady-state
+  *    re-apply a no-op, and a behind-the-queue replica is rebuilt from
+  *    the committed batches (per-coordinate winners by seq) into a
+  *    temp dir swapped in atomically — applying the same queue twice,
+  *    or re-applying after new batches commit, always converges to
+  *    exactly full-log replay with zero duplicate cells.
   *
   * 100 TB posture: a batch ships as one bounded filter+write of the
   * log tail (a production tailer reads only new WAL segments — the
@@ -85,6 +89,14 @@ object KvReplication {
       .collect()
     require(!b.isNullAt(0), "WAL is empty — nothing to ship")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // EXACT integral geometry (ADVICE r12): hi - lo and the per-edit
+    // batch id below both stay in pure 64-bit integer arithmetic — a
+    // double intermediate rounds above 2^53 and can push an edit into
+    // batch index == batches, which the `from until batches` ship loop
+    // would then silently drop. A WAL whose seq range itself exceeds
+    // what a signed long can span fails loudly instead of wrapping.
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"WAL seq range [$lo, $hi] spans >= 2^63-1 — re-sequence or split the log before shipping")
     val width = math.max(1L, (hi - lo) / batches + 1)
     val prior = readLedger(replRoot)
     prior.foreach { lg =>
@@ -94,8 +106,22 @@ object KvReplication {
           "refusing to mis-split the queue")
     }
     val from = prior.map(_.last).getOrElse(-1) + 1
+    // Integral floor division (DIV), never `/`: seq - lo is in
+    // [0, 2^63) by the require above, width >= 1, and with exact
+    // integer math the id is PROVABLY in [0, batches): writing
+    // D = hi - lo = q*batches + r (0 <= r < batches) gives
+    // width = q + 1, and D DIV (q+1) = (q*batches + r) / (q+1)
+    // <= (batches*(q+1) - 1) / (q+1) < batches. The raise_error arm
+    // turns any violation of that proof (e.g. a future edit to the
+    // geometry) into a loud failure instead of a silently unshipped
+    // edit.
+    val rawBatch = expr(s"CAST((seq - ${lo}L) DIV ${width}L AS INT)")
     val tagged = wal.select(required.map(col): _*)
-      .withColumn("batch", ((col("seq") - lit(lo)) / lit(width)).cast("int"))
+      .withColumn("batch",
+        when(rawBatch >= 0 && rawBatch < lit(batches), rawBatch)
+          .otherwise(raise_error(concat(
+            lit(s"replication batch id out of [0, $batches) for seq="),
+            col("seq").cast("string")))))
     for (i <- from until batches) {
       tagged.filter(col("batch") === i).drop("batch")
         .write.mode("overwrite").parquet(queueDir(replRoot, i).toString)
@@ -105,13 +131,80 @@ object KvReplication {
     ShipStats(shipped = batches - from, skipped = from, batches = batches)
   }
 
+  /** Per-(queue, replica-store) applied-offset ledger: `v1 <batch>
+    * <storePath>`. Named by a digest of the normalized store path so
+    * two replicas fed from one queue never share a ledger; the plain
+    * path rides inside the file for debuggability. */
+  private def appliedFile(replRoot: String, storePath: String): Path = {
+    val norm = Paths.get(storePath).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    Paths.get(replRoot, "applied", key)
+  }
+
+  private def readApplied(replRoot: String, storePath: String): Option[Int] = {
+    val p = appliedFile(replRoot, storePath)
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split(" ", 3) match {
+      case Array("v1", last, _) => Some(last.toInt)
+      case other => sys.error(s"corrupt applied ledger at $p: ${other.mkString(" ")}")
+    }
+  }
+
+  private def commitApplied(replRoot: String, storePath: String, last: Int): Unit = {
+    val p = appliedFile(replRoot, storePath)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val norm = Paths.get(storePath).toAbsolutePath.normalize.toString
+    Files.writeString(tmp, s"v1 $last $norm\n")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Apply every COMMITTED batch (index ≤ offset) onto the replica
-    * store at `storePath`: one cell-keyed last-write-wins window over
-    * the shipped edits, deletes suppress, surviving puts flush.
-    * Returns the number of cells flushed. */
+    * store at `storePath`, IDEMPOTENTLY (ADVICE r12): graft-kv stores
+    * do not forbid duplicate cells, so the old unconditional
+    * append-mode flush duplicated every previously applied cell on
+    * re-apply — the documented continuous steady state. Now an
+    * applied-offset ledger (per queue × store) records how far this
+    * replica has consumed the queue:
+    *
+    *  - ledger == committed offset → steady-state NO-OP (the common
+    *    continuous-replication heartbeat costs one count, no write);
+    *  - ledger behind → the replica state is REBUILT from the full
+    *    committed queue (one cell-keyed last-write-wins shuffle —
+    *    deletes suppress, so a newly shipped delete genuinely removes
+    *    a previously applied cell) into a sibling temp dir that is
+    *    atomically swapped in, then the ledger commits. The queue —
+    *    not the replica — is the source of truth, so a kill in any
+    *    window (after swap, before ledger) just rebuilds again: the
+    *    rebuild is a pure function of the committed queue;
+    *  - no ledger AND the store already holds data files → refuse
+    *    loudly: this store is not owned by this replication queue and
+    *    a rebuild would clobber it.
+    *
+    * Replay-from-queue is the snapshot-restore posture this utility
+    * grades throughout; a production incremental would instead flush
+    * VERSIONED cells and lean on compaction to retire superseded ones
+    * (exactly the `kv_compact_*` surface). Returns the replica's cell
+    * count. */
   def applyShipped(spark: SparkSession, replRoot: String, storePath: String): Long = {
     val lg = readLedger(replRoot)
       .getOrElse(sys.error(s"no committed replication offset under $replRoot"))
+    def storeCount(): Long =
+      spark.read.format("graft-kv").load(storePath).count()
+    readApplied(replRoot, storePath) match {
+      case Some(a) if a == lg.last => return storeCount() // already converged
+      case Some(a) if a > lg.last =>
+        sys.error(s"applied ledger ($a) is ahead of the committed queue (${lg.last}) " +
+          s"under $replRoot — the queue was truncated or the ledger is foreign")
+      case Some(_) => () // behind: rebuild below
+      case None =>
+        require(KvFormat.dataFiles(storePath).isEmpty,
+          s"refusing to rebuild $storePath: it already holds data files but has no " +
+            s"applied ledger under $replRoot — not a replica of this queue")
+    }
     val dirs = (0 to lg.last).map(queueDir(replRoot, _).toString)
     val edits = spark.read.parquet(dirs: _*)
     val coordW = Window.partitionBy("rowkey", "qualifier").orderBy(col("seq").desc)
@@ -119,8 +212,20 @@ object KvReplication {
       .withColumn("rn", row_number().over(coordW))
       .filter(col("rn") === 1 && col("op") === "put")
       .select("rowkey", "qualifier", "value")
-    state.write.format("graft-kv").option("path", storePath).mode("append").save()
-    spark.read.format("graft-kv").load(storePath).count()
+    val store = Paths.get(storePath).toAbsolutePath.normalize
+    // deterministic sibling names so a killed apply's strays are
+    // reclaimed by the retry instead of accumulating
+    val tmp = store.resolveSibling(s".${store.getFileName}.rebuild.tmp")
+    val old = store.resolveSibling(s".${store.getFileName}.rebuild.old")
+    graft.util.Scratch.deleteTree(tmp.toString)
+    graft.util.Scratch.deleteTree(old.toString)
+    state.write.format("graft-kv").option("path", tmp.toString).mode("append").save()
+    Option(store.getParent).foreach(Files.createDirectories(_))
+    if (Files.exists(store)) Files.move(store, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, store, StandardCopyOption.ATOMIC_MOVE)
+    graft.util.Scratch.deleteTree(old.toString)
+    commitApplied(replRoot, storePath, lg.last)
+    storeCount()
   }
 
   /** VerifyReplication: per-qualifier cell counts and order-insensitive

@@ -499,6 +499,26 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), "no hash/merge join on p_partkey:\n" + p.take(1600))
   }
 
+  test("Q6-shape join-free aggregate pushes its scan filters, plans no join") {
+    val p = plan("sql_q6_forecast_revenue")
+    assert(!p.contains("Join"), "Q6 must stay join-free:\n" + p.take(1600))
+    // plan toString ELIDES long pushed-filter lists with "..." (the
+    // scan_filter_pushdown caveat), so assert the stable prefix: the
+    // date range is the first pushed comparison after the null guards —
+    // if it shows, the pushdown path is live for the whole conjunction
+    // (the DECIMAL-cast discount band is legitimately post-scan)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "no pushed filters on the lineitem scan:\n" + p.take(1600))
+  }
+
+  test("Q8-shape market share broadcasts its dims — never a nested loop") {
+    val p = plan("sql_q8_market_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a dim join degenerated:\n" + p.take(1600))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4,
+      "the dims (incl. nation twice under different roles) must broadcast:\n" + p.take(1600))
+  }
+
   test("Q21-shape EXISTS + NOT EXISTS plan as one semi and one anti join") {
     val p = plan("sql_q21_waiting_supplier")
     assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(1200))

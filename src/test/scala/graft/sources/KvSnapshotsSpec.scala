@@ -704,6 +704,51 @@ class KvSnapshotsSpec extends SparkSpec {
       "tampering one cell must break exactly one qualifier's convergence")
   }
 
+  test("apply is idempotent against the SAME store and catches up after new batches commit") {
+    val dest = freshRoot()
+    // commit only batches 0 and 1: the kill lands after batch 2's
+    // publish but before its offset commit (width = 250 → committed
+    // prefix covers seq < 500)
+    KvReplication.shipFault =
+      i => if (i == 2) throw new RuntimeException("injected kill before batch 2 commit")
+    try intercept[RuntimeException] {
+      KvReplication.ship(spark, replWal, dest, batches = 4)
+    } finally KvReplication.shipFault = _ => ()
+    val store = freshRoot() + "/store"
+    val n1 = KvReplication.applyShipped(spark, dest, store)
+    // the r12-advice scenario: re-applying to the SAME store in the
+    // continuous steady state must not duplicate a single cell
+    val n2 = KvReplication.applyShipped(spark, dest, store)
+    assert(n1 == n2, s"steady-state re-apply changed the replica: $n1 -> $n2")
+    val partial = spark.read.format("graft-kv").load(store)
+    assert(partial.count() == n1)
+    assert(partial.groupBy("rowkey", "qualifier").count()
+      .agg(max("count")).head().getLong(0) == 1L,
+      "no coordinate may hold duplicate cells after a double apply")
+    // coordinate (44, q1): its committed-prefix winner is a PUT
+    // (seq 394; ids ≡ 94 mod 150, 394 % 7 ≠ 0) ...
+    assert(partial.filter(col("rowkey") === 44 && col("qualifier") === "q1").count() == 1)
+    // catch up: ship the remaining batches, apply AGAIN to the same store
+    KvReplication.ship(spark, replWal, dest, batches = 4)
+    KvReplication.applyShipped(spark, dest, store)
+    val full = spark.read.format("graft-kv").load(store)
+    // ... and the full log's winner is a DELETE (seq 994 = 7·142): the
+    // catch-up rebuild genuinely retires a previously applied cell,
+    // which append-mode flushing never could
+    assert(full.filter(col("rowkey") === 44 && col("qualifier") === "q1").count() == 0,
+      "a newly shipped delete must remove the previously applied cell")
+    assert(full.exceptAll(replExpected).count() == 0 &&
+      replExpected.exceptAll(full).count() == 0,
+      "catch-up apply must converge to exactly full-log replay")
+    // a third apply stays a no-op
+    assert(KvReplication.applyShipped(spark, dest, store) == full.count())
+    // a store holding data but no applied ledger is NOT a replica of
+    // this queue: refuse loudly instead of clobbering it
+    val foreign = freshRoot() + "/foreign"
+    replExpected.write.format("graft-kv").option("path", foreign).mode("append").save()
+    intercept[IllegalArgumentException] { KvReplication.applyShipped(spark, dest, foreign) }
+  }
+
   test("the replicate CLI verb ships and applies end-to-end, with the exit-code matrix") {
     val walDir = freshRoot() + "/wal"
     replWal.write.parquet(walDir)
