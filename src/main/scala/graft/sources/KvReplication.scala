@@ -47,6 +47,11 @@ object KvReplication {
     * commits — the nastiest kill window. No-op in production. */
   private[graft] var shipFault: Int => Unit = _ => ()
 
+  /** Spec fault injection for apply's nastiest window: invoked after the
+    * rebuilt store is swapped in but BEFORE the applied ledger commits.
+    * No-op in production. */
+  private[graft] var applyFault: () => Unit = () => ()
+
   final case class ShipStats(shipped: Int, skipped: Int, batches: Int)
 
   private def queueDir(replRoot: String, i: Int): Path =
@@ -115,10 +120,15 @@ object KvReplication {
     // turns any violation of that proof (e.g. a future edit to the
     // geometry) into a loud failure instead of a silently unshipped
     // edit.
-    val rawBatch = expr(s"CAST((seq - ${lo}L) DIV ${width}L AS INT)")
+    // Range-check the LONG quotient FIRST and cast to INT only inside
+    // the validated arm (ADVICE r13): checking after the cast would let
+    // a proof-violating quotient >= 2^31 wrap at the cast under
+    // non-ANSI mode and land back inside [0, batches), silently
+    // misrouting the edit past the very guard the clamp provides.
+    val rawBatchL = expr(s"(seq - ${lo}L) DIV ${width}L")
     val tagged = wal.select(required.map(col): _*)
       .withColumn("batch",
-        when(rawBatch >= 0 && rawBatch < lit(batches), rawBatch)
+        when(rawBatchL >= 0L && rawBatchL < lit(batches.toLong), rawBatchL.cast("int"))
           .otherwise(raise_error(concat(
             lit(s"replication batch id out of [0, $batches) for seq="),
             col("seq").cast("string")))))
@@ -182,7 +192,12 @@ object KvReplication {
     *    rebuild is a pure function of the committed queue;
     *  - no ledger AND the store already holds data files → refuse
     *    loudly: this store is not owned by this replication queue and
-    *    a rebuild would clobber it.
+    *    a rebuild would clobber it;
+    *  - no ledger AND the store is empty (first apply) → ADOPT it by
+    *    committing a provisional ledger (batch -1) before rebuilding,
+    *    so the kill-in-any-window guarantee holds on the very first
+    *    apply too: a kill after the swap but before the final ledger
+    *    commit leaves a "behind" ledger, not a foreign-looking store.
     *
     * Replay-from-queue is the snapshot-restore posture this utility
     * grades throughout; a production incremental would instead flush
@@ -204,6 +219,15 @@ object KvReplication {
         require(KvFormat.dataFiles(storePath).isEmpty,
           s"refusing to rebuild $storePath: it already holds data files but has no " +
             s"applied ledger under $replRoot — not a replica of this queue")
+        // FIRST-APPLY KILL SAFETY (ADVICE r13): commit a provisional
+        // ledger (batch -1 = "adopted, nothing applied") BEFORE any
+        // rebuild work. Without it, a kill between the tmp->store swap
+        // below and commitApplied leaves the store holding data with no
+        // ledger, and the retry's foreign-store refusal above would
+        // permanently reject a legitimate replica. With the provisional
+        // ledger, every later kill window lands in the Some(behind)
+        // arm and simply rebuilds again.
+        commitApplied(replRoot, storePath, -1)
     }
     val dirs = (0 to lg.last).map(queueDir(replRoot, _).toString)
     val edits = spark.read.parquet(dirs: _*)
@@ -224,6 +248,7 @@ object KvReplication {
     if (Files.exists(store)) Files.move(store, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, store, StandardCopyOption.ATOMIC_MOVE)
     graft.util.Scratch.deleteTree(old.toString)
+    applyFault() // no-op in production; spec kills land HERE
     commitApplied(replRoot, storePath, lg.last)
     storeCount()
   }

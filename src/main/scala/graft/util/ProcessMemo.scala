@@ -20,28 +20,52 @@ import scala.collection.concurrent.TrieMap
   * identical to the no-rerun state and later keys amortize exactly as
   * before.
   *
+  * POPULATE-ONCE is an enforced invariant, not an assumption (ADVICE
+  * r13): the snapshot captures each retained key's VALUE alongside the
+  * key, and restore fails loudly if a retained entry's value changed —
+  * i.e. if any execution overwrote a pre-existing memo entry instead of
+  * only adding new keys. A silent violation would mean restore keeps the
+  * run-1 value and run 2 no longer repeats run 1's work. Every
+  * registered map today is populate-once by construction (getOrElseUpdate
+  * on a deterministic key); this turns that convention into a crash.
+  *
   * Maps register lazily at owner-object init; a map first registered
   * DURING run 1 is absent from the snapshot and therefore fully cleared
   * by restore — which is exactly right, since every entry it holds was
   * added by run 1. */
 object ProcessMemo {
-  private final case class Entry(snap: () => Set[Any], retain: Set[Any] => Unit)
+  private final case class Entry(snap: () => Map[Any, Any], retain: Map[Any, Any] => Unit)
   private val registry = TrieMap.empty[String, Entry]
 
-  /** Register a memo map under a stable name (idempotent per name). */
+  /** Register a memo map under a stable name (idempotent per name). The
+    * map MUST be populate-once: entries may be added, never overwritten
+    * — restore() enforces this on retained entries. */
   def register[K, V](name: String, map: TrieMap[K, V]): Unit =
     registry.put(name, Entry(
-      () => map.keySet.toSet.map((k: K) => k: Any),
-      keep => map.keySet.toSeq.foreach { k => if (!keep.contains(k: Any)) map.remove(k) }))
+      () => map.readOnlySnapshot().toMap.map { case (k, v) => (k: Any) -> (v: Any) },
+      kept => map.keySet.toSeq.foreach { k =>
+        kept.get(k: Any) match {
+          case None => map.remove(k)
+          case Some(v0) =>
+            // Scala == on Array is reference identity — exactly the
+            // "same object the snapshot saw" check we want for big
+            // model artifacts; value types compare structurally.
+            if (map.get(k).exists(v => (v: Any) != v0))
+              sys.error(s"ProcessMemo '$name': entry $k was OVERWRITTEN after the " +
+                "snapshot — registered memo maps must be populate-once, or the bench " +
+                "rerun's honesty guarantee breaks (restore would keep the run-1 value)")
+        }
+      }))
 
-  /** Key sets of every registered map, by name. */
-  def snapshot(): Map[String, Set[Any]] =
+  /** Key→value contents of every registered map, by name. */
+  def snapshot(): Map[String, Map[Any, Any]] =
     registry.readOnlySnapshot().toMap.map { case (n, e) => n -> e.snap() }
 
   /** Drop every memo entry not present in `state` (maps registered after
-    * the snapshot retain nothing — all their entries are post-snapshot). */
-  def restore(state: Map[String, Set[Any]]): Unit =
+    * the snapshot retain nothing — all their entries are post-snapshot);
+    * fail loudly if a retained entry's value was overwritten. */
+  def restore(state: Map[String, Map[Any, Any]]): Unit =
     registry.readOnlySnapshot().foreach { case (n, e) =>
-      e.retain(state.getOrElse(n, Set.empty))
+      e.retain(state.getOrElse(n, Map.empty))
     }
 }

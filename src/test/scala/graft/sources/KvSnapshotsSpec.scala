@@ -749,6 +749,31 @@ class KvSnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KvReplication.applyShipped(spark, dest, foreign) }
   }
 
+  test("FIRST apply killed between swap and ledger commit retries cleanly (ADVICE r13)") {
+    val dest = freshRoot()
+    KvReplication.ship(spark, replWal, dest, batches = 4)
+    val store = freshRoot() + "/store"
+    // kill in the first-apply window the r13 advice flagged: the rebuilt
+    // store is already swapped in, but the applied ledger never commits.
+    // Without the provisional (-1) ledger committed at adoption time,
+    // the retry would see data-files-but-no-ledger and PERMANENTLY
+    // refuse a legitimate replica.
+    KvReplication.applyFault =
+      () => throw new RuntimeException("injected kill after swap, before ledger commit")
+    try intercept[RuntimeException] {
+      KvReplication.applyShipped(spark, dest, store)
+    } finally KvReplication.applyFault = () => ()
+    assert(Files.exists(Paths.get(store)), "the swap happened before the kill")
+    // retry: the provisional ledger marks the store as adopted-but-behind,
+    // so the retry rebuilds instead of refusing, and converges exactly
+    val n = KvReplication.applyShipped(spark, dest, store)
+    val r = spark.read.format("graft-kv").load(store)
+    assert(n == replExpected.count())
+    assert(r.exceptAll(replExpected).count() == 0 && replExpected.exceptAll(r).count() == 0)
+    // and the steady-state no-op still holds after recovery
+    assert(KvReplication.applyShipped(spark, dest, store) == n)
+  }
+
   test("the replicate CLI verb ships and applies end-to-end, with the exit-code matrix") {
     val walDir = freshRoot() + "/wal"
     replWal.write.parquet(walDir)
