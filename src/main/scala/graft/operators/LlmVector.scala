@@ -1337,24 +1337,228 @@ object LlmVector {
     * is a cell-partitioned window, never a global sort. Edges to
     * vectors in OTHER cells are approximated away — that is the
     * documented IVF trade the recall keys measure. */
-  def llmKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def llmKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphTop3(spark, sfDir).orderBy("src", "rn")
+
+  /** The built k-NN graph (each vector's top-3 in-cell neighbors),
+    * memoized per (session, sfDir) with the same self-healing protocol
+    * as [[ivfRanking]]: the graph IS a navigable index — built once,
+    * then served to every consumer (`llm_knn_graph`'s edge report and
+    * the beam searches) — and registered with ProcessMemo so bench
+    * reruns re-pay the build honestly. */
+  private val knnGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.util.ProcessMemo.register("llm_vector.knnGraphCache", knnGraphCache)
+
+  private def knnGraphTop3(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphCache.synchronized {
+      val key = (spark, sfDir)
+      knnGraphCache.get(key).filter { df =>
+        val alive = isAlive(df)
+        if (!alive) knnGraphCache.remove(key)
+        alive
+      }.getOrElse {
+        graft.functions.VectorExprs.register(spark)
+        val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("cell"))
+        val e = embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+          .join(cells, Seq("vec_id"))
+        val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+        val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
+        val g = e.as("a").join(e.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
+            col("b.vec_id").as("dst"), cos.as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .localCheckpoint() // n×3 edges; one materialization serves every search
+        knnGraphCache.put(key, g)
+        g
+      }
+    }
+
+  /** GRAPH-NAVIGATING ANN (beam search over the k-NN graph) — the other
+    * mainstream ANN family beside the quantization curve (NSW/HNSW-style
+    * navigable-graph search, Malkov & Yashunin 2016, arXiv:1603.09320):
+    * instead of scanning inverted lists, a query enters the graph at a
+    * few deterministic seed nodes and greedily walks toward its true
+    * neighbors, scoring only the nodes it VISITS.
+    *
+    *  - graph: [[knnGraphTop3]]'s edges (each vector's top-3 in-cell
+    *    neighbors — the index `llm_knn_graph` already grades);
+    *  - seeds: per query, the `BeamSeeds` smallest-id members of each of
+    *    its 2 nearest IVF cells (the coarse quantizer doubles as the
+    *    entry-point directory, the standard IVF+graph hybrid) — seed
+    *    diversity is what bridges the graph's cross-cell disconnection;
+    *  - search: `BeamRounds` unrolled expansion rounds; each round takes
+    *    the current top-`BeamWidth` visited nodes per query (the beam),
+    *    fans out over their adjacency lists via an edge-keyed equi-join,
+    *    anti-joins away already-visited nodes, and scores only the fresh
+    *    ones with the exact cosine;
+    *  - answer: the top-3 of everything visited.
+    *
+    * Determinism: every score is r6-rounded with a node-id tie-break
+    * before any cut, seeds are min-id, and the visited set is a pure
+    * function of (graph, seeds, rounds) — both engines unroll the
+    * identical chain. 100 TB posture: the adjacency list is an id-keyed
+    * table (bucketed by src at scale), each round is one equi-join whose
+    * left side is beam-bounded (≤ BeamWidth rows/query), and scoring
+    * touches ≤ seeds + rounds × BeamWidth × degree vectors per query —
+    * never the corpus, and INDEPENDENT of corpus size.
+    *
+    * Honest reading of the measured recall: this fixture is near-
+    * clusterless (the r12 residual-PQ adjudication), so neighbor-of-
+    * neighbor correlation — the gradient graph navigation climbs — is
+    * weak, and the beam's recall sits near its visit-count floor
+    * (visited/corpus-scaled brute force). The graded claims are the
+    * engine-identical chain and the bounded-visit accounting; on a
+    * clustered corpus the same plan converges far above that floor. */
+  private val BeamRounds = 4
+  private val BeamWidth = 6
+  private val BeamSeeds = 3
+
+  private def beamSeen(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+    val edges = knnGraphTop3(spark, sfDir).select(col("src"), col("dst"))
+    val ranked = ivfRanking(spark, sfDir)
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("node"), col("c_id").as("cell"))
+    val qprobe = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val wEntry = Window.partitionBy("q_id", "cell").orderBy(col("node").asc)
+    val entry = qprobe.join(members, Seq("cell"))
+      .filter(col("node") =!= col("q_id"))
+      .withColumn("ern", row_number().over(wEntry)).filter(col("ern") <= BeamSeeds)
+      .select("q_id", "node")
     val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id").as("node"), col("embedding"),
         sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
-      .join(cells, Seq("vec_id"))
-    val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
-    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
-    e.as("a").join(e.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
-        col("b.vec_id").as("dst"), cos.as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .orderBy("src", "rn")
+    val q = embeddings(spark, sfDir).filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, Seq("node")).join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("node"),
+          r6(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+    val wBeam = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("node").asc)
+    var seen = score(entry).localCheckpoint() // tiny (≤4 rows/query); cuts round fan-out
+    for (_ <- 1 to BeamRounds) {
+      val frontier = seen.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= BeamWidth).select(col("q_id"), col("node").as("src"))
+      val fresh = frontier.join(edges, Seq("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+        .filter(col("node") =!= col("q_id"))
+        .join(seen.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+      seen = seen.unionByName(score(fresh)).localCheckpoint()
+    }
+    seen
   }
+
+  def llmAnnBeam(spark: SparkSession, sfDir: String): DataFrame = {
+    val wBeam = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("node").asc)
+    beamSeen(spark, sfDir)
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("node").as("neighbor_id"), col("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Measured recall@3 of the beam search against the exact brute-force
+    * top-3 — the graded point that places graph navigation on the same
+    * cost/recall curve as the IVF/PQ keys (same truth set, same exact-
+    * ppm arithmetic as `llm_ann_recall`). */
+  def llmAnnBeamRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = exactTop3(spark, sfDir) // same truth as llm_ann_recall
+    val wBeam = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("node").asc)
+    val approx = beamSeen(spark, sfDir)
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= 3)
+      .select(col("q_id"), col("node").as("neighbor_id"))
+      .withColumn("method", lit("graph_beam"))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    import spark.implicits._
+    Seq("graph_beam").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("possible")))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div possible"))
+      .orderBy("method")
+  }
+
+  /** The beam chain as unrolled CTEs: seeds from the shared prologue's
+    * probes (nprobe=2 directory) × cells0 membership, then BeamRounds ×
+    * (beam cut → adjacency fan-out → anti-visited → score → union). */
+  private lazy val beamCtes: String = {
+    val base =
+      s"""knn AS (SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
+         |          b.vec_id ASC) AS rn
+         |    FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id != b.vec_id)
+         |  WHERE rn <= 3),
+         |beam_entry AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT p.vec_id AS q_id, m.vec_id AS node,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.cell ORDER BY m.vec_id ASC) AS ern
+         |    FROM probes p JOIN cells0 m ON m.c_id = p.cell AND m.vec_id != p.vec_id)
+         |  WHERE ern <= $BeamSeeds),
+         |bs0 AS (
+         |  SELECT en.q_id, en.node,
+         |    ROUND(${cosineSql("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM beam_entry en
+         |  JOIN embeddings qe ON qe.vec_id = en.q_id
+         |  JOIN embeddings ne ON ne.vec_id = en.node)""".stripMargin
+    val rounds = (1 to BeamRounds).map { i =>
+      s"""bf$i AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT q_id, node, ROW_NUMBER() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, node ASC) AS rn
+         |    FROM bs${i - 1}) WHERE rn <= $BeamWidth),
+         |bx$i AS (
+         |  SELECT DISTINCT f.q_id, k.dst AS node
+         |  FROM bf$i f JOIN knn k ON f.node = k.src
+         |  WHERE k.dst != f.q_id
+         |    AND NOT EXISTS (SELECT 1 FROM bs${i - 1} s
+         |                    WHERE s.q_id = f.q_id AND s.node = k.dst)),
+         |bs$i AS (
+         |  SELECT * FROM bs${i - 1}
+         |  UNION ALL
+         |  SELECT x.q_id, x.node,
+         |    ROUND(${cosineSql("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM bx$i x
+         |  JOIN embeddings qe ON qe.vec_id = x.q_id
+         |  JOIN embeddings ne ON ne.vec_id = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  val llmAnnBeamOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$beamCtes
+       |SELECT q_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT q_id, node AS neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, node ASC) AS rn
+       |  FROM bs$BeamRounds)
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  val llmAnnBeamRecallOracle: String =
+    s"""WITH $ivfOracleProlog,
+       |$beamCtes,
+       |$exactCandCte,
+       |${top3Sql("exact_c", "exact")},
+       |beam3 AS (
+       |  SELECT q_id, node AS neighbor_id FROM (
+       |    SELECT q_id, node, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cos_sim DESC, node ASC) AS rn
+       |    FROM bs$BeamRounds) WHERE rn <= 3),
+       |bhit AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |         FROM beam3 JOIN exact USING (q_id, neighbor_id)),
+       |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
+       |SELECT 'graph_beam' AS method, hits, possible,
+       |  (1000000 * hits) // possible AS recall_ppm
+       |FROM bhit, poss ORDER BY method""".stripMargin
 
   /** Shared IVF prologue + in-cell pair join + per-source top-3 cut. */
   val llmKnnGraphOracle: String =
@@ -1686,6 +1890,8 @@ object LlmVector {
     "llm_ann_ivfpq_res_recall" -> (llmAnnIvfPqResRecall _),
     "llm_ann_sq8_recall" -> (llmAnnSq8Recall _),
     "llm_knn_graph" -> (llmKnnGraph _),
+    "llm_ann_beam" -> (llmAnnBeam _),
+    "llm_ann_beam_recall" -> (llmAnnBeamRecall _),
     "llm_ann_recall_hi" -> (llmAnnRecallHi _),
     "llm_embed_quantize" -> (llmEmbedQuantize _),
     "llm_semdedup" -> (llmSemdedup _),
@@ -1709,6 +1915,8 @@ object LlmVector {
     "llm_ann_ivfpq_res_recall" -> llmAnnIvfPqResRecallOracle,
     "llm_ann_sq8_recall" -> llmAnnSq8RecallOracle,
     "llm_knn_graph" -> llmKnnGraphOracle,
+    "llm_ann_beam" -> llmAnnBeamOracle,
+    "llm_ann_beam_recall" -> llmAnnBeamRecallOracle,
     "llm_ann_recall_hi" -> llmAnnRecallHiOracle,
     "llm_embed_quantize" -> llmEmbedQuantizeOracle,
     "llm_semdedup" -> llmSemdedupOracle,

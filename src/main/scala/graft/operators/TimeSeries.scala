@@ -72,6 +72,71 @@ object TimeSeries {
         .parquet(stageDir))
   }
 
+  /** Stage the events table TIME-ORDERED as three sequenced files —
+    * first half, second half (split at the (min+max)/2 micros midpoint;
+    * equal timestamps always land in one file), then a single far-future
+    * SENTINEL row (user_id = -1, ts = max + 365 days) — with explicitly
+    * increasing modification times so `maxFilesPerTrigger=1` feeds them
+    * oldest-first, one per micro-batch. Two guarantees the event-time-
+    * timeout key needs fall out:
+    *  - NO LATE ROWS: batch k+1's min ts ≥ batch k's max ts, so the
+    *    post-batch watermark (max − delay) never drops a later row, and
+    *    `setTimeoutTimestamp` (last + gap > current batch max ≥
+    *    watermark + delay) can never be behind the watermark;
+    *  - GUARANTEED FLUSH: the sentinel advances the final watermark past
+    *    every real user's last event + gap, so every open session's
+    *    timeout provably fires (Spark runs the extra no-data batch when
+    *    the watermark advances under an event-time timeout) before
+    *    processAllAvailable returns.
+    * Files are written normalized (µs TimestampType ts), so the stream
+    * needs no re-normalization. */
+  private[graft] def stagedOrderedEventStream(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stageDir =
+      s"/tmp/graft_stream_in/$runTag/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name-ordered"
+    graft.util.Scratch.deleteOnExit(s"/tmp/graft_stream_in/$runTag")
+    val schema = stagedDirs.synchronized {
+      stagedDirs.getOrElseUpdate((sfDir, name, 3), {
+        val src = events(spark, sfDir)
+        val Array(b) = src
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mid = lo + (hi - lo) / 2
+        val sentinel = spark.range(1).select(src.schema.fields.map { f =>
+          f.name match {
+            case "ts" =>
+              timestamp_micros(lit(hi + 365L * 86400L * 1000000L)).as("ts")
+            case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        val splits = Seq(
+          src.filter(unix_micros(col("ts")) <= mid),
+          src.filter(unix_micros(col("ts")) > mid),
+          sentinel)
+        Files.createDirectories(Paths.get(stageDir))
+        splits.zipWithIndex.foreach { case (df, i) =>
+          val tmp = s"$stageDir.part$i"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          val dest = Paths.get(stageDir, f"split_$i%03d.parquet")
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          // explicit, strictly increasing mtimes: the file-stream source
+          // lists oldest-first, and same-ms writes would make the feed
+          // order (hence late-row filtering) nondeterministic
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+          graft.util.Scratch.deleteTree(tmp)
+        }
+        src.schema
+      })
+    }
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stageDir)
+  }
+
   /** Run a streaming frame to completion through a per-process memory
     * sink and return its rows as a fresh local frame.
     *
@@ -284,6 +349,83 @@ object TimeSeries {
         min(col("first_ts")).as("first_ts"),
         max(col("last_ts")).as("last_ts"))
       .orderBy("user_id")
+  }
+
+  /** EVENT-TIME-TIMEOUT SESSIONS — the last unexercised public streaming
+    * API shape (r13 verdict task 7): per-user sessions kept as ARBITRARY
+    * state in `flatMapGroupsWithState` and emitted in Append mode either
+    * when a later event's gap exceeds 30 minutes (in-fold close) or when
+    * the event-time watermark passes last-event + 30 minutes
+    * (`GroupStateTimeout.EventTimeTimeout` — processing-time-free, so
+    * the run is wall-clock independent). This is sessionization the way
+    * you write it when `session_window` can't express the state (e.g.
+    * carrying custom per-session payloads): the state object IS the open
+    * session.
+    *
+    * Batch equivalence (why this shares `ts_session`'s oracle): the
+    * staged feed is time-ordered with a far-future sentinel
+    * ([[stagedOrderedEventStream]]), so (a) no row is ever late-dropped,
+    * (b) a session closed by timeout can never see a continuing event
+    * afterwards — any later event is ≥ the watermark + delay that fired
+    * the timeout, hence > gap beyond the session's last event — and
+    * (c) the sentinel forces every remaining open session's timeout to
+    * fire before the stream drains. Emitted sessions are therefore
+    * exactly the batch gaps-and-islands sessions (strict `> gap` split,
+    * matching `session_window`'s touching-merges boundary); the sentinel
+    * user (-1) never emits (its own timeout stays beyond the final
+    * watermark) and is filtered defensively. Within a batch the fold
+    * sorts the group's rows by ts, and across batches the ordered feed
+    * preserves time order, so the fold IS the batch scan. At scale this
+    * runs from Kafka with a real delay: state shuffles by user_id, the
+    * store holds one open session per active user, and the watermark —
+    * not a driver — retires idle users' state. */
+  def tsTimeoutSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val GapUs = 1800L * 1000000L
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val sessions = stagedOrderedEventStream(spark, sfDir, "events_timeout")
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(java.sql.Timestamp, java.sql.Timestamp, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is closed
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator((uid, start, n, us(last) - us(start)))
+          } else {
+            val sorted = rows.map(_._2).toArray.sortBy(us)
+            var closed = List.empty[(Long, java.sql.Timestamp, Long, Long)]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some((start, last, n)) =>
+                  if (us(t) - us(last) > GapUs) { // strict >: touching merges
+                    closed ::= ((uid, start, n, us(last) - us(start)))
+                    open = Some((t, t, 1L))
+                  } else open = Some((start, t, n + 1))
+                case None => open = Some((t, t, 1L))
+              }
+            }
+            val st = open.get
+            state.update(st)
+            // ms floor truncates <1ms — harmless: the ordered feed keeps
+            // any continuing event > watermark + 10 min, far beyond 1 ms
+            state.setTimeoutTimestamp(us(st._2) / 1000L + 30L * 60L * 1000L)
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events", "duration_us")
+    runToMemory(sessions, "graft_ts_timeout_sessions", "append")
+      .filter(col("user_id") >= 0) // drop the watermark sentinel if it ever emitted
+      .orderBy("user_id", "session_start")
   }
 
   /** STREAM-STATIC JOIN — the enrichment shape every streaming pipeline
@@ -1666,6 +1808,7 @@ object TimeSeries {
     "ts_dedup_watermark" -> (tsDedupWatermark _),
     "ts_dedup_stream" -> (tsDedupStream _),
     "ts_stateful_stream" -> (tsStatefulStream _),
+    "ts_timeout_sessions" -> (tsTimeoutSessions _),
     "ts_stream_join" -> (tsStreamJoin _),
     "ts_stream_stream_join" -> (tsStreamStreamJoin _),
     "ts_stream_outer_join" -> (tsStreamOuterJoin _),
@@ -1706,6 +1849,7 @@ object TimeSeries {
     "ts_dedup_watermark" -> tsDedupWatermarkOracle,
     "ts_dedup_stream" -> tsDedupWatermarkOracle,
     "ts_stateful_stream" -> tsStatefulStreamOracle,
+    "ts_timeout_sessions" -> tsSessionOracle, // batch-equivalent by construction (see scaladoc)
     "ts_stream_join" -> tsStreamJoinOracle,
     "ts_stream_stream_join" -> tsStreamStreamJoinOracle,
     "ts_stream_outer_join" -> tsStreamOuterJoinOracle,
