@@ -173,16 +173,14 @@ object Graph {
     * riding DECIMAL(38,0)/HUGEINT for billion-edge headroom) — no
     * float division to diverge. Scale: everything after the fact⋈fact
     * edge aggregation is degree-sum-bounded. */
-  def graphLocalClustering(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
-    val und = e
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"), col("w"))
-      .groupBy("u", "v").agg(sum(col("w")).as("w"))
-    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
-    val ed = und.crossJoin(broadcast(tot))
-      .filter(col("w") * col("np") > col("tw"))
-      .select("u", "v").localCheckpoint(true)
+  def graphLocalClustering(spark: SparkSession, sfDir: String): DataFrame =
+    lccFromEdges(thresholdedUndirected(spark, sfDir))
+
+  /** The post-threshold lcc pipeline over an undirected (u, v) edge
+    * frame with u < v — factored so the spec can pin edge structures
+    * the fixture may not contain (a pendant node MUST report 0 via the
+    * LEFT join, not vanish). */
+  private[graft] def lccFromEdges(ed: DataFrame): DataFrame = {
     val deg = ed.select(col("u").as("node"))
       .union(ed.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -202,6 +200,20 @@ object Graph {
                    div (CAST(degree AS DECIMAL(38,0)) * (degree - 1)) AS BIGINT)
                 ELSE 0 END""").as("lcc_ppm"))
       .orderBy("node")
+  }
+
+  /** The shared above-mean-weight undirected edge set both r13 graph
+    * keys threshold from the trade graph. */
+  private[graft] def thresholdedUndirected(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
+    val und = e
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
+    und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") > col("tw"))
+      .select("u", "v").localCheckpoint(true)
   }
 
   val graphLocalClusteringOracle: String =
@@ -239,16 +251,13 @@ object Graph {
     * headroom for the squares), and r evaluates in doubles from those
     * exact moments (the corr_exact recipe). Everything after the edge
     * aggregation is degree-sum bounded. */
-  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = tradeEdges(spark, sfDir).filter(col("src") =!= col("dst"))
-    val und = e
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"), col("w"))
-      .groupBy("u", "v").agg(sum(col("w")).as("w"))
-    val tot = und.agg(count(lit(1)).as("np"), sum(col("w")).as("tw"))
-    val ed = und.crossJoin(broadcast(tot))
-      .filter(col("w") * col("np") > col("tw"))
-      .select("u", "v").localCheckpoint(true)
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityFromEdges(thresholdedUndirected(spark, sfDir))
+
+  /** Newman degree mixing over an undirected (u, v) edge frame —
+    * factored so the spec can pin the sign on hand-built structures
+    * (star → −1, clique-plus-pendant-free → positive). */
+  private[graft] def assortativityFromEdges(ed: DataFrame): DataFrame = {
     val deg = ed.select(col("u").as("node"))
       .union(ed.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

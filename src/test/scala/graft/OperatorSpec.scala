@@ -579,11 +579,251 @@ class OperatorSpec extends SparkSpec {
     assert(zHit < linHit,
       s"z-order pruning gained nothing: box intersects $zHit z-ordered vs $linHit linear files")
   }
+
+  // ——— r13-key property tests (r13 verdict task 3): each key recomputed
+  // by an INDEPENDENT driver-side algorithm or pinned on a hand-built
+  // structure the fixture may not contain ———
+
+  test("skyline equals the brute-force dominance filter over every brand") {
+    val got = run("win_skyline").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2))).toSet
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_size"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"))
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2)))
+    // q dominates p iff same brand, q.size <= p.size, q.price >= p.price,
+    // one strict; equal twins dominate neither and BOTH stay (the
+    // RANGE-vs-ROWS frame subtlety this test pins forever)
+    val expected = parts.filter { case (b, s, c) =>
+      !parts.exists { case (b2, s2, c2) =>
+        b2 == b && s2 <= s && c2 >= c && (s2 < s || c2 > c)
+      }
+    }.toSet
+    assert(got == expected,
+      s"skyline mismatch: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty)
+  }
+
+  test("MAD: both lower medians recompute exactly from sorted driver-side lists") {
+    val got = run("agg_mad").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2)))
+    // lower median = first value whose doubled 1-based rank reaches n,
+    // under the operator's exact (value, custkey) total order
+    def lowerMedian(vs: Seq[(Long, Long)]): Long = { // (value, tiebreak)
+      val sorted = vs.sortBy(identity)
+      sorted((sorted.size + 1) / 2 - 1)._1
+    }
+    got.foreach { case (nname, (n, med, mad)) =>
+      val mine = rows.filter(_._1 == nname).map { case (_, ck, c) => (c, ck) }
+      assert(mine.size == n, s"$nname count")
+      val m = lowerMedian(mine)
+      assert(m == med, s"$nname median: got $med, recomputed $m")
+      val madMine = lowerMedian(mine.map { case (c, ck) => (math.abs(c - m), ck) })
+      assert(madMine == mad, s"$nname mad: got $mad, recomputed $madMine")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("Welch t/df recompute closed-form from exact driver-side moments") {
+    val got = run("agg_welch_ttest").collect()
+    assert(got.nonEmpty)
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        (col("c_mktsegment") === "BUILDING").as("is1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    got.foreach { r =>
+      val nname = r.getString(0)
+      val g1 = rows.collect { case (`nname`, c, true) => c }
+      val g2 = rows.collect { case (`nname`, c, false) => c }
+      assert(r.getLong(1) == g1.size && r.getLong(2) == g2.size, s"$nname group sizes")
+      val (n1, n2) = (g1.size.toDouble, g2.size.toDouble)
+      val (s1, s2) = (g1.sum.toDouble, g2.sum.toDouble)
+      val q1 = g1.map(c => BigInt(c) * BigInt(c)).sum
+      val q2 = g2.map(c => BigInt(c) * BigInt(c)).sum
+      val v1 = (q1.toDouble - s1 * s1 / n1) / (n1 - 1)
+      val v2 = (q2.toDouble - s2 * s2 / n2) / (n2 - 1)
+      val se2 = v1 / n1 + v2 / n2
+      val t = (s1 / n1 - s2 / n2) / math.sqrt(se2)
+      val df = se2 * se2 /
+        ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+      assert(math.abs(r.getDouble(5) - t) <= 2e-6, s"$nname t: ${r.getDouble(5)} vs $t")
+      assert(math.abs(r.getDouble(6) - df) <= 2e-6, s"$nname df: ${r.getDouble(6)} vs $df")
+      assert(df >= math.min(n1, n2) - 1 - 1e-9 && df <= n1 + n2 - 2 + 1e-9,
+        s"$nname Welch df $df outside [min(n)-1, n1+n2-2]")
+    }
+  }
+
+  test("Theil: within/between recompute driver-side and decompose additively") {
+    val got = run("agg_theil").collect()
+    assert(got.nonEmpty)
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sAll = rows.map(_._2).sum.toDouble
+    val nAll = rows.size.toDouble
+    got.foreach { r =>
+      val nname = r.getString(0)
+      val g = rows.collect { case (`nname`, c) => c }
+      val (nG, sG) = (g.size.toDouble, g.sum.toDouble)
+      assert(r.getLong(1) == g.size && r.getLong(2) == g.sum)
+      val tWithin = g.map { c => val x = c * nG / sG; x * math.log(x) }.sum / nG
+      val between = (sG / sAll) * math.log((sG / nG) / (sAll / nAll))
+      assert(math.abs(r.getDouble(3) - tWithin) <= 2e-6,
+        s"$nname t_within ${r.getDouble(3)} vs $tWithin")
+      assert(math.abs(r.getDouble(4) - between) <= 2e-6,
+        s"$nname between ${r.getDouble(4)} vs $between")
+      assert(tWithin >= -1e-9, s"$nname within-group Theil must be >= 0")
+    }
+    // decomposability: Σ_g w_g·T_g + Σ_g between_g == global Theil T
+    val totalFromParts = got.map { r =>
+      val w = r.getLong(2).toDouble / sAll
+      w * r.getDouble(3) + r.getDouble(4)
+    }.sum
+    val mu = sAll / nAll
+    val globalT = rows.map { case (_, c) => (c / mu) * math.log(c / mu) }.sum / nAll
+    assert(math.abs(totalFromParts - globalT) <= 1e-4,
+      s"Theil decomposition broke: parts $totalFromParts vs global $globalT")
+  }
+
+  test("Cramér's V recomputes from the driver-side contingency table and sits in [0,1]") {
+    val got = run("agg_cramers_v").collect().head
+    val cells = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("obs"))
+      .collect().map(r => ((r.getAs[Number](0).longValue, r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val chi2 = cells.map { case ((nk, seg), obs) =>
+      val d = (BigInt(obs) * n - BigInt(rt(nk)) * ct(seg)).toDouble
+      d * d / (rt(nk).toDouble * ct(seg).toDouble * n.toDouble * n.toDouble)
+    }.sum
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(rt.size - 1, ct.size - 1)))
+    assert(got.getLong(0) == n && got.getLong(1) == rt.size && got.getLong(2) == ct.size)
+    assert(math.abs(got.getDouble(3) - chi2) <= 2e-6, s"chi2 ${got.getDouble(3)} vs $chi2")
+    assert(math.abs(got.getDouble(4) - v) <= 2e-6, s"V ${got.getDouble(4)} vs $v")
+    assert(got.getDouble(4) >= 0 && got.getDouble(4) <= 1)
+  }
+
+  test("local clustering: hand-built triangle+pendant pins the LEFT-join zeros, real edges recompute") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3-4 + isolated edge 5-6:
+    //  1,2: deg 2, T=1 -> lcc 1e6; 3: deg 3, T=1 -> 333333;
+    //  4,5,6: deg 1 -> MUST appear with 0 (an inner join would drop them)
+    val hand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("u", "v")
+    val h = graft.operators.Graph.lccFromEdges(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(h == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L)),
+      5L -> ((1L, 0L, 0L)), 6L -> ((1L, 0L, 0L))), s"hand-built lcc: $h")
+    // real data: brute-force triangles/degrees over the collected
+    // thresholded edge set
+    val ed = graft.operators.Graph.thresholdedUndirected(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val nbr = (ed ++ ed.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = run("graph_local_clustering").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == nbr.keySet, "lcc must cover exactly the edge-endpoint nodes")
+    got.foreach { case (v, (deg, tri, ppm)) =>
+      val ns = nbr(v)
+      assert(deg == ns.size, s"deg($v)")
+      val t = ns.toSeq.combinations(2).count { case Seq(a, b) => nbr(a).contains(b) }
+      assert(tri == t, s"T($v): got $tri, brute-force $t")
+      val expPpm = if (deg >= 2) (BigInt(t) * 2000000 / (BigInt(deg) * (deg - 1))).toLong else 0L
+      assert(ppm == expPpm, s"lcc($v)")
+    }
+  }
+
+  test("assortativity: star is -1, disjoint unequal cliques are +1, real edges recompute") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]): Double =
+      graft.operators.Graph.assortativityFromEdges(edges.toDF("u", "v"))
+        .collect().head.getDouble(1)
+    // star K1,4: every edge joins deg-4 to deg-1 -> perfectly disassortative
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) == -1.0)
+    // K3 ∪ K4 (disjoint): every edge joins equal degrees, and the two
+    // degree classes differ -> perfectly assortative
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    assert(r(k3 ++ k4) == 1.0)
+    // real data: Pearson over the symmetrized collected edge set
+    val ed = graft.operators.Graph.thresholdedUndirected(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val deg = (ed ++ ed.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val pts = (ed ++ ed.map(_.swap)).map { case (a, b) => (deg(a), deg(b)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val mine = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val gotR = run("graph_assortativity").collect().head
+    assert(gotR.getLong(0) == pts.size)
+    assert(math.abs(gotR.getDouble(1) - mine) <= 2e-6,
+      s"assortativity ${gotR.getDouble(1)} vs recompute $mine")
+    assert(gotR.getDouble(1) >= -1.0 && gotR.getDouble(1) <= 1.0)
+  }
+
+  test("Zipf slope is ~-1 on a constructed power-law corpus and recomputes closed-form") {
+    // stage a corpus with freq(rank) = floor(600/rank): slope ≈ -1 by
+    // construction (floor quantization distorts the deep tail only)
+    val words = (1 to 60).flatMap { r => Seq.fill(600 / r)(f"w$r%03d") }
+    val dir = java.nio.file.Files.createTempDirectory("zipf_spec").toString
+    import spark.implicits._
+    Seq(("en", words.mkString(" ")))
+      .toDF("lang", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.LlmText.llmTextZipf(spark, dir).collect()
+    assert(got.length == 1 && got.head.getString(0) == "en")
+    val slope = got.head.getDouble(2)
+    assert(slope > -1.2 && slope < -0.85, s"constructed power law read slope $slope")
+    // driver-side closed-form recompute under the operator's exact
+    // ranking rule (freq desc, term asc, head <= 200)
+    val tf = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val ranked = tf.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1, f) }.take(200)
+    val xs = ranked.map { case (r, _) => math.log(r.toDouble) }
+    val ys = ranked.map { case (_, f) => math.log(f.toDouble) }
+    val n = xs.size.toDouble
+    val mineSlope = (n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(slope - mineSlope) <= 2e-6, s"slope $slope vs recompute $mineSlope")
+    // and on the REAL corpus every language's head fits with a negative slope
+    run("llm_text_zipf").collect().foreach { r =>
+      assert(r.getDouble(2) < 0, s"lang ${r.getString(0)} slope not negative")
+    }
+  }
 }
 
 /** Streaming/batch equivalence as a test (also runnable standalone via
   * `runMain graft.streaming.StreamingDemo`). */
 class StreamingSpec extends SparkSpec {
+  test("event-time-timeout sessions equal the batch gaps-and-islands sessions exactly") {
+    // the r14 key's whole design claim: ordered feed + sentinel makes the
+    // flatMapGroupsWithState(EventTimeTimeout) emission set EQUAL the
+    // batch form — assert frame equality, not just counts
+    val stream = run("ts_timeout_sessions")
+    val batch = run("ts_session")
+      .select("user_id", "session_start", "n_events", "duration_us")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).count() == 0 && batch.exceptAll(stream).count() == 0,
+      "timeout-session stream diverged from the batch sessions")
+  }
+
   test("range-bucket join equals the naive theta join it replaces") {
     // first-principles: the bucketed equi-join must compute EXACTLY the
     // count the (deliberately quadratic) direct range predicate gives
