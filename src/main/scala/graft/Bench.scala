@@ -4,6 +4,36 @@ object Bench {
   private def f3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Per-key local reference bands (medians of checked-in BENCH_LOCAL_*
+    * runs; regenerate with tools/make_bands.py after each round's
+    * closing pair). Used ONLY to decide reruns — never to alter a
+    * recorded time. */
+  private[graft] def loadBands(): Map[String, Double] = {
+    val in = Option(getClass.getResourceAsStream("/bench_bands.json"))
+    in.map { s =>
+      val txt = try scala.io.Source.fromInputStream(s).mkString finally s.close()
+      val re = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** BAND-AWARE RERUN RULE (r13 verdict task 6). The ≤3 s rule damps
+    * small spikes but by design never re-pays a multi-second key — and
+    * the r13 driver round spiked five keys ABOVE that budget (ts_peaks
+    * 4.2 s vs a 0.26–0.29 s band, sql_q21 5.7 s vs 1.0–1.2, …), each
+    * costing a verdict adjudication on unchanged code. So a key now
+    * also re-runs when its first pass grossly exceeds its own recorded
+    * band — > max(rerunMax, 3×band) — catching exactly the
+    * environmental multi-second spike while an honestly expensive key
+    * (ivfpq's ~5 s training sits inside 3× its ~4.6 s band) is still
+    * never re-paid. A key with no band (new this round) keeps only the
+    * ≤rerunMax rule; a genuinely slowed key re-runs ONCE and records
+    * its honest new time (min of two slow passes), with the pair in
+    * `spikes` either way. */
+  private[graft] def shouldRerun(ok1: Boolean, t1: Double, rerunMax: Double,
+      band: Option[Double]): Boolean =
+    ok1 && (t1 <= rerunMax || band.exists(b => t1 > math.max(rerunMax, 3.0 * b)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +75,7 @@ object Bench {
     // any 2×-divergent pair lands in "spikes" so a driver-side spike
     // stays VISIBLE even though it no longer pollutes the grade.
     val rerunMax = sys.env.get("SPARK_GRAFT_RERUN_MAX").map(_.toDouble).getOrElse(3.0)
+    val bands = loadBands()
     val keysTotal = SparkEntry.queries.size
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
@@ -90,7 +121,7 @@ object Bench {
       val (t1, ok1) = timedRun()
       cleanup()
       val (t, spike) =
-        if (ok1 && t1 <= rerunMax) {
+        if (shouldRerun(ok1, t1, rerunMax, bands.get(name))) {
           graft.util.ProcessMemo.restore(memoBefore)
           val (t2, ok2) = timedRun()
           cleanup()
@@ -106,7 +137,9 @@ object Bench {
     val failed = results.collect { case (n, _, false, _, _) => n }
     val total = results.map(_._2).sum
     val firstPass = results.map(_._4).sum
-    val reruns = results.count { case (_, _, ok, t1, _) => ok && t1 <= rerunMax }
+    val reruns = results.count { case (n, _, ok, t1, _) =>
+      shouldRerun(ok, t1, rerunMax, bands.get(n))
+    }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val spikes = results.collect { case (k, _, _, _, Some((a, b))) =>

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The band-aware rerun rule (r13 verdict task 6): a first pass either
+  * inside the flat budget OR grossly above its own recorded band gets
+  * one damping rerun; honestly expensive keys inside their band are
+  * never re-paid. */
+class BenchSpec extends AnyFunSuite {
+
+  test("shouldRerun decision table") {
+    // failed first run: never rerun (the key is already proven broken)
+    assert(!Bench.shouldRerun(ok1 = false, t1 = 0.1, rerunMax = 3.0, band = Some(0.1)))
+    // fast key inside the flat budget: rerun (the r12 rule, unchanged)
+    assert(Bench.shouldRerun(ok1 = true, t1 = 1.2, rerunMax = 3.0, band = None))
+    assert(Bench.shouldRerun(ok1 = true, t1 = 2.99, rerunMax = 3.0, band = Some(2.0)))
+    // slow key with NO band (new this round): not re-paid
+    assert(!Bench.shouldRerun(ok1 = true, t1 = 5.0, rerunMax = 3.0, band = None))
+    // the r13 spike class: 4.23 s against a 0.28 s band -> rerun
+    assert(Bench.shouldRerun(ok1 = true, t1 = 4.23, rerunMax = 3.0, band = Some(0.28)))
+    // honestly expensive key inside 3x its band: never re-paid
+    // (ivfpq-style ~5 s training with a ~4.6 s band)
+    assert(!Bench.shouldRerun(ok1 = true, t1 = 5.2, rerunMax = 3.0, band = Some(4.6)))
+    // 3x band below rerunMax must not shrink the threshold under the
+    // flat budget: 2.5 s with a 0.5 s band is above 3x band but still
+    // <= rerunMax, so it reruns via the flat rule (and max() keeps the
+    // boundary honest just above it)
+    assert(Bench.shouldRerun(ok1 = true, t1 = 2.5, rerunMax = 3.0, band = Some(0.5)))
+    assert(Bench.shouldRerun(ok1 = true, t1 = 3.1, rerunMax = 3.0, band = Some(0.5)))
+    // exactly at 3x band: NOT a spike (strict >)
+    assert(!Bench.shouldRerun(ok1 = true, t1 = 12.0, rerunMax = 3.0, band = Some(4.0)))
+  }
+
+  test("bands resource parses, is positive, and covers the graded surface") {
+    val bands = Bench.loadBands()
+    assert(bands.nonEmpty, "bench_bands.json missing from resources")
+    assert(bands.values.forall(_ > 0.0))
+    // every band key must be a real graded key (no orphaned bands), and
+    // coverage must stay near-total so the rule actually protects the
+    // surface; keys newer than the last band regeneration are the only
+    // allowed gap
+    val keys = SparkEntry.queries.keySet
+    val orphans = bands.keySet -- keys
+    assert(orphans.isEmpty, s"bands for nonexistent keys: $orphans")
+    val uncovered = keys -- bands.keySet
+    assert(uncovered.size <= 20,
+      s"too many keys without a band (${uncovered.size}) — run tools/make_bands.py " +
+        s"on the latest BENCH_LOCAL pair: $uncovered")
+  }
+}
