@@ -623,6 +623,32 @@ class PlanSpec extends SparkSpec {
       s"skew-split run diverged from unsplit run:\n$got\nvs\n$expected")
   }
 
+  test("broadcast joins revert to SortMergeJoin when dims outgrow the threshold, results identical") {
+    // SCALE.md's claim that the sf0.1 broadcast plans "revert to
+    // SortMergeJoin on the fact side" at 100 TB was asserted, never
+    // shown (r13 verdict task 2). Simulate dims outgrowing the driver
+    // threshold by disabling broadcast in a fresh session and pin BOTH
+    // halves: the five-dim q8 plan (pinned >=4 BroadcastHashJoins at
+    // default config elsewhere in this suite) really becomes
+    // SortMergeJoins, and the result is byte-identical — the property
+    // that makes the same declarative plan safe at any scale.
+    val expected = run("sql_q8_market_share").collect().map(_.toSeq).toSeq
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val reverted = SparkEntry.queries("sql_q8_market_share")(s, sf)
+    val got = reverted.collect().map(_.toSeq).toSeq
+    // adaptive plans finalize during execution — inspect AFTER collect
+    val plan = reverted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a broadcast join survived threshold -1 — the reversion claim is false:\n" + plan.take(1600))
+    assert(plan.contains("SortMergeJoin"),
+      "no SortMergeJoin in the reverted plan:\n" + plan.take(1600))
+    assert(got == expected,
+      s"SMJ-shape run diverged from the broadcast-shape run:\n$got\nvs\n$expected")
+  }
+
   test("band rule: exact integer buckets survive epoch-nanos magnitudes") {
     // BIGINT nanosecond timestamps (~1.7e18) with a 150 ns band: a
     // Double-cast bucket id has an ulp of 256 ns here — floor(x/W) can
