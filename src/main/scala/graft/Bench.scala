@@ -7,8 +7,13 @@ object Bench {
   /** Per-key local reference bands (medians of checked-in BENCH_LOCAL_*
     * runs; regenerate with tools/make_bands.py after each round's
     * closing pair). Used ONLY to decide reruns — never to alter a
-    * recorded time. */
+    * recorded time. The bands are sf0.1 medians, so a bench at any
+    * OTHER scale factor must run with `SPARK_GRAFT_BANDS=off` (scale
+    * runs would otherwise trip the 3×band rule on every key and pay
+    * honest 10×-data costs twice); the flat ≤rerunMax min-of-two rule
+    * still applies there, keeping fast-key damping SF-consistent. */
   private[graft] def loadBands(): Map[String, Double] = {
+    if (sys.env.get("SPARK_GRAFT_BANDS").contains("off")) return Map.empty
     val in = Option(getClass.getResourceAsStream("/bench_bands.json"))
     in.map { s =>
       val txt = try scala.io.Source.fromInputStream(s).mkString finally s.close()

@@ -1358,26 +1358,35 @@ object LlmVector {
         if (!alive) knnGraphCache.remove(key)
         alive
       }.getOrElse {
-        graft.functions.VectorExprs.register(spark)
-        val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id").as("cell"))
-        val e = embeddings(spark, sfDir)
-          .select(col("vec_id"), col("embedding"),
-            sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
-          .join(cells, Seq("vec_id"))
-        val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
-        val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
-        val g = e.as("a").join(e.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
-            col("b.vec_id").as("dst"), cos.as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .localCheckpoint() // n×3 edges; one materialization serves every search
+        // n×3 edges; one materialization serves every search
+        val g = knnGraphBuild(spark, sfDir).localCheckpoint()
         knnGraphCache.put(key, g)
         g
       }
     }
+
+  /** The un-checkpointed k-NN graph build frame — the exact plan the
+    * memoized checkpoint materializes. Factored out so PlanSpec can pin
+    * its shape (cell equi-join, never a nested loop): the graded key's
+    * own plan shows only `Scan ExistingRDD` once the checkpoint exists,
+    * which would make the scale-critical build plan unauditable. */
+  private[graft] def knnGraphBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cells = ivfRanking(spark, sfDir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val cos = r6(expr("float_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"), cos.as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
 
   /** GRAPH-NAVIGATING ANN (beam search over the k-NN graph) — the other
     * mainstream ANN family beside the quantization curve (NSW/HNSW-style

@@ -325,7 +325,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kNN graph candidates come from the cell equi-join, not a nested loop") {
-    val p = plan("llm_knn_graph")
+    // The graded key serves the memoized localCheckpoint (its own plan is
+    // `Scan ExistingRDD` by design), so the pin targets the BUILD frame —
+    // the exact plan that checkpoint materializes on first build.
+    val p = graft.operators.LlmVector.knnGraphBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "kNN graph pair join degenerated to a nested loop:\n" + p.take(800))
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
