@@ -61,8 +61,15 @@ object Graph {
       |       FROM orders JOIN customer ON o_custkey = c_custkey),
       |sn AS (SELECT l_orderkey AS ok, s_nationkey AS dst
       |       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-      |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      |e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
       |      FROM cn JOIN sn USING (ok) GROUP BY src, dst)""".stripMargin
+  // ^ MATERIALIZED is load-bearing at scale, not a style choice: DuckDB
+  // INLINES a CTE at every reference, and the iterative oracles
+  // (kcore's peel rounds, pagerank's hops) reference their upstream
+  // chain multiple times per round — at sf1 the kcore oracle re-inlined
+  // the 6M-row fact join ~3^4 times, pinned 100 GiB, and filled the
+  // disk with spill. Materializing `e` runs the fact join exactly once;
+  // everything downstream re-reads 625 aggregated nation-pair rows.
 
   private val E9 = 1000000000L
 

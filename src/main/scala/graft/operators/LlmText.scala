@@ -628,6 +628,15 @@ object LlmText {
     * and cast to DECIMAL(18,6) BEFORE the per-doc sum — decimal
     * addition is exact and associative, so partial-aggregation order
     * cannot move the result (the same trick as the money aggregates).
+    *
+    * The per-doc MEAN is integer micro-nats via exact floor division
+    * (sum·10⁶ div n), not a rounded double: the original
+    * ROUND(sum/n, 6) double tail sat on a half-ulp boundary for ~1 in
+    * 10⁴ docs, where Spark's HALF_UP-on-the-binary-value and DuckDB's
+    * scaled-nearbyint disagree by 1e-6 — invisible at the graded
+    * sf0.01 (10k docs, zero hits across four rounds), caught by the
+    * r14 sf1 scale rehearsal (50k docs → 5 hits). Exact integers
+    * cannot drift at any corpus size.
     */
   def llmLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = documents(spark, sfDir)
@@ -641,7 +650,7 @@ object LlmText {
           .cast("decimal(18,6)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nll6")).cast("double") / count(lit(1)), 6).as("lm_score"))
+        expr("cast(sum(nll6) * 1000000 as bigint) div count(1)").as("lm_score_unats"))
       .orderBy("doc_id")
   }
 
@@ -650,8 +659,8 @@ object LlmText {
       |freqs AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
       |tot AS (SELECT COUNT(*) AS total FROM toks)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
-      |    / COUNT(*), 6) AS lm_score
+      |  CAST(CAST(SUM(CAST(ROUND(-LN(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |    // COUNT(*) AS BIGINT) AS lm_score_unats
       |FROM toks JOIN freqs USING (tok), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -448,11 +448,15 @@ object LlmVector {
       s"""d_$name AS (
          |  SELECT ex.vec_id, c.c_id, ROUND(SUM((v - c) * (v - c)), 6) AS dist2
          |  FROM ex JOIN $centCte c USING (pos) GROUP BY ex.vec_id, c.c_id),
-         |$name AS (
+         |$name AS MATERIALIZED (
          |  SELECT vec_id, c_id FROM (
          |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
          |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
          |    FROM d_$name) WHERE rn = 1)""".stripMargin
+    // assignments materialize (tiny vec_id→cell maps): every downstream
+    // reference would otherwise re-inline the full k-means chain —
+    // 2^IvfIters copies of the unnested vector table (the beam oracle's
+    // sf1 OOM; see beamCtes)
     val iterCtes = (1 to IvfIters).map { i =>
       assignCtes(s"cent${i - 1}", s"a$i") + s""",
          |cent$i AS (
@@ -468,7 +472,7 @@ object LlmVector {
        |$iterCtes,
        |${assignCtes(s"cent$IvfIters", "cells0")},
        |${probeCtes(2, "")},
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT emb.vec_id, emb.embedding, cells0.c_id AS cell
        |  FROM embeddings emb JOIN cells0 ON emb.vec_id = cells0.vec_id),
        |${probeCtes(3, "3")}""".stripMargin
@@ -479,7 +483,7 @@ object LlmVector {
     * qp$suffix (the cell-tagged query side) — one generator so the
     * nprobe=2 and nprobe=3 fan-outs differ ONLY in the rn bound. */
   private def probeCtes(nprobe: Int, suffix: String): String =
-    s"""probes$suffix AS (
+    s"""probes$suffix AS MATERIALIZED (
        |  SELECT vec_id, c_id AS cell FROM (
        |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY dist2 ASC, c_id ASC) AS rn
@@ -1498,9 +1502,15 @@ object LlmVector {
   /** The beam chain as unrolled CTEs: seeds from the shared prologue's
     * probes (nprobe=2 directory) × cells0 membership, then BeamRounds ×
     * (beam cut → adjacency fan-out → anti-visited → score → union). */
+  // MATERIALIZED is load-bearing at scale (the graph-oracle lesson,
+  // Graph.scala edgesSql): DuckDB inlines a CTE at every reference, and
+  // bs_i references bs_{i-1} THREE times (beam cut, NOT-EXISTS visited
+  // filter, UNION ALL carry) — 3^BeamRounds re-inlines of the in-cell
+  // pair join at sf1 spilled >79 GiB before failing. Materializing the
+  // per-round frontiers and the knn edge list runs each exactly once.
   private lazy val beamCtes: String = {
     val base =
-      s"""knn AS (SELECT src, dst FROM (
+      s"""knn AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT a.vec_id AS src, b.vec_id AS dst,
          |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
          |        ORDER BY ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
@@ -1513,7 +1523,7 @@ object LlmVector {
          |      ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.cell ORDER BY m.vec_id ASC) AS ern
          |    FROM probes p JOIN cells0 m ON m.c_id = p.cell AND m.vec_id != p.vec_id)
          |  WHERE ern <= $BeamSeeds),
-         |bs0 AS (
+         |bs0 AS MATERIALIZED (
          |  SELECT en.q_id, en.node,
          |    ROUND(${cosineSql("qe.embedding", "ne.embedding")}, 6) AS cos_sim
          |  FROM beam_entry en
@@ -1531,7 +1541,7 @@ object LlmVector {
          |  WHERE k.dst != f.q_id
          |    AND NOT EXISTS (SELECT 1 FROM bs${i - 1} s
          |                    WHERE s.q_id = f.q_id AND s.node = k.dst)),
-         |bs$i AS (
+         |bs$i AS MATERIALIZED (
          |  SELECT * FROM bs${i - 1}
          |  UNION ALL
          |  SELECT x.q_id, x.node,

@@ -954,7 +954,106 @@ object Scans {
   val sqlQ10ReturnedItemsOracle: String =
     sqlQ10Text("lineitem", "orders", "customer", "nation")
 
+  /** TPC-H Q4 SHAPE — ORDER PRIORITY CHECKING (r14): the correlated
+    * EXISTS shape — count a quarter's orders per priority where at
+    * least one line shipped after the order date (this schema's stand-
+    * in for Q4's commit<receipt lateness test; lineitem has no
+    * commit/receipt columns). Catalyst decorrelates the EXISTS into a
+    * LEFT SEMI hash join on l_orderkey — each order is counted once no
+    * matter how many qualifying lines — and the quarter filter on
+    * orders prunes the probe side BEFORE the join, so at 100 TB the
+    * semi join shuffles one quarter of orders against lineitem keys,
+    * never the full fact⋈fact product. Completes the TPC-H survey:
+    * with q4/q9/q12 every Q expressible on this schema is graded
+    * (q11/q16/q20 need the absent partsupp table). */
+  def sqlQ4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g_q4_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q4_lineitem")
+    spark.sql(sqlQ4Text("g_q4_orders", "g_q4_lineitem"))
+  }
+  private def sqlQ4Text(ord: String, li: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM $ord
+       |WHERE o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)
+       |  AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)
+       |  AND EXISTS (SELECT 1 FROM $li
+       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val sqlQ4OrderPriorityOracle: String = sqlQ4Text("orders", "lineitem")
+
+  /** TPC-H Q9 SHAPE — PRODUCT-TYPE PROFIT (r14): the widest remaining
+    * join tree — lineitem ⋈ part (name-LIKE gate) ⋈ supplier ⋈ nation
+    * ⋈ orders, profit per supplier nation per order year. Q9's
+    * ps_supplycost has no partsupp table here, so cost is modeled as
+    * 10% of p_retailprice per unit — same join shape, same exact-
+    * decimal arithmetic (cents × percent for revenue, deci-dollar ×
+    * integer quantity for cost; ROUND(…,2)→DOUBLE only at the end).
+    * Scale shape: the LIKE filter reaches the part scan, the filtered
+    * part/supplier/nation dims broadcast, and the only big shuffle is
+    * lineitem⋈orders on orderkey — the unavoidable fact⋈fact edge,
+    * grouped map-side by (nation, year) afterwards. */
+  def sqlQ9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q9_lineitem")
+    part(spark, sfDir).createOrReplaceTempView("g_q9_part")
+    supplier(spark, sfDir).createOrReplaceTempView("g_q9_supplier")
+    nation(spark, sfDir).createOrReplaceTempView("g_q9_nation")
+    orders(spark, sfDir).createOrReplaceTempView("g_q9_orders")
+    spark.sql(sqlQ9Text("g_q9_lineitem", "g_q9_part", "g_q9_supplier",
+      "g_q9_nation", "g_q9_orders"))
+  }
+  private def sqlQ9Text(li: String, prt: String, supp: String,
+      nat: String, ord: String): String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  CAST(ROUND(SUM(CAST($revenueSqlFrag AS DECIMAL(24,8)) -
+       |    CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+       |      * CAST(0.1 AS DECIMAL(8,6))), 2) AS DOUBLE) AS profit,
+       |  COUNT(*) AS n_lines
+       |FROM $li
+       |JOIN $prt ON l_partkey = p_partkey
+       |JOIN $supp ON l_suppkey = s_suppkey
+       |JOIN $nat ON s_nationkey = n_nationkey
+       |JOIN $ord ON o_orderkey = l_orderkey
+       |WHERE p_name LIKE '%bolt%'
+       |GROUP BY n_name, year(o_orderdate)
+       |ORDER BY nation, o_year""".stripMargin
+
+  val sqlQ9ProductProfitOracle: String =
+    sqlQ9Text("lineitem", "part", "supplier", "nation", "orders")
+
+  /** TPC-H Q12 SHAPE — PRIORITY CLASS BY SHIP CLASS (r14): the two-
+    * bucket conditional count after a date-windowed fact⋈fact join —
+    * per returnflag (standing in for Q12's absent l_shipmode), how
+    * many lines of a ship-year belong to urgent/high- vs lower-
+    * priority orders. The CASE buckets evaluate map-side inside the
+    * partial aggregate, so the post-join shuffle carries 3 groups ×
+    * 2 counters, not rows; the ship-date window prunes lineitem at
+    * the scan. Exact integer counts, CAST BIGINT on both engines
+    * (DuckDB SUM(int) is otherwise HUGEINT — the §5.4 hash trap). */
+  def sqlQ12PriorityClass(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g_q12_orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("g_q12_lineitem")
+    spark.sql(sqlQ12Text("g_q12_orders", "g_q12_lineitem"))
+  }
+  private def sqlQ12Text(ord: String, li: String): String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM $ord JOIN $li ON o_orderkey = l_orderkey
+       |WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+       |  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  val sqlQ12PriorityClassOracle: String = sqlQ12Text("orders", "lineitem")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q4_order_priority" -> (sqlQ4OrderPriority _),
+    "sql_q9_product_profit" -> (sqlQ9ProductProfit _),
+    "sql_q12_priority_class" -> (sqlQ12PriorityClass _),
     "sql_q6_forecast_revenue" -> (sqlQ6ForecastRevenue _),
     "sql_q8_market_share" -> (sqlQ8MarketShare _),
     "sql_q10_returned_items" -> (sqlQ10ReturnedItems _),
@@ -984,6 +1083,9 @@ object Scans {
     "export_manifest" -> (exportManifest _))
 
   val oracle: Map[String, String] = Map(
+    "sql_q4_order_priority" -> sqlQ4OrderPriorityOracle,
+    "sql_q9_product_profit" -> sqlQ9ProductProfitOracle,
+    "sql_q12_priority_class" -> sqlQ12PriorityClassOracle,
     "sql_q6_forecast_revenue" -> sqlQ6ForecastRevenueOracle,
     "sql_q8_market_share" -> sqlQ8MarketShareOracle,
     "sql_q10_returned_items" -> sqlQ10ReturnedItemsOracle,

@@ -1119,10 +1119,17 @@ object TimeSeries {
     val stats = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("m2"))
+    // The outlier test squares n·c−s. In LONG that overflows once a
+    // type holds ~200k events (sf1: dev² ≈ 1.6e19 > 2⁶³) — the sf1
+    // scale rehearsal caught it live. All comparison intermediates ride
+    // DECIMAL(38,0) (exact; headroom through ~sf 10⁶); the oracle
+    // mirrors with HUGEINT. Outputs stay BIGINT counts on both engines.
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     ev.join(broadcast(stats), "event_type")
-      .withColumn("dev", col("n") * col("c") - col("s"))
+      .withColumn("dev", d38(col("n")) * d38(col("c")) - d38(col("s")))
       .withColumn("is_out",
-        col("dev") * col("dev") > lit(4L) * (col("n") * col("m2") - col("s") * col("s")))
+        col("dev") * col("dev") >
+          lit(4) * (d38(col("n")) * d38(col("m2")) - d38(col("s")) * d38(col("s"))))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
@@ -1136,7 +1143,9 @@ object TimeSeries {
       |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS m2
       |  FROM ev GROUP BY 1)
       |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CASE WHEN (n * c - s) * (n * c - s) > 4 * (n * m2 - s * s)
+      |  CAST(SUM(CASE WHEN
+      |      (CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)
+      |      > 4 * (CAST(n AS HUGEINT) * m2 - CAST(s AS HUGEINT) * s)
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM ev JOIN st USING (event_type)
       |GROUP BY ev.event_type ORDER BY event_type""".stripMargin

@@ -403,7 +403,7 @@ class OperatorSpec extends SparkSpec {
     val scored = run("llm_lm_score")
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(scored.count() == docs.count())
-    assert(scored.filter(col("lm_score") <= 0).count() == 0)
+    assert(scored.filter(col("lm_score_unats") <= 0).count() == 0)
     // n_tokens matches the tokenizer the model was fit on
     val expected = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_expected"))

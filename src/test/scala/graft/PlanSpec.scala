@@ -523,6 +523,27 @@ class PlanSpec extends SparkSpec {
       "the dims (incl. nation twice under different roles) must broadcast:\n" + p.take(1600))
   }
 
+  test("Q4-shape EXISTS decorrelates to a semi join, never a per-row subquery") {
+    val p = plan("sql_q4_order_priority")
+    assert(p.contains("LeftSemi"),
+      "EXISTS did not decorrelate to a LEFT SEMI join:\n" + p.take(1600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the semi join degenerated:\n" + p.take(1600))
+  }
+
+  test("Q9-shape profit rollup broadcasts its dims and pushes the LIKE") {
+    val p = plan("sql_q9_product_profit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a dim join degenerated:\n" + p.take(1600))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      "part/supplier/nation must broadcast:\n" + p.take(1600))
+    // the LIKE gate must reach the part scan (prefix assert — the
+    // pushed-filter list elides)
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)") ||
+      p.contains("StringContains(p_name,bolt)"),
+      "p_name LIKE not pushed to the part scan:\n" + p.take(1600))
+  }
+
   test("Q21-shape EXISTS + NOT EXISTS plan as one semi and one anti join") {
     val p = plan("sql_q21_waiting_supplier")
     assert(p.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + p.take(1200))

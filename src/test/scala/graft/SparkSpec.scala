@@ -47,7 +47,7 @@ class EntrySpec extends SparkSpec {
     assert(unchecked.isEmpty, s"query keys without an oracle: $unchecked")
     // SURVEY §2.B's "Count: N keys" line must track this number — a new
     // key without a doc update (or vice versa) fails here, on purpose
-    assert(SparkEntry.queries.size == 285,
+    assert(SparkEntry.queries.size == 288,
       s"SparkEntry.queries.size == ${SparkEntry.queries.size}; update SURVEY §2.B's count line and this pin together")
   }
 }

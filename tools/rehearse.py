@@ -99,6 +99,15 @@ def main():
         oracle = json.load(f)
 
     con = duckdb.connect()
+    # Scale-run hygiene (learned at sf1): an oracle that needs to spill
+    # must spill to /tmp, not the repo cwd, and must hit DuckDB's
+    # limit well before machine memory exhausts — the sf1 run pinned
+    # 100 GiB, filled the disk with cwd spill files, and took out two
+    # innocent subsequent keys. The limit only bounds the ORACLE harness;
+    # it never affects the graded Spark side.
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('REHEARSE_MEM', '48GB')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
