@@ -103,7 +103,17 @@ object Bench {
       // async cleanup would execute inside the next timed section
       def cleanup(): Unit = {
         spark.catalog.clearCache()
-        val pinned = spark.sparkContext.getPersistentRDDs.values
+        // Memo-backed checkpoints (trained ANN indexes, the kNN graph)
+        // are the designed CROSS-KEY amortization — unpersisting them
+        // here truncates their lineage, aborts the next consumer key
+        // mid-job, and forces a self-heal rebuild inside that key's
+        // timed section (caught live on the r14 sf0.1g run: rankedCache
+        // died, a key failed, and the rebuild re-put tripped the
+        // populate-once restore guard). Everything else pinned is
+        // per-key lineage-cut garbage and still goes.
+        val keep = graft.util.ProcessMemo.liveMemoRddIds()
+        val pinned = spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }.values
         pinned.foreach(_.unpersist(blocking = true))
         // Damp cross-key GC debt (r5 driver run: llm_dedup_near 3.5→5.6 s
         // with unchanged code): a block-pinning key leaves a tenured heap

@@ -62,3 +62,51 @@ class ProcessMemoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("OVERWRITTEN"))
   }
 }
+
+/** The one allowed exception to populate-once, plus the Bench hygiene
+  * contract around it: a DataFrame memo whose localCheckpoint blocks
+  * died may be self-healed (re-put) by its owner — restore must then
+  * DROP the entry (run 2 re-heals, repeating run 1's rebuild) instead
+  * of crashing — and Bench's per-key unpersist pass must leave live
+  * memo checkpoints alone so the heal path stays exceptional. */
+class ProcessMemoSelfHealSpec extends SparkSpec {
+  import graft.util.ProcessMemo
+
+  test("restore drops a self-healed entry whose snapshot value is a dead checkpoint") {
+    import scala.collection.concurrent.TrieMap
+    val m = TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    val dead = spark.range(5).toDF("v").localCheckpoint()
+    m.put("index", dead)
+    ProcessMemo.register("spec.heal", m)
+    val snap = ProcessMemo.snapshot()
+
+    // evict the blocks (what a hygiene pass or lost executor does), then
+    // self-heal the entry the way the owners do: remove + rebuild + put
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    intercept[Throwable] { dead.count() } // lineage is truncated for good
+    val healed = spark.range(5).toDF("v").localCheckpoint()
+    m.put("index", healed)
+
+    ProcessMemo.restore(snap)
+    assert(!m.contains("index"),
+      "a self-healed entry must be dropped on restore (run 2 re-heals honestly)")
+  }
+
+  test("liveMemoRddIds covers exactly the live DataFrame entries' checkpoint RDDs") {
+    import scala.collection.concurrent.TrieMap
+    val m = TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    val df = spark.range(7).toDF("v").localCheckpoint()
+    m.put("index", df)
+    ProcessMemo.register("spec.live", m)
+    val ids = ProcessMemo.liveMemoRddIds()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.exists(pinned), "the live checkpoint's RDD id must be reported")
+    // the Bench cleanup contract: unpersisting everything EXCEPT those
+    // ids leaves the memoized frame readable
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => ids(id) }.values
+      .foreach(_.unpersist(blocking = true))
+    assert(df.count() == 7, "memo-backed checkpoint must survive the hygiene pass")
+    m.remove("index")
+  }
+}
