@@ -12,8 +12,20 @@ object Bench {
     * runs would otherwise trip the 3×band rule on every key and pay
     * honest 10×-data costs twice); the flat ≤rerunMax min-of-two rule
     * still applies there, keeping fast-key damping SF-consistent. */
-  private[graft] def loadBands(): Map[String, Double] = {
-    if (sys.env.get("SPARK_GRAFT_BANDS").contains("off")) return Map.empty
+  /** Bands apply only at the scale they were recorded at (ADVICE r14):
+    * the default derives from the SF dir itself — any dir not named
+    * sf0.1 auto-disables them (a forgotten env var on a scale run would
+    * re-pay every key's honest 10×-data cost twice) — with
+    * SPARK_GRAFT_BANDS=on|off as the explicit override. */
+  private[graft] def bandsEnabled(sfDir: String): Boolean =
+    sys.env.get("SPARK_GRAFT_BANDS") match {
+      case Some("off") => false
+      case Some(_)     => true
+      case None => new java.io.File(sfDir).getName == "sf0.1"
+    }
+
+  private[graft] def loadBands(sfDir: String): Map[String, Double] = {
+    if (!bandsEnabled(sfDir)) return Map.empty
     val in = Option(getClass.getResourceAsStream("/bench_bands.json"))
     in.map { s =>
       val txt = try scala.io.Source.fromInputStream(s).mkString finally s.close()
@@ -80,10 +92,29 @@ object Bench {
     // any 2×-divergent pair lands in "spikes" so a driver-side spike
     // stays VISIBLE even though it no longer pollutes the grade.
     val rerunMax = sys.env.get("SPARK_GRAFT_RERUN_MAX").map(_.toDouble).getOrElse(3.0)
-    val bands = loadBands()
+    val bands = loadBands(sfDir)
+    // DECLARED-QUADRATIC DEMO GATE (r14 verdict task 5): two keys are
+    // honest brute-force baselines with graded scale-safe siblings
+    // (llm_dedup_embed → llm_semdedup, llm_dedup_near →
+    // llm_dedup_near_prefix/minhash); at sf1 they were 28% of the
+    // total and at sf3+ they would BE the bench. Above driver scale
+    // (any SF dir not named sf0.001/sf0.01/sf0.1) they are skipped by
+    // default and the skip is recorded LOUDLY in the JSON; at driver
+    // scale they always run (the grade is unaffected). Explicit
+    // override both ways: SPARK_GRAFT_DEMO_QUADRATICS=run|skip.
+    val demoQuadratics = Set("llm_dedup_embed", "llm_dedup_near")
+    val driverScale = Set("sf0.001", "sf0.01", "sf0.1")
+      .contains(new java.io.File(sfDir).getName)
+    val skipDemos = sys.env.get("SPARK_GRAFT_DEMO_QUADRATICS") match {
+      case Some("skip") => true
+      case Some(_)      => false
+      case None         => !driverScale
+    }
+    val skipped = if (skipDemos) demoQuadratics.toSeq.sorted else Nil
     val keysTotal = SparkEntry.queries.size
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+      .filterNot { case (n, _) => skipDemos && demoQuadratics(n) }
       .map { case (name, fn) =>
       def timedRun(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -161,9 +192,12 @@ object Bench {
       "\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total + errors lead the line so a truncated tail still carries them;
-    // keys_run vs keys_total makes a filtered run self-identifying.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"sf":"$sfDir","queries":$qs}""")
+    // keys_run vs keys_total makes a filtered run self-identifying;
+    // skipped_demo_quadratics makes a gated scale run self-identifying
+    // (a reader must never mistake it for full-surface coverage).
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -64,7 +64,16 @@ object ProcessMemo {
             // "same object the snapshot saw" check we want for big
             // model artifacts; value types compare structurally.
             if (map.get(k).exists(v => (v: Any) != v0)) {
-              if (isDeadDataset(v0)) map.remove(k)
+              // ADVICE r14: the self-heal drop must be VISIBLE — a
+              // non-heal overwrite that merely coincides with dead
+              // checkpoint blocks would otherwise pass unnoticed (the
+              // liveness probe, a count() job, runs only on this rare
+              // overwrite path, never on the healthy restore path).
+              if (isDeadDataset(v0)) {
+                System.err.println(s"[ProcessMemo] '$name': entry $k dropped on restore — " +
+                  "its snapshot value is a dead Dataset (evicted checkpoint); run 2 re-heals")
+                map.remove(k)
+              }
               else sys.error(s"ProcessMemo '$name': entry $k was OVERWRITTEN after the " +
                 "snapshot — registered memo maps must be populate-once, or the bench " +
                 "rerun's honesty guarantee breaks (restore would keep the run-1 value)")

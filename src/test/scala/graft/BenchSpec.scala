@@ -32,7 +32,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("bands resource parses, is positive, and covers the graded surface") {
-    val bands = Bench.loadBands()
+    // the recorded-scale dir: bands must load here and auto-disable
+    // anywhere else (ADVICE r14 — a forgotten SPARK_GRAFT_BANDS=off on
+    // a scale run would trip the 3×band rule on every key)
+    assert(!Bench.bandsEnabled("/tmp/graft_data/sf1"), "bands must auto-disable off-scale")
+    assert(Bench.loadBands("/tmp/graft_data/sf1").isEmpty)
+    assert(Bench.bandsEnabled("/root/testdata/sf0.1"))
+    val bands = Bench.loadBands("/root/testdata/sf0.1")
     assert(bands.nonEmpty, "bench_bands.json missing from resources")
     assert(bands.values.forall(_ > 0.0))
     // every band key must be a real graded key (no orphaned bands), and

@@ -106,4 +106,20 @@ object KernelProps extends Properties("graft.kernels") {
         KvBloom.mightContain("", probe) && // wrong length -> never skip
         KvBloom.mightContain("g" * hex.length, probe) // non-hex -> never skip
     }
+
+  // --- IVF coarse-quantizer sizing (r14 verdict task 1): the scale
+  // claim of every in-cell pair join is "cells stay bounded as the
+  // corpus grows" — assert it for ALL corpus sizes, plus the floor that
+  // keeps driver-scale operating points identical to the historical
+  // constant k=4 and the probe API valid (nprobe ≤ 4 ≤ k always).
+  property("ivfK bounds the mean cell size at the cell target for any corpus") =
+    Prop.forAll(Gen.chooseNum(1L, 10_000_000_000L)) { n =>
+      val k = graft.operators.LlmVector.ivfK(n)
+      k >= 4 && n.toDouble / k <= 500.0 && k <= math.max(4L, n)
+    }
+
+  property("ivfK is monotone non-decreasing in the corpus size") =
+    Prop.forAll(Gen.chooseNum(1L, 1_000_000L), Gen.chooseNum(0L, 1_000_000L)) { (n, d) =>
+      graft.operators.LlmVector.ivfK(n + d) >= graft.operators.LlmVector.ivfK(n)
+    }
 }

@@ -2726,4 +2726,38 @@ class LifecycleSpec extends SparkSpec {
       sorted.foreach { r => acc += r.getLong(2); assert(r.getLong(4) == acc) }
     }
   }
+
+  test("beam search visits a corpus-independent node count per query") {
+    // The 100 TB claim behind llm_ann_beam, as an assertion (r14 task 8):
+    // each query scores at most seeds + rounds × width × degree nodes —
+    // seeds = 2 probed cells × BeamSeeds entry points, each round fans
+    // the top-BeamWidth beam over top-3 adjacency lists. The bound is a
+    // pure function of the search constants, NEVER of the corpus size.
+    import graft.operators.LlmVector
+    val degree = 3 // knnGraphTop3 keeps rn <= 3 per src
+    val bound = 2 * LlmVector.BeamSeeds +
+      LlmVector.BeamRounds * LlmVector.BeamWidth * degree
+    val visited = LlmVector.beamSeen(spark, sf)
+      .groupBy("q_id").count().collect()
+    assert(visited.length == 30, s"expected all 30 queries, got ${visited.length}")
+    visited.foreach { r =>
+      assert(r.getLong(1) <= bound,
+        s"query ${r.get(0)} visited ${r.getLong(1)} nodes > bound $bound")
+    }
+  }
+
+  test("beam recall stays above its floor and recomputes from hits/possible") {
+    // Measured operating point at sf0.001: 15/90 hits = 166,666 ppm
+    // (near the visit-count floor — this fixture is near-clusterless,
+    // see the llmAnnBeam scaladoc). The floor asserts the search never
+    // degenerates to zero overlap with the exact top-3; margin below
+    // the measured point so an intentional parameter change doesn't
+    // false-fail, while a broken seed/expansion chain (recall ~0) does.
+    val r = run("llm_ann_beam_recall").collect()
+    assert(r.length == 1)
+    val (hits, possible, ppm) = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(ppm == 1000000L * hits / possible, "recall_ppm must recompute exactly")
+    assert(possible == 90, s"exact top-3 over 30 queries must have 90 slots, got $possible")
+    assert(ppm >= 100000, s"beam recall collapsed: $ppm ppm < 100000 floor")
+  }
 }

@@ -257,6 +257,18 @@ class PlanSpec extends SparkSpec {
       "non-equi joins without a bounded side:\n" + violations.mkString("\n"))
   }
 
+  test("theta-range build side is pre-bounded by the derivable p_size-domain constant") {
+    // r14 task 4: both BNLJ sides scaled with sf (18.9× at 10× data).
+    // p_size ∈ [1, 50] (fixture domain) implies only s_suppkey ≤ 25 can
+    // match, so the broadcast build side must carry that pre-filter —
+    // bounding the nested loop by a constant at ANY corpus size.
+    val p = plan("join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "theta key no longer a BNLJ:\n" + p.take(800))
+    assert(p.contains("* 2) <= 50"),
+      "supplier build side lost its p_size-domain bound:\n" + p.take(1200))
+  }
+
   test("scan_dynamic_pruning injects a runtime pruning filter into the fact scan") {
     val p = plan("scan_dynamic_pruning")
     assert(p.toLowerCase.contains("dynamicpruning"),

@@ -32,6 +32,13 @@ def main():
     missing = sorted(set(lo) ^ set(hi))
     if missing:
         print(f"WARNING: keys not in both runs: {missing}", file=sys.stderr)
+    # ADVICE r14: an empty intersection (or an all-zero lo run) must
+    # honor the documented "exit 0 always", not IndexError on the median
+    # / ZeroDivisionError on the totals.
+    if not keys:
+        print("WARNING: no keys common to both runs — nothing to compare",
+              file=sys.stderr)
+        return
     rows = []
     for k in keys:
         a, b = lo[k], hi[k]
@@ -48,6 +55,9 @@ def main():
         print(f"| {k} | {a:.3f} | {b:.3f} | {ratio:.2f} | {flag} |")
     tot_lo = sum(lo[k] for k in keys)
     tot_hi = sum(hi[k] for k in keys)
+    if tot_lo <= 0:
+        print(f"\ntotals: lo={tot_lo:.1f}s hi={tot_hi:.1f}s ratio=n/a (zero lo total)")
+        return
     print(f"\ntotals: lo={tot_lo:.1f}s hi={tot_hi:.1f}s ratio={tot_hi/tot_lo:.2f} "
           f"(data x{factor:g}); flagged={nflag}; "
           f"median ratio={sorted(r for r, *_ in rows)[len(rows)//2]:.2f}")
