@@ -1127,6 +1127,16 @@ object TimeSeries {
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     ev.join(broadcast(stats), "event_type")
       .withColumn("dev", d38(col("n")) * d38(col("c")) - d38(col("s")))
+      // Fail LOUDLY past the documented headroom (ADVICE r14): non-ANSI
+      // Spark would NULL an overflowed dev² — is_out silently false —
+      // while the oracle's HUGEINT raises. |dev| < 10¹⁹ guarantees dev²
+      // fits DECIMAL(38,0); beyond (~sf 10⁶) Spark now raises like the
+      // oracle instead of silently under-counting outliers.
+      .withColumn("dev",
+        when(abs(col("dev")) < lit(BigDecimal("1" + "0" * 19)).cast("decimal(38,0)"), col("dev"))
+          .otherwise(raise_error(concat(
+            lit("ts_anomaly: |n*c - s| exceeds the DECIMAL(38,0) square headroom at "),
+            col("dev").cast("string")))))
       .withColumn("is_out",
         col("dev") * col("dev") >
           lit(4) * (d38(col("n")) * d38(col("m2")) - d38(col("s")) * d38(col("s"))))
