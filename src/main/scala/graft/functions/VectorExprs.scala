@@ -80,6 +80,72 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 over two DOUBLE[] columns — the k-means assignment
+  * hot path (r15): the corpus-scaled coarse quantizer evaluates n×k
+  * distances per Lloyd pass, and the HOF formulation pays interpreted
+  * lambda dispatch plus a 64-element intermediate array PER (row,
+  * centroid). Same left-to-right double accumulation as
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)`. */
+case class DoubleSqL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"double_sql2 expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_sql2"
+  // Mismatched dimensions yield NULL, like the HOF formulation.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleSqL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Shared builder with an arity check (indexing alone would silently
     * drop extra arguments). */
@@ -88,11 +154,20 @@ object VectorExprs {
     FloatDot(exprs(0), exprs(1))
   }
 
-  /** Registers `float_dot` in the session's function registry so it is
-    * usable from `expr(...)`/SQL. Idempotent. (The library-install path
-    * would be a SparkSessionExtensions.injectFunction; runtime
-    * registration keeps the harness's plain sessions working.) */
-  def register(spark: SparkSession): Unit =
+  private[graft] def buildSqL2(exprs: Seq[Expression]): DoubleSqL2 = {
+    require(exprs.length == 2, s"double_sql2 expects 2 arguments, got ${exprs.length}")
+    DoubleSqL2(exprs(0), exprs(1))
+  }
+
+  /** Registers `float_dot` / `double_sql2` in the session's function
+    * registry so they are usable from `expr(...)`/SQL. Idempotent.
+    * (The library-install path would be a
+    * SparkSessionExtensions.injectFunction; runtime registration keeps
+    * the harness's plain sessions working.) */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_sql2", buildSqL2, "built-in")
+  }
 }

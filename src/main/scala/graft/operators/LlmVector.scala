@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
@@ -312,15 +312,36 @@ object LlmVector {
   private def corpusCount(spark: SparkSession, sfDir: String): Long =
     countCache.getOrElseUpdate(sfDir, embeddings(spark, sfDir).count()).longValue()
 
-  /** Argmin-centroid assignment of every vector: (vec_id, c_id). */
-  private def assignCells(ex: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
-    ex.join(broadcast(cent), Seq("pos"))
-      .groupBy("vec_id", "c_id")
-      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "c_id")
+  /** The corpus as (vec_id, varr: ARRAY<DOUBLE>) — the map-side
+    * assignment input (one scan, no explode). */
+  private def embArr(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("varr"))
+
+  /** Driver-held centroid model: (c_id, 64 components) sorted by c_id —
+    * built from the same (c_id, pos, c) long-format rows centCache
+    * persists. */
+  private def toModel(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Seq[Double])] =
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+
+  /** Every centroid's r6 squared-L2 distance to this row's `varr`, as a
+    * SORTED array of (dist2, c_id) structs — a PURE PER-ROW expression
+    * (r15): the k×64 model rides in the task binary as ONE literal, so
+    * the assignment/ranking pass is map-only — no join, no shuffle, no
+    * n×64×k intermediate. This is the honest 100 TB serving shape (the
+    * quantizer is a broadcast model, the corpus streams once); the
+    * distance kernel is the native codegen'd `double_sql2`, and the
+    * struct sort reproduces the (dist2 ASC, c_id ASC) argmin/rank
+    * tie-break exactly. */
+  private def rankStructs(cents: Seq[(Int, Seq[Double])]): Column = {
+    val carr = typedLit(cents.map(_._2))
+    val cids = typedLit(cents.map(_._1))
+    array_sort(transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct(
+        r6(call_function("double_sql2", col("varr"), element_at(carr, i + 1))).as("dist2"),
+        element_at(cids, i + 1).as("c_id"))))
   }
 
   /** The trained quantizer: (exploded long format, final centroids) —
@@ -357,19 +378,32 @@ object LlmVector {
       .localCheckpoint()
     val k = ivfK(corpusCount(spark, sfDir))
     val (rows, schema) = centCache.getOrElseUpdate(sfDir, {
-      var cent = ex.filter(col("vec_id") < k)
+      // Each Lloyd pass (r15): assignment is the map-only literal-model
+      // pass ([[rankStructs]] argmin — no join, no shuffle, no n×64×k
+      // intermediate); the centroid update is the one shuffle (n×64
+      // rows grouped to k×64); the k×64 model round-trips through the
+      // driver between passes — the same artifact centCache persists
+      // anyway, and exactly what "broadcast the model" means.
+      val init = ex.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("c_id"), col("pos"), r6(col("v")).as("c"))
-        .localCheckpoint()
+      var state = (init.collect(), init.schema)
       for (_ <- 1 to IvfIters) {
-        val assign = assignCells(ex, cent)
-        cent = ex.join(assign, Seq("vec_id"))
+        val assign = embArr(spark, sfDir).select(col("vec_id"),
+          element_at(rankStructs(toModel(state._1)), 1).getField("c_id").as("c_id"))
+        val cent = ex.join(assign, Seq("vec_id"))
           .groupBy("c_id", "pos")
           .agg(r6(avg(col("v"))).as("c"))
-          .localCheckpoint() // k×64 rows: cuts the unrolled plan, values unchanged
+        state = (cent.collect(), cent.schema)
       }
-      (cent.collect(), cent.schema)
+      state
     })
     (ex, spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+  }
+
+  /** The trained model as driver data — trains on first use. */
+  private def kmeansModel(spark: SparkSession, sfDir: String): Seq[(Int, Seq[Double])] = {
+    kmeansState(spark, sfDir)
+    toModel(centCache(sfDir)._1)
   }
 
   /** ONE IVF search with nprobe as the user knob (the graded keys are
@@ -423,12 +457,14 @@ object LlmVector {
         if (!alive) rankedCache.remove(key) // dead entries must not pin RDDs
         alive
       }.getOrElse {
-        val (ex, cent) = kmeansState(spark, sfDir)
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
-        val ranked = ex.join(broadcast(cent), Seq("pos"))
-          .groupBy("vec_id", "c_id")
-          .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-          .withColumn("rn", row_number().over(wAssign))
+        // map-only (r15): the per-row sorted distance array IS the
+        // ranking — posexplode materializes (vec_id, c_id, dist2, rn)
+        // without the former n×64×k join/agg/window chain
+        val model = kmeansModel(spark, sfDir)
+        val ranked = embArr(spark, sfDir)
+          .select(col("vec_id"), posexplode(rankStructs(model)).as(Seq("i", "s")))
+          .select(col("vec_id"), col("s.c_id").as("c_id"), col("s.dist2").as("dist2"),
+            (col("i") + 1).cast("int").as("rn"))
           .localCheckpoint() // n×k tiny rows; one materialization serves every search
         rankedCache.put((spark, sfDir), ranked)
         ranked
