@@ -197,7 +197,15 @@ object Bench {
     // keys_run vs keys_total makes a filtered run self-identifying;
     // skipped_demo_quadratics makes a gated scale run self-identifying
     // (a reader must never mistake it for full-surface coverage).
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"sf":"$sfDir","queries":$qs}""")
+    // cpus + max_heap_mb record the execution protocol INSIDE the
+    // artifact: the r15 scale re-measurement burned a full bench cycle
+    // re-discovering that the r14 runs were 32-thread/large-heap —
+    // an un-annotated 8 g run at 32 threads GC-thrashes sf1 into
+    // 4–40× phantom "regressions" that vanish at 64 g. max_heap_mb is
+    // Runtime.maxMemory (the JVM's actual ceiling), not the env var,
+    // so a forgotten SPARK_DRIVER_MEM is still recorded truthfully.
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
