@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 /** Library install path for graft's native surface: add
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) and every session
-  * gets `float_dot` / `rolling_hash` in SQL plus the
+  * gets `float_dot` / `double_sql2` / `rolling_hash` in SQL plus the
   * [[graft.plans.BandJoinBucketing]] optimizer rule, which rewrites
   * constant-width range joins (no equi key → nested-loop at any scale)
   * into bucketed equi-joins automatically. The `Verify` and `Bench`
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[functions.FloatDot].getName, "float_dot"),
       functions.VectorExprs.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("double_sql2"),
+      new ExpressionInfo(classOf[functions.DoubleSqL2].getName, "double_sql2"),
+      functions.VectorExprs.buildSqL2 _))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[functions.RollingHash].getName, "rolling_hash"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.FloatDot
+import graft.functions.{DoubleSqL2, FloatDot}
 
 /** The native float_dot expression: interpreted eval, codegen'd
   * execution, and the higher-order-function formulation must all agree
@@ -54,6 +54,95 @@ class ExpressionSpec extends SparkSpec {
       "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
       .collect()(0)
     assert(r.isNullAt(0))
+  }
+
+  // --- double_sql2: the same discipline as float_dot (r15 verdict task 3
+  // — the kernel shipped under every vector key's assignment path with
+  // zero direct tests; a codegen-only bug would have surfaced as a
+  // confusing cross-engine hash mismatch instead of a unit failure) ---
+
+  private def dlit(a: Array[Double]): Literal =
+    Literal(ArrayData.toArrayData(a), ArrayType(DoubleType))
+
+  test("double_sql2 interpreted eval matches a plain scala fold") {
+    val a = Array(0.25, -1.5, 3.0)
+    val b = Array(2.0, 0.5, -1.0)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      acc + (x - y) * (x - y)
+    }
+    assert(DoubleSqL2(dlit(a), dlit(b)).eval(null) == expected)
+  }
+
+  test("double_sql2 codegen equals interpreted and the zip_with/aggregate fold on real data") {
+    // The doc's exact claim: same left-to-right double accumulation as
+    // aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +).
+    graft.functions.VectorExprs.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("va"),
+        expr("transform(reverse(embedding), x -> CAST(x AS DOUBLE))").as("vb"))
+    val both = e.select(
+      expr("double_sql2(va, vb)").as("native"),
+      expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("two double_sql2 calls in one projection stay codegen'd (fresh locals)") {
+    // Same round-1 float_dot bug class: fixed `n`/`acc`/`d`/`i` locals
+    // would fail Janino on the second call in one scope and silently
+    // fall back to interpreted eval.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val d1 = DoubleSqL2(dlit(Array(1.0, 2.0)), dlit(Array(3.0, 4.0)))
+    val d2 = DoubleSqL2(dlit(Array(2.0)), dlit(Array(5.0)))
+    val proj = GenerateUnsafeProjection.generate(Seq(d1, d2))
+    val row = proj(InternalRow.empty)
+    assert(row.getDouble(0) == 8.0 && row.getDouble(1) == 9.0)
+  }
+
+  test("double_sql2 mismatched dimensions and null inputs yield null") {
+    graft.functions.VectorExprs.register(spark)
+    val mism = spark.sql(
+      "SELECT double_sql2(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), array(CAST(3.0 AS DOUBLE)))")
+      .collect()(0)
+    assert(mism.isNullAt(0))
+    val nul = spark.sql(
+      "SELECT double_sql2(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.0 AS DOUBLE)))")
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("double_sql2 type mismatch is rejected at analysis") {
+    graft.functions.VectorExprs.register(spark)
+    intercept[Exception] {
+      // array<float> must NOT silently coerce — the kernel is the
+      // double-precision Lloyd path; float inputs indicate a wiring bug.
+      spark.sql("SELECT double_sql2(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT double_sql2(array(1, 2), array(3, 4))").collect()
+    }
+  }
+
+  test("GraftExtensions installs double_sql2 through the real builder path") {
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val r = s2.sql(
+        """SELECT double_sql2(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+          |                   array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(0) == 8.0)
+      intercept[Exception] { s2.sql("SELECT double_sql2(array(CAST(1.0 AS DOUBLE)))").collect() }
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
   }
 
   test("rolling_hash equals the higher-order fold formulation on real docs") {

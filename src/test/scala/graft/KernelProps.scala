@@ -83,6 +83,32 @@ object KernelProps extends Properties("graft.kernels") {
     evalDot(a, b) == evalDot(b, a) && evalDot(a, a) >= 0.0
   }
 
+  // --- double_sql2: the Lloyd-assignment kernel (r15 verdict task 3 —
+  // shipped with zero direct tests). Same reference-fold discipline as
+  // float_dot: the doc claims bit-identity with the left-to-right
+  // (x-y)² accumulation, so assert it for ANY input, plus the metric
+  // axioms the argmin tie-break relies on. ---
+  private val doubleArr = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+
+  private def evalSqL2(a: Array[Double], b: Array[Double]): Double =
+    graft.functions.DoubleSqL2(
+      Literal(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+      Literal(ArrayData.toArrayData(b), ArrayType(DoubleType))).eval(null)
+      .asInstanceOf[Double]
+
+  property("double_sql2 matches reference fold") = Prop.forAll(doubleArr, doubleArr) { (a, b) =>
+    val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      acc + (x - y) * (x - y)
+    }
+    evalSqL2(a, b) == ref
+  }
+
+  property("double_sql2 is symmetric, non-negative, zero on the diagonal") =
+    Prop.forAll(doubleArr, doubleArr) { (a, b) =>
+      evalSqL2(a, b) == evalSqL2(b, a) && evalSqL2(a, b) >= 0.0 &&
+        evalSqL2(a, a) == 0.0
+    }
+
   // --- rowkey bloom: the file-skip decision is only sound if an added
   // key can NEVER read as absent (a false negative silently loses rows;
   // false positives merely cost a file open) ---
