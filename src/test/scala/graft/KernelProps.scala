@@ -148,4 +148,23 @@ object KernelProps extends Properties("graft.kernels") {
     Prop.forAll(Gen.chooseNum(1L, 1_000_000L), Gen.chooseNum(0L, 1_000_000L)) { (n, d) =>
       graft.operators.LlmVector.ivfK(n + d) >= graft.operators.LlmVector.ivfK(n)
     }
+
+  // --- Lloyd training sample bound (r15 verdict task 2): training must
+  // never read more than max_points_per_centroid × k vectors, must read
+  // the WHOLE corpus when it fits under that cap (so the driver
+  // fixtures' graded values are unchanged by construction), and the
+  // sample must always contain the k init vectors (vec_id < k). ---
+  property("trainCap is bounded by mppc*k, covers small corpora, contains the init") =
+    Prop.forAll(Gen.chooseNum(1L, 10_000_000_000L)) { n =>
+      val k = graft.operators.LlmVector.ivfK(n)
+      val mppc = graft.operators.LlmVector.MaxPointsPerCentroid.toLong
+      val cap = graft.operators.LlmVector.trainCap(n)
+      cap <= n && cap <= mppc * k && cap >= math.min(n, k.toLong) &&
+        (n > mppc * graft.operators.LlmVector.ivfK(1) || cap == n)
+    }
+
+  property("trainCap is monotone non-decreasing in the corpus size") =
+    Prop.forAll(Gen.chooseNum(1L, 1_000_000L), Gen.chooseNum(0L, 1_000_000L)) { (n, d) =>
+      graft.operators.LlmVector.trainCap(n + d) >= graft.operators.LlmVector.trainCap(n)
+    }
 }

@@ -444,6 +444,26 @@ class OperatorSpec extends SparkSpec {
     assert(j.forall(r => r.getAs[Double]("c2") >= r.getAs[Double]("c1")))
   }
 
+  test("literal-model and broadcast-join centroid rankings are bit-identical") {
+    // The LiteralModelMaxK cap (r16) flips the assignment shape past
+    // k ≈ 2048; this is the pin that flipping it can never change a
+    // result: same r6(double_sql2) distances, same (dist2, c_id)
+    // tie-break, row-for-row.
+    import graft.operators.LlmVector
+    graft.functions.VectorExprs.register(spark)
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("varr"))
+    val model = rows.orderBy("vec_id").limit(3).collect().map { r =>
+      r.getLong(0).toInt -> r.getSeq[Double](1)
+    }.toSeq
+    val cols = Seq("vec_id", "c_id", "dist2", "rn").map(col)
+    val lit = LlmVector.rankAllLiteral(rows, model).select(cols: _*)
+    val join = LlmVector.rankAllJoin(spark, rows, model).select(cols: _*)
+    assert(lit.count() == rows.count() * model.size)
+    assert(lit.exceptAll(join).count() == 0 && join.exceptAll(lit).count() == 0)
+  }
+
   test("semdedup pairs live in one quantizer cell and subset the brute-force pairs") {
     val sem = run("llm_semdedup")
     val brute = run("llm_dedup_embed").select(
