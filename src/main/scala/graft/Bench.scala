@@ -51,9 +51,28 @@ object Bench {
       band: Option[Double]): Boolean =
     ok1 && (t1 <= rerunMax || band.exists(b => t1 > math.max(rerunMax, 3.0 * b)))
 
+  /** ESCALATION RERUN (r15 verdict task 4): a sustained host stall can
+    * cover BOTH passes of the band-aware rerun — the r15 driver round
+    * recorded min(run1, run2) = 38.2 s on a 0.5 s-band key, and nothing
+    * in the artifact could distinguish "stall spanned both passes" from
+    * "key got slower" without a judge re-run. When the min of the first
+    * two passes STILL exceeds 10× the key's band, one extra rerun is
+    * allowed; a genuinely slowed key (e.g. honest 3–9× growth after a
+    * code change) stays at two passes and re-records its honest time. */
+  private[graft] def shouldEscalate(lo: Double, band: Option[Double]): Boolean =
+    band.exists(b => lo > 10.0 * b)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Fail fast on a non-numeric thread count (ADVICE r15): the value is
+    // emitted as a bare JSON number, so 'local[*]'-style strings would
+    // produce an invalid artifact that silently breaks make_bands.py /
+    // scaling_table.py downstream.
+    val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = try cpusStr.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_CPUS must be an integer thread count, got '$cpusStr'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -68,6 +87,7 @@ object Bench {
     // sorts, windows) and only then counts the produced rows.
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.count()
+    val benchStart = System.nanoTime()
     // Untimed warmup: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~5s attribution noise).
     try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
@@ -164,6 +184,11 @@ object Bench {
       // keys amortize exactly as without the rerun. Snapshot + restore
       // both run OUTSIDE the timed sections.
       val memoBefore = graft.util.ProcessMemo.snapshot()
+      // STALL LEGIBILITY (r15 verdict task 4): the key's wall-clock
+      // start offset from bench start goes into the JSON — a host
+      // stall window then shows up as one contiguous time band across
+      // alphabetical neighbors, adjudicable from the artifact alone.
+      val startOff = (System.nanoTime() - benchStart) / 1e9
       val (t1, ok1) = timedRun()
       cleanup()
       val (t, spike) =
@@ -173,23 +198,34 @@ object Bench {
           cleanup()
           if (!ok2) (t1, None) // key already proven ok; keep run 1
           else {
-            val lo = math.min(t1, t2)
-            val hi = math.max(t1, t2)
-            (lo, if (hi >= 2 * lo && hi - lo >= 0.5) Some((t1, t2)) else None)
+            val runs =
+              if (shouldEscalate(math.min(t1, t2), bands.get(name))) {
+                // stall may have spanned both passes: one escalation
+                graft.util.ProcessMemo.restore(memoBefore)
+                val (t3, ok3) = timedRun()
+                cleanup()
+                if (ok3) Seq(t1, t2, t3) else Seq(t1, t2)
+              } else Seq(t1, t2)
+            val lo = runs.min
+            val hi = runs.max
+            (lo, if (hi >= 2 * lo && hi - lo >= 0.5) Some(runs) else None)
           }
         } else (t1, None)
-      (name, t, ok1, t1, spike)
+      (name, t, ok1, t1, spike, startOff)
     }
-    val failed = results.collect { case (n, _, false, _, _) => n }
+    val failed = results.collect { case (n, _, false, _, _, _) => n }
     val total = results.map(_._2).sum
     val firstPass = results.map(_._4).sum
-    val reruns = results.count { case (n, _, ok, t1, _) =>
+    val reruns = results.count { case (n, _, ok, t1, _, _) =>
       shouldRerun(ok, t1, rerunMax, bands.get(n))
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val spikes = results.collect { case (k, _, _, _, Some((a, b))) =>
-      "\"" + k + "\":[" + f3(a) + "," + f3(b) + "]"
+    val spikes = results.collect { case (k, _, _, _, Some(runs), _) =>
+      "\"" + k + "\":" + runs.map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val starts = results.map { case (k, _, _, _, _, s0) =>
+      "\"" + k + "\":" + f3(s0)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -205,7 +241,7 @@ object Bench {
     // Runtime.maxMemory (the JVM's actual ceiling), not the env var,
     // so a forgotten SPARK_DRIVER_MEM is still recorded truthfully.
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"starts":$starts,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -31,6 +31,23 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.shouldRerun(ok1 = true, t1 = 12.0, rerunMax = 3.0, band = Some(4.0)))
   }
 
+  test("synthetic stall: escalation fires only when the stall spans both passes") {
+    // The r15 driver artifact: sql_q12_priority_class recorded
+    // min(38.2, ~37.9) on a ~0.5 s band — a stall window covering both
+    // passes. The escalation rule grants exactly one more rerun there...
+    assert(Bench.shouldRerun(ok1 = true, t1 = 38.2, rerunMax = 3.0, band = Some(0.5)))
+    assert(Bench.shouldEscalate(lo = 37.9, band = Some(0.5)))
+    // ...but NOT when the second pass already damped the spike,
+    assert(!Bench.shouldEscalate(lo = 0.51, band = Some(0.5)))
+    // ...not for an honestly slowed key inside 10x its band (a real 3-9x
+    // regression must re-record its honest new time, not be re-paid),
+    assert(!Bench.shouldEscalate(lo = 4.2, band = Some(0.5)))
+    // ...and never without a band (new keys / scale runs keep two passes).
+    assert(!Bench.shouldEscalate(lo = 100.0, band = None))
+    // boundary: strictly greater than 10x
+    assert(!Bench.shouldEscalate(lo = 5.0, band = Some(0.5)))
+  }
+
   test("bands resource parses, is positive, and covers the graded surface") {
     // the recorded-scale dir: bands must load here and auto-disable
     // anywhere else (ADVICE r14 — a forgotten SPARK_GRAFT_BANDS=off on

@@ -14,11 +14,11 @@ Exit code 0 iff every key matches.
 Memory: the DuckDB oracle harness is capped at REHEARSE_MEM (default
 48GB) with spill to /tmp/duckdb_spill. r14 measured the beam-pair
 oracles (llm_ann_beam / llm_ann_beam_recall) needing ~110GB at sf1
-under the then-constant IvfK=4 (the in-cell pair join was n^2/4); the
-r15 corpus-scaled quantizer bounds cells at ~500 so the default cap is
-expected to hold — if an oracle still OOMs at a new scale, re-run just
-that key with REHEARSE_MEM=110GB. The cap bounds ONLY the oracle side,
-never the graded Spark run.
+under the then-constant IvfK=4 (the in-cell pair join was n^2/4).
+MEASURED CLOSED in r16: with the corpus-scaled quantizer (cells ~500)
+both beam oracles pass at sf1 under the 48GB default with ZERO spill
+(~9-17GB RSS, 153s + 97s) — no env var needed at any graded scale.
+The cap bounds ONLY the oracle side, never the graded Spark run.
 """
 import json, subprocess, sys, glob, os
 
