@@ -62,6 +62,77 @@ object Bench {
   private[graft] def shouldEscalate(lo: Double, band: Option[Double]): Boolean =
     band.exists(b => lo > 10.0 * b)
 
+  /** One key's bench outcome: graded time (post-damping), first-pass
+    * time, the 2×-divergent run pair if any, and the key's wall-clock
+    * start offset from bench start (the stall-adjudication signal). */
+  private[graft] final case class KeyResult(name: String, graded: Double,
+      ok: Boolean, firstPass: Double, spike: Option[Seq[Double]],
+      startOff: Double)
+
+  private def jsonStrArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The full per-key artifact line. total + errors lead the line so a
+    * truncated TAIL still carries them; `queries` trails so a truncated
+    * HEAD still carries the per-key numbers. keys_run vs keys_total
+    * makes a filtered run self-identifying; skipped_demo_quadratics
+    * makes a gated scale run self-identifying (a reader must never
+    * mistake it for full-surface coverage). cpus + max_heap_mb record
+    * the execution protocol INSIDE the artifact: the r15 scale
+    * re-measurement burned a full bench cycle re-discovering that the
+    * r14 runs were 32-thread/large-heap — an un-annotated 8 g run at 32
+    * threads GC-thrashes sf1 into 4–40× phantom "regressions" that
+    * vanish at 64 g. max_heap_mb is Runtime.maxMemory (the JVM's actual
+    * ceiling), not the env var, so a forgotten SPARK_DRIVER_MEM is
+    * still recorded truthfully. */
+  private[graft] def mainLine(results: Seq[KeyResult], keysTotal: Int,
+      skipped: Seq[String], cpus: Int, heapMb: Long, sfDir: String,
+      reruns: Int): String = {
+    val failed = results.collect { case r if !r.ok => r.name }
+    val total = results.map(_.graded).sum
+    val firstPass = results.map(_.firstPass).sum
+    val qs = results.map(r => "\"" + r.name + "\":" + f3(r.graded))
+      .mkString("{", ",", "}")
+    val spikes = results.collect { case KeyResult(k, _, _, _, Some(runs), _) =>
+      "\"" + k + "\":" + runs.map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val starts = results.map(r => "\"" + r.name + "\":" + f3(r.startOff))
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":${jsonStrArr(failed)},"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":${jsonStrArr(skipped)},"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"starts":$starts,"sf":"$sfDir","queries":$qs}"""
+  }
+
+  /** TRUNCATION-PROOF SUMMARY (r16 verdict task 3): the driver's r16
+    * capture kept only the LAST ~4 KB of the main line — the tail of
+    * `queries` — losing the leading total/first_pass/reruns/spikes/
+    * starts that were designed for HEAD truncation, so the round's
+    * spikes again needed a judge re-run to adjudicate. This second,
+    * compact (<2 KB) line is printed AFTER the main JSON: whichever
+    * direction a capture truncates, one of the two lines survives
+    * whole with the verdict-relevant digest — totals, error count, the
+    * 10 largest start-offset gaps (a host stall shows as one huge gap
+    * between alphabetical neighbors), and the 10 largest spike pairs. */
+  private[graft] def summaryLine(results: Seq[KeyResult], keysTotal: Int,
+      skipped: Seq[String], cpus: Int, heapMb: Long, sfDir: String,
+      reruns: Int): String = {
+    val failed = results.collect { case r if !r.ok => r.name }
+    val total = results.map(_.graded).sum
+    val firstPass = results.map(_.firstPass).sum
+    // the gap between consecutive keys' start offsets is the earlier
+    // key's full wall (all passes + cleanup): a stall window localizes
+    // to the keys it covered, from the artifact alone
+    val byStart = results.sortBy(_.startOff)
+    val gaps = byStart.zip(byStart.drop(1))
+      .map { case (a, b) => (a.name, b.startOff - a.startOff) }
+    val topGaps = gaps.sortBy(-_._2).take(10)
+      .map { case (k, g) => "\"" + k + "\":" + f3(g) }.mkString("{", ",", "}")
+    val topSpikes = results
+      .collect { case KeyResult(k, _, _, _, Some(runs), _) => (k, runs) }
+      .sortBy { case (_, runs) => -(runs.max - runs.min) }.take(10)
+      .map { case (k, runs) => "\"" + k + "\":" + runs.map(f3).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    s"""{"metric":"summary","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed_top":${jsonStrArr(failed.take(10))},"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":${jsonStrArr(skipped)},"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"top_start_gaps":$topGaps,"spikes_top":$topSpikes,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Fail fast on a non-numeric thread count (ADVICE r15): the value is
@@ -211,38 +282,14 @@ object Bench {
             (lo, if (hi >= 2 * lo && hi - lo >= 0.5) Some(runs) else None)
           }
         } else (t1, None)
-      (name, t, ok1, t1, spike, startOff)
+      KeyResult(name, t, ok1, t1, spike, startOff)
     }
-    val failed = results.collect { case (n, _, false, _, _, _) => n }
-    val total = results.map(_._2).sum
-    val firstPass = results.map(_._4).sum
-    val reruns = results.count { case (n, _, ok, t1, _, _) =>
-      shouldRerun(ok, t1, rerunMax, bands.get(n))
-    }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val spikes = results.collect { case (k, _, _, _, Some(runs), _) =>
-      "\"" + k + "\":" + runs.map(f3).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val starts = results.map { case (k, _, _, _, _, s0) =>
-      "\"" + k + "\":" + f3(s0)
-    }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // total + errors lead the line so a truncated tail still carries them;
-    // keys_run vs keys_total makes a filtered run self-identifying;
-    // skipped_demo_quadratics makes a gated scale run self-identifying
-    // (a reader must never mistake it for full-surface coverage).
-    // cpus + max_heap_mb record the execution protocol INSIDE the
-    // artifact: the r15 scale re-measurement burned a full bench cycle
-    // re-discovering that the r14 runs were 32-thread/large-heap —
-    // an un-annotated 8 g run at 32 threads GC-thrashes sf1 into
-    // 4–40× phantom "regressions" that vanish at 64 g. max_heap_mb is
-    // Runtime.maxMemory (the JVM's actual ceiling), not the env var,
-    // so a forgotten SPARK_DRIVER_MEM is still recorded truthfully.
+    val reruns = results.count(r =>
+      shouldRerun(r.ok, r.firstPass, rerunMax, bands.get(r.name)))
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed":$failedJson,"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":$skippedJson,"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"spikes":$spikes,"starts":$starts,"sf":"$sfDir","queries":$qs}""")
+    println(mainLine(results, keysTotal, skipped, cpus, heapMb, sfDir, reruns))
+    println(summaryLine(results, keysTotal, skipped, cpus, heapMb, sfDir, reruns))
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (results.exists(!_.ok)) sys.exit(1)
   }
 }

@@ -399,7 +399,13 @@ object LlmVector {
       model: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val cents = spark.createDataFrame(model).toDF("c_id", "carr")
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("c_id").asc)
+    // NULLS LAST (ADVICE r16): array_sort orders null structs last while
+    // a bare ASC window puts NULLS FIRST — dist2 is never null for the
+    // fixed 64-dim corpus (double_sql2 nulls only on mismatched/null
+    // arrays), but the rankAllLiteral equivalence pin must hold
+    // unconditionally, not by precondition.
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc_nulls_last, col("c_id").asc)
     rows.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         r6(call_function("double_sql2", col("varr"), col("carr"))).as("dist2"))

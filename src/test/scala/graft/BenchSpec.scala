@@ -48,6 +48,40 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.shouldEscalate(lo = 5.0, band = Some(0.5)))
   }
 
+  test("mainLine and summaryLine both parse and agree on the digest (r16 task 3)") {
+    import Bench.KeyResult
+    // a synthetic stalled run: one fast key, one key whose escalation
+    // rerun caught a both-pass stall, one failed key after a long gap
+    val rs = Seq(
+      KeyResult("a_first", 0.5, ok = true, 0.6, None, 5.0),
+      KeyResult("b_stalled", 2.0, ok = true, 41.0, Some(Seq(41.0, 40.0, 2.0)), 5.7),
+      KeyResult("c_failed", 0.1, ok = false, 0.1, None, 90.0))
+    val skipped = Seq("llm_dedup_embed")
+    val mainL = Bench.mainLine(rs, 288, skipped, 32, 8192L, "/root/testdata/sf1", 2)
+    val sumL = Bench.summaryLine(rs, 288, skipped, 32, 8192L, "/root/testdata/sf1", 2)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = om.readTree(mainL)
+    val s = om.readTree(sumL)
+    assert(m.get("metric").asText == "total")
+    assert(s.get("metric").asText == "summary")
+    // digest agreement: either line alone carries the verdict-relevant
+    // protocol + totals, whatever direction a capture truncates
+    for (f <- Seq("value", "errors", "keys_run", "keys_total", "cpus",
+        "max_heap_mb", "first_pass_sec", "reruns", "sf"))
+      assert(m.get(f) == s.get(f), s"field $f differs between lines")
+    assert(m.get("value").asDouble == 2.6)
+    assert(m.get("queries").get("b_stalled").asDouble == 2.0)
+    // the summary alone localizes the stall: the largest start-offset
+    // gap is the stalled key's full wall (5.7 -> 90.0 = 84.3 s), and
+    // the spike pair that damped it is preserved
+    assert(s.get("top_start_gaps").get("b_stalled").asDouble == 84.3)
+    assert(s.get("spikes_top").get("b_stalled").get(2).asDouble == 2.0)
+    assert(s.get("failed_top").get(0).asText == "c_failed")
+    // compactness: 10 gaps + 10 spike pairs bound the line, so a 4 KB
+    // tail capture keeps it whole even at full surface
+    assert(sumL.length < 2048)
+  }
+
   test("bands resource parses, is positive, and covers the graded surface") {
     // the recorded-scale dir: bands must load here and auto-disable
     // anywhere else (ADVICE r14 — a forgotten SPARK_GRAFT_BANDS=off on

@@ -138,6 +138,12 @@ class ExpressionSpec extends SparkSpec {
       assert(r.getDouble(0) == 8.0)
       intercept[Exception] { s2.sql("SELECT double_sql2(array(CAST(1.0 AS DOUBLE)))").collect() }
     } finally {
+      // s2 must never LINGER as the default/active session (ADVICE r16):
+      // clear unconditionally, then restore the suite session — but do
+      // not stop() s2, which would kill the shared SparkContext under
+      // the other suites.
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
         SparkSession.setActiveSession(p)
@@ -198,6 +204,12 @@ class ExpressionSpec extends SparkSpec {
       intercept[Exception] { s2.sql("SELECT rolling_hash('a', 31)").collect() }
       intercept[Exception] { s2.sql("SELECT rolling_hash()").collect() }
     } finally {
+      // s2 must never LINGER as the default/active session (ADVICE r16):
+      // clear unconditionally, then restore the suite session — but do
+      // not stop() s2, which would kill the shared SparkContext under
+      // the other suites.
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
         SparkSession.setActiveSession(p)

@@ -17,11 +17,25 @@ import sys
 OUT = "src/main/resources/bench_bands.json"
 
 
+def load_bench(path):
+    """First non-summary JSON line: Bench emits a second compact
+    'summary' line after the main artifact (r16 verdict task 3), and a
+    raw two-line capture must still parse here."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") != "summary":
+                return d
+    sys.exit(f"{path}: no bench JSON line found")
+
+
 def main(paths):
     per_key = {}
     for p in paths:
-        with open(p) as fh:
-            q = json.load(fh)["queries"]
+        q = load_bench(p)["queries"]
         for k, v in q.items():
             per_key.setdefault(k, []).append(v)
     bands = {k: round(statistics.median(vs), 3) for k, vs in sorted(per_key.items())}

@@ -1,24 +1,44 @@
 #!/usr/bin/env python3
 """Min-merge Bench JSONs into one artifact (the r15 scale protocol,
 now scripted instead of hand-written): the graded number per key is
-the per-key MINIMUM across N full runs — the bench's own min-of-two
+the per-key MINIMUM across N runs — the bench's own min-of-two
 spike damping applied across sessions, protecting a scale measurement
 from the documented host-stall class (SCALE.md "Measured 10x scaling").
 
 Usage: python3 tools/min_merge.py OUT.json RUN1.json RUN2.json [...]
 
-The merged artifact records the execution protocol (cpus, max_heap_mb
-from the first run — runs must share a config to be mergeable) plus
-the source file list, so a reader can always reconstruct how the
-number was produced.
+Provenance discipline (ADVICE r16): the merged artifact records, per
+source run, its keys_run/keys_total/errors, and the protocol string
+distinguishes FULL runs (keys_run == keys_total) from TARGETED
+single/subset-key reruns — a targeted rerun is legitimate stall
+damping only when it is labeled as such; silently calling it a "full
+run" is the cherry-picking the docs disclaim. A key listed in a run's
+`failed` array contributes NOTHING to the min (a fast failure must
+never become the graded minimum); runs must share cpus/heap/sf to be
+mergeable.
 """
 import json
 import sys
 
 
+def load_bench(path):
+    """First non-summary JSON line: Bench emits a second compact
+    'summary' line after the main artifact (r16 verdict task 3), and a
+    raw two-line capture must still parse here."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") != "summary":
+                return d
+    sys.exit(f"{path}: no bench JSON line found")
+
+
 def main():
     out, paths = sys.argv[1], sys.argv[2:]
-    runs = [json.load(open(p)) for p in paths]
+    runs = [load_bench(p) for p in paths]
     for r in runs[1:]:
         for f in ("cpus", "max_heap_mb", "sf"):
             if r.get(f) != runs[0].get(f):
@@ -26,8 +46,27 @@ def main():
                          f"{r.get(f)} vs {runs[0].get(f)}")
     keys = {}
     for r in runs:
+        failed = set(r.get("failed", []))
         for k, v in r["queries"].items():
+            if k in failed:
+                continue
             keys[k] = min(keys.get(k, v), v)
+    sources = []
+    n_full = n_targeted = n_unknown = 0
+    for p, r in zip(paths, runs):
+        kr = r.get("keys_run", len(r["queries"]))
+        kt = r.get("keys_total")
+        if kt is None:
+            kind = "unknown-coverage"   # pre-r16 artifact without keys_total
+            n_unknown += 1
+        elif kr == kt:
+            kind = "full"
+            n_full += 1
+        else:
+            kind = "targeted"
+            n_targeted += 1
+        sources.append({"path": p, "kind": kind, "keys_run": kr,
+                        "keys_total": kt, "errors": r.get("errors", 0)})
     base = runs[0]
     merged = {
         "metric": "total", "value": round(sum(keys.values()), 3),
@@ -36,14 +75,19 @@ def main():
         "sf": base.get("sf"), "cpus": base.get("cpus"),
         "max_heap_mb": base.get("max_heap_mb"),
         "skipped_demo_quadratics": base.get("skipped_demo_quadratics", []),
-        "protocol": f"per-key min over {len(paths)} full runs: "
-                    + ", ".join(paths),
+        "protocol": f"per-key min over {n_full} full run(s)"
+                    + (f" + {n_targeted} targeted subset rerun(s)"
+                       if n_targeted else "")
+                    + (f" + {n_unknown} run(s) of unrecorded coverage"
+                       if n_unknown else "")
+                    + "; failed keys excluded from the min; see sources",
+        "sources": sources,
         "queries": dict(sorted(keys.items())),
     }
     with open(out, "w") as fh:
         json.dump(merged, fh, separators=(",", ":"))
-    print(f"wrote {out}: {len(keys)} keys, total {merged['value']}s "
-          f"from {len(paths)} run(s)")
+    print(f"wrote {out}: {len(keys)} keys, total {merged['value']}s from "
+          f"{n_full} full + {n_targeted} targeted + {n_unknown} unknown run(s)")
 
 
 if __name__ == "__main__":

@@ -16,9 +16,18 @@ import json, sys
 
 
 def load(path):
+    # First non-summary JSON line: Bench emits a second compact
+    # 'summary' line after the main artifact (r16 verdict task 3), and
+    # a raw two-line capture must still parse here.
     with open(path) as f:
-        d = json.load(f)
-    return d["queries"], d
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") != "summary":
+                return d["queries"], d
+    sys.exit(f"{path}: no bench JSON line found")
 
 
 def main():
