@@ -399,13 +399,15 @@ object LlmVector {
       model: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val cents = spark.createDataFrame(model).toDF("c_id", "carr")
-    // NULLS LAST (ADVICE r16): array_sort orders null structs last while
-    // a bare ASC window puts NULLS FIRST — dist2 is never null for the
-    // fixed 64-dim corpus (double_sql2 nulls only on mismatched/null
-    // arrays), but the rankAllLiteral equivalence pin must hold
-    // unconditionally, not by precondition.
+    // NULLS FIRST (ADVICE r17, reverting the inverted r16 "fix"):
+    // array_sort's nulls-last rule applies to null ELEMENTS, but the
+    // sorted elements here are struct(dist2, c_id) values that are never
+    // null — a null dist2 FIELD sorts FIRST under Spark's ascending
+    // struct-field ordering. The default ASC window (nulls first)
+    // therefore matches rankAllLiteral's array_sort order
+    // unconditionally, including a hypothetical mixed-null partition.
     val w = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc_nulls_last, col("c_id").asc)
+      .orderBy(col("dist2").asc, col("c_id").asc)
     rows.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         r6(call_function("double_sql2", col("varr"), col("carr"))).as("dist2"))

@@ -401,7 +401,11 @@ object Sources {
     val writer = spark.readStream
       .schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    // explicit checkpoint always: the resume key passes its own durable
+    // path; a plain ingest gets a unique tmpfs dir (r17 verdict task 4)
+    // instead of the implicit /tmp temp checkpoint's per-batch disk fsyncs
+    writer.option("checkpointLocation",
+      checkpoint.getOrElse(graft.util.Scratch.fastCheckpointDir("ingest")))
     val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.format("graft-kv").option("path", store).mode("append").save()

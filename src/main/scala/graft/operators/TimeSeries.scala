@@ -169,7 +169,12 @@ object TimeSeries {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      // explicit tmpfs checkpoint (r17 verdict task 4): the implicit temp
+      // checkpoint puts every micro-batch's offset/commit/state fsyncs on
+      // /tmp disk — the measured host-sensitivity amplifier of this block
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", graft.util.Scratch.fastCheckpointDir(name))
+        .start()
       try q.processAllAvailable() finally q.stop()
       val sinkTable = spark.table(name)
       val (rows, schema) = (sinkTable.collect(), sinkTable.schema)
@@ -1071,7 +1076,10 @@ object TimeSeries {
     try {
       val src = stagedEventStream(spark, sfDir, "upsert", 2)
         .select("event_id", "user_id", "ts", "event_type", "value")
-      val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val q = src.writeStream
+        .option("checkpointLocation",
+          graft.util.Scratch.fastCheckpointDir("upsert")) // tmpfs, see runToMemory
+        .foreachBatch { (batch: DataFrame, _: Long) =>
         val cur =
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest)))
             spark.read.parquet(dest)

@@ -15,10 +15,18 @@ import org.apache.spark.sql.SparkSession
 object DiagPair {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_data/sf1")
+    // Same thread-count source as Bench (ADVICE r17): a diagnostic that
+    // hardcodes local[32] while the bench protocol runs another width
+    // silently profiles a different configuration. Same fail-fast parse.
+    val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = try cpusStr.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_CPUS must be an integer thread count, got '$cpusStr'")
+    }
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -30,6 +30,37 @@ object Scratch {
   def deleteOnExit(dir: String): Unit =
     hooked.getOrElseUpdate(dir, { sys.addShutdownHook(deleteTree(dir)); () })
 
+  private val ckptTag: String = java.util.UUID.randomUUID().toString.take(8)
+  private val ckptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A unique streaming-checkpoint dir on tmpfs (r17 verdict task 4).
+    *
+    * Every micro-batch fsyncs its offset log, commit log, and state
+    * deltas into the checkpoint dir; with the default implicit temp
+    * checkpoint those land under /tmp — spinning-disk-or-virtio IO that
+    * a co-tenant IO burst stretches arbitrarily, which is why the
+    * ts_*_stream keys were the most host-sensitive block in the r17
+    * driver tail (2–4.2× band while batch keys sat at 1.4×). /dev/shm
+    * is tmpfs, so the per-batch fsync chain never leaves RAM. Semantics
+    * are unchanged: same micro-batch schedule, same watermark closes —
+    * only the durability substrate of a throwaway bench checkpoint
+    * moves. On a real cluster a checkpoint belongs on reliable shared
+    * storage; these dirs are per-process scratch, cleaned on exit.
+    *
+    * Uniqueness matters doubly: per PROCESS (the tag — two concurrent
+    * JVMs must not delete each other's dirs) and per START (the seq — a
+    * bench's min-of-two rerun reusing one checkpoint would resume from
+    * committed offsets and replay nothing). */
+  def fastCheckpointDir(name: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    val base = s"$root/graft_ckpt/$ckptTag"
+    deleteOnExit(base)
+    s"$base/$name-${ckptSeq.incrementAndGet()}"
+  }
+
   /** The parquet part files of a written dir (no metadata/_SUCCESS). */
   def parquetFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)

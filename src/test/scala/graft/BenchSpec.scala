@@ -104,4 +104,29 @@ class BenchSpec extends AnyFunSuite {
       s"too many keys without a band (${uncovered.size}) — run tools/make_bands.py " +
         s"on the latest BENCH_LOCAL pair: $uncovered")
   }
+
+  test("bands file is self-describing and its sources passed the clean gate (r17 task 3)") {
+    // bands feed the 3×-band rerun trigger; regenerating them from an
+    // elevated-host pair raises every threshold by the elevation factor
+    // (the r17 mistake). make_bands.py now refuses sources above the
+    // clean s/key gate and records gate + sources INSIDE the file as
+    // string-valued meta keys; this pins both that the meta is present
+    // (the artifact names its own evidence) and that loadBands' numeric
+    // regex never turns the meta into a band.
+    val in = getClass.getResourceAsStream("/bench_bands.json")
+    assert(in != null, "bench_bands.json missing from resources")
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(txt)
+    val gateField = n.get("_gate")
+    assert(gateField != null && gateField.isTextual, "bands file lacks the _gate meta")
+    val gate = gateField.asText.stripPrefix("max_s_per_key=").toDouble
+    assert(gate <= 1.2, s"band gate $gate exceeds the documented clean ceiling (1.2 s/key)")
+    val srcField = n.get("_sources")
+    assert(srcField != null && srcField.isTextual && srcField.asText.nonEmpty,
+      "bands file lacks the _sources meta naming its clean source runs")
+    val bands = Bench.loadBands("/root/testdata/sf0.1")
+    assert(!bands.contains("_gate") && !bands.contains("_sources"),
+      "string meta keys must never parse as numeric bands")
+  }
 }

@@ -451,17 +451,24 @@ class OperatorSpec extends SparkSpec {
     // tie-break, row-for-row.
     import graft.operators.LlmVector
     graft.functions.VectorExprs.register(spark)
+    // One null-varr row (vec_id −1) rides along: double_sql2 yields a
+    // null dist2 against EVERY centroid for it, pinning that both paths
+    // rank null distances identically (nulls sort FIRST in both the
+    // array_sort struct-field order and the window's default ASC).
     val rows = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("varr"))
-    val model = rows.orderBy("vec_id").limit(3).collect().map { r =>
-      r.getLong(0).toInt -> r.getSeq[Double](1)
-    }.toSeq
+      .unionAll(spark.range(1).select(lit(-1L).as("vec_id"),
+        lit(null).cast("array<double>").as("varr")))
+    val model = rows.filter(col("varr").isNotNull)
+      .orderBy("vec_id").limit(3).collect().map { r =>
+        r.getLong(0).toInt -> r.getSeq[Double](1)
+      }.toSeq
     val cols = Seq("vec_id", "c_id", "dist2", "rn").map(col)
-    val lit = LlmVector.rankAllLiteral(rows, model).select(cols: _*)
+    val litPath = LlmVector.rankAllLiteral(rows, model).select(cols: _*)
     val join = LlmVector.rankAllJoin(spark, rows, model).select(cols: _*)
-    assert(lit.count() == rows.count() * model.size)
-    assert(lit.exceptAll(join).count() == 0 && join.exceptAll(lit).count() == 0)
+    assert(litPath.count() == rows.count() * model.size)
+    assert(litPath.exceptAll(join).count() == 0 && join.exceptAll(litPath).count() == 0)
   }
 
   test("semdedup pairs live in one quantizer cell and subset the brute-force pairs") {

@@ -2,13 +2,25 @@
 """Regenerate src/main/resources/bench_bands.json — the per-key local
 reference bands Bench's band-aware rerun rule reads (r13 verdict task 6).
 
-Usage: python3 tools/make_bands.py BENCH_LOCAL_a.json BENCH_LOCAL_b.json [...]
+Usage: python3 tools/make_bands.py [--max-spk S] BENCH_LOCAL_a.json [...]
 
 Each input is a one-line Bench JSON (the checked-in BENCH_LOCAL_* files).
 The band for a key is the MEDIAN of its per-run seconds across every run
 that contains it (keys newly added since older runs get their band from
 the newer runs alone). Run this after each round's closing bench pair so
 new keys pick up bands.
+
+CLEAN-SOURCE GATE (r17 verdict task 3): bands feed the 3×-band rerun
+trigger, so regenerating them from an elevated-host pair silently raises
+every rerun threshold by the elevation factor — weakening spike
+detection exactly when the host is flaky (the r17 mistake: bands baked
+from a ~1.4×-elevated canary pair). A source run whose seconds-per-key
+exceeds --max-spk (default 1.2, the documented clean-band ceiling for
+full sf0.1 runs) is REJECTED with its measured s/key; pass a higher gate
+explicitly only with a written justification in SCALE.md. The accepted
+sources and the gate are recorded INSIDE the bands file as string-valued
+meta keys ("_gate", "_sources") — Bench.loadBands' numeric regex ignores
+them, and BenchSpec pins that they are present and non-numeric.
 """
 import json
 import statistics
@@ -18,30 +30,51 @@ OUT = "src/main/resources/bench_bands.json"
 
 
 def load_bench(path):
-    """First non-summary JSON line: Bench emits a second compact
-    'summary' line after the main artifact (r16 verdict task 3), and a
-    raw two-line capture must still parse here."""
+    """First parseable non-summary JSON line (see min_merge.load_bench):
+    truncated/noise lines are skipped, not fatal (ADVICE r17)."""
     with open(path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
-            d = json.loads(line)
-            if d.get("metric") != "summary":
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and d.get("metric") != "summary":
                 return d
     sys.exit(f"{path}: no bench JSON line found")
 
 
-def main(paths):
+def main(argv):
+    max_spk = 1.2
+    if argv and argv[0] == "--max-spk":
+        max_spk = float(argv[1])
+        argv = argv[2:]
+    if not argv:
+        sys.exit(__doc__)
     per_key = {}
-    for p in paths:
+    accepted = []
+    for p in argv:
         q = load_bench(p)["queries"]
+        spk = sum(q.values()) / max(len(q), 1)
+        if spk > max_spk:
+            sys.exit(f"REJECTED band source {p}: {spk:.2f} s/key exceeds the "
+                     f"{max_spk} clean gate — an elevated-host run must not "
+                     f"set rerun thresholds (r17 verdict task 3)")
+        accepted.append(f"{p} ({spk:.2f} s/key)")
         for k, v in q.items():
             per_key.setdefault(k, []).append(v)
-    bands = {k: round(statistics.median(vs), 3) for k, vs in sorted(per_key.items())}
+    bands = {k: round(statistics.median(vs), 3)
+             for k, vs in sorted(per_key.items())}
+    # string-valued meta (self-describing artifact): Bench.loadBands'
+    # regex only matches numeric values, so these never become bands
+    bands["_gate"] = f"max_s_per_key={max_spk}"
+    bands["_sources"] = "; ".join(accepted)
     with open(OUT, "w") as fh:
         json.dump(bands, fh, separators=(",", ":"))
-    print(f"wrote {len(bands)} bands to {OUT} from {len(paths)} run(s)")
+    print(f"wrote {len(bands) - 2} bands to {OUT} from {len(argv)} clean "
+          f"run(s), gate {max_spk} s/key")
 
 
 if __name__ == "__main__":

@@ -16,16 +16,20 @@ import json, sys
 
 
 def load(path):
-    # First non-summary JSON line: Bench emits a second compact
-    # 'summary' line after the main artifact (r16 verdict task 3), and
-    # a raw two-line capture must still parse here.
+    # First parseable non-summary JSON line: Bench emits a second compact
+    # 'summary' line after the main artifact (r16 verdict task 3), and a
+    # raw two-line capture must still parse here. Truncated/noise lines
+    # are skipped, not fatal (ADVICE r17).
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
-            d = json.loads(line)
-            if d.get("metric") != "summary":
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and d.get("metric") != "summary":
                 return d["queries"], d
     sys.exit(f"{path}: no bench JSON line found")
 
