@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -354,11 +355,21 @@ object LlmText {
     * per-window argmin can't diverge; the (min-hash, rightmost) pick is
     * encoded as MIN over a single sortable string key (hash ‖
     * zero-padded reversed position), a trick both engines evaluate
-    * exactly. Shape: one explode to k-grams, one w-wide self-join on
-    * gram position (constant ×w row factor — linear, never quadratic),
-    * one (doc, window) groupBy, one per-doc rollup: everything keys on
-    * doc_id, so the whole pipeline is embarrassingly parallel across
-    * documents at any corpus size. */
+    * exactly. Shape: one explode to k-grams, then the per-window argmin
+    * as a SLIDING-FRAME WINDOW FUNCTION (`min(sel) OVER (PARTITION BY
+    * doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`) —
+    * posexplode emits every position 0..g-1 contiguously, so the w-row
+    * frame IS the w-position window, and the full-window guard is the
+    * frame's row count reaching w. One shuffle keyed by doc_id computes
+    * every window's selection in a single linear pass; the per-doc
+    * rollup reuses that partitioning (same key → no second exchange).
+    * The earlier form expressed the same argmin as a w-wide band
+    * self-join on position — a second shuffle of every gram plus a
+    * bucketed join — which the optimization round replaced (guide
+    * §2.4: the window already has the partitioning the join was
+    * re-establishing). Everything keys on doc_id, so the whole
+    * pipeline is embarrassingly parallel across documents at any
+    * corpus size. */
   def llmWinnowing(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 4
     val w = 5
@@ -376,11 +387,11 @@ object LlmText {
     val keyed = grams.withColumn("sel",
       concat(col("h"), lit("#"),
         lpad((lit(9999999) - col("pos")).cast("string"), 7, "0")))
-    val windows = keyed.select(col("doc_id"), col("pos").as("s"))
-      .join(keyed.select(col("doc_id"), col("pos"), col("sel")), Seq("doc_id"))
-      .filter(col("pos") >= col("s") && col("pos") < col("s") + w)
-      .groupBy("doc_id", "s")
-      .agg(min(col("sel")).as("sel"), count(lit(1)).as("wn"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val windows = keyed
+      .withColumn("sel", min(col("sel")).over(frame))
+      .withColumn("wn", count(lit(1)).over(frame))
       // only FULL windows select (the tail windows shorter than w would
       // over-select near document ends)
       .filter(col("wn") === w)
