@@ -763,12 +763,7 @@ object LlmVector {
           r6(col("v")).as("c"))
         .localCheckpoint()
       for (_ <- 1 to PqIters) {
-        val w = Window.partitionBy("vec_id", "sub")
-          .orderBy(col("dist2").asc, col("c_id").asc)
-        val assign = pqDists(exSub, cent)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("vec_id", "sub", "c_id")
+        val assign = pqArgmin(pqDists(exSub, cent))
         cent = exSub.join(assign, Seq("vec_id", "sub"))
           .groupBy("sub", "c_id", "pos")
           .agg(r6(avg(col("v"))).as("c"))
@@ -793,11 +788,49 @@ object LlmVector {
   /** Every (vector, subspace, codeword) squared distance — the single
     * frame both the storage CODES (argmin per (vec, sub)) and the query
     * DISTANCE TABLES (rows with vec_id < 30) are read from, exactly as
-    * the oracle's pd_codes CTE feeds pcodes and qdt. */
-  private def pqDists(ex: DataFrame, cent: DataFrame): DataFrame =
-    ex.join(broadcast(cent), Seq("sub", "pos"))
-      .groupBy("vec_id", "sub", "c_id")
-      .agg(r6(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+    * the oracle's pd_codes CTE feeds pcodes and qdt.
+    *
+    * r18 shape (guide §2.3/§2.4): both sides fold to per-(row, sub)
+    * ARRAYS ordered by pos (a map-side-complete partial agg — all 64
+    * exploded rows of a vector come from one posexplode call, so every
+    * group closes inside its own partition) and the k sub-distances are
+    * a map-side zip_with/aggregate after a sub-keyed broadcast join.
+    * This replaces the (sub, pos)-keyed join whose n×64×k expansion was
+    * re-aggregated through a full hash shuffle on EVERY Lloyd iteration
+    * — the ANN family's hottest stage. FP-sum order is UNCHANGED: the
+    * old stream-side hash agg accumulated each (vec, sub, c_id) group
+    * in posexplode emission order (pos ascending, all rows co-
+    * partitioned), exactly the left-to-right order `aggregate` walks
+    * the array. */
+  private def pqDists(ex: DataFrame, cent: DataFrame): DataFrame = {
+    val exArr = ex.groupBy("vec_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("varr"))
+    val centArr = cent.groupBy("sub", "c_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("carr"))
+    // the 64/PqM-term sum as an explicit codegen'd expression tree
+    // (element_at chains, reduceLeft = the same left-to-right FP order);
+    // a zip_with/aggregate lambda here measured ~20 µs/row interpreted —
+    // the §1.1 "ideal plan slower at first" gotcha, fixed by expression
+    // choice (guide §4.1: prefer codegen-able built-ins in hot paths)
+    val dist2 = (1 to 64 / PqM).map { i =>
+      val d = element_at(col("varr"), i) - element_at(col("carr"), i)
+      d * d
+    }.reduceLeft(_ + _)
+    exArr.join(broadcast(centArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("c_id"), r6(dist2).as("dist2"))
+  }
+
+  /** The (dist2 asc, c_id asc) argmin per (vec, sub) as a partial-agg
+    * min over the orderable struct — replaces the three row_number
+    * windows (full sort + shuffle each) that picked the same row; the
+    * struct's lexicographic order IS the window's ORDER BY, and both
+    * fields are non-null by construction. */
+  private def pqArgmin(dists: DataFrame): DataFrame =
+    dists.groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.c_id").as("c_id"))
 
   /** The PQ serving INDEX, built once from the trained codebook: the
     * storage CODES (argmin codeword per (vec, sub) — the oracle's
@@ -807,12 +840,7 @@ object LlmVector {
   private def pqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val (ex, cent) = pqState(spark, sfDir)
     val dists = pqDists(ex, cent).localCheckpoint()
-    val wCode = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("dist2").asc, col("c_id").asc)
-    val codes = dists
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select("vec_id", "sub", "c_id")
+    val codes = pqArgmin(dists)
     val qdt = dists.filter(col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("sub"), col("c_id"), col("dist2"))
     (codes, qdt)
@@ -1172,12 +1200,7 @@ object LlmVector {
     val exR = resExploded(spark, sfDir)
     val centRpq = pqLloyd(spark, sfDir + "#res", exR)
     val dists = pqDists(exR, centRpq).localCheckpoint()
-    val wCode = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("dist2").asc, col("c_id").asc)
-    val codes = dists
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select("vec_id", "sub", "c_id")
+    val codes = pqArgmin(dists)
     val ranked = ivfRanking(spark, sfDir)
     val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
@@ -1201,14 +1224,10 @@ object LlmVector {
     * noise-dominated and flip sign between SFs; the SSE gap does
     * not). PlanSpec pins residual < raw. */
   private[graft] def pqCodeSse(spark: SparkSession, sfDir: String): (Double, Double) = {
-    def sse(exSub: DataFrame, cent: DataFrame): Double = {
-      val dists = pqDists(exSub, cent)
-      val wCode = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("dist2").asc, col("c_id").asc)
-      dists.withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .agg(sum(col("dist2"))).collect()(0).getDouble(0)
-    }
+    def sse(exSub: DataFrame, cent: DataFrame): Double =
+      pqDists(exSub, cent).groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist2"), col("c_id"))).as("m"))
+        .agg(sum(col("m.dist2"))).collect()(0).getDouble(0)
     val (ex, centRaw) = pqState(spark, sfDir)
     val exR = resExploded(spark, sfDir)
     (sse(ex, centRaw), sse(exR, pqLloyd(spark, sfDir + "#res", exR)))
