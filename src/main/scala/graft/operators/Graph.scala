@@ -566,9 +566,9 @@ object Graph {
       dist = dist.join(relaxed, col("node") === col("node2"), "left")
         .groupBy("node")
         .agg(least(min(col("d")), coalesce(min(col("d2")), lit(INF))).as("d"))
-      // lineage cut every other round (memory note: checkpoint cost vs
-      // plan fan-out on node-bounded frames)
-      if (round % 2 == 0) dist = dist.localCheckpoint(true)
+      // eager cut per round — dist is referenced twice per round (relax
+      // source + left-join base); see the sccLabelsAndEdges note (r18)
+      dist = dist.localCheckpoint(true)
     }
     nation(spark, sfDir)
       .join(dist, col("n_nationkey") === col("node"))
@@ -864,11 +864,13 @@ object Graph {
           r.as("a").join(r.as("b"), col("a.d") === col("b.s"))
             .select(col("a.s").as("s"), col("b.d").as("d")))
         .distinct()
-      // each round references r twice, so the un-cut plan doubles per
-      // round — but an EAGER checkpoint per round costs one scheduled
-      // job each on a ≤nodes² pair set. Cut every OTHER round (plan
-      // fan-out bounded at 4 leaves) and pay half the scheduling tax.
-      if (i % 2 == 0 || i == rounds) r = r.localCheckpoint(true)
+      // EAGER cut every round (r18, measured): each round references r
+      // THREE times (union carry + both join sides), and Spark re-
+      // executes every reference — an every-other-round cut re-ran the
+      // prior round's exchanges 3× inside the checkpoint job, costing
+      // MORE stages than the one job per round it saved. Stage count,
+      // not job count, is the scheduling tax on node²-bounded frames.
+      r = r.localCheckpoint(true)
     }
     val mutual = r.as("f").join(r.as("g"),
         col("f.s") === col("g.d") && col("f.d") === col("g.s"))
@@ -1025,7 +1027,9 @@ object Graph {
             .select(col("a.s").as("s"), col("b.d").as("d"),
               (col("a.dist") + col("b.dist")).as("dist")))
         .groupBy("s", "d").agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
+      // eager cut per round — dist is referenced 3× per round (carry +
+      // both join sides); see the sccLabelsAndEdges loop note (r18)
+      dist = dist.localCheckpoint(true)
     }
     val agg = dist.filter(col("s") =!= col("d"))
       .groupBy(col("s").as("node"))
