@@ -180,7 +180,12 @@ object TimeSeries {
       val (rows, schema) = (sinkTable.collect(), sinkTable.schema)
       spark.catalog.dropTempView(name)
       spark.streams.resetTerminated() // release the terminated query refs
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // coalesce(1): the sink rows are driver-resident by construction
+      // (memory sink = collected result), but a LocalTableScan's toRdd
+      // re-slices them across defaultParallelism — every consumer then
+      // pays 32-task stages (sort sampling, broadcast builds) over a
+      // ~100-row frame (r18, measured in the ts_* stage profiles)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema).coalesce(1)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
