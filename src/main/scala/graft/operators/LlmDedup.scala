@@ -93,7 +93,6 @@ object LlmDedup {
     * 5e-7·n stays below it — far above the data contract's ~100 tokens;
     * revisit the prefix length before feeding megashingle documents. */
   private[operators] def nearDupPairsPrefix(shLineage: DataFrame, divisor: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Explicit divisor→threshold map: the oracle SQL compares against the
     // same decimal literal, so t must be that literal's double exactly
     // (not a 1−1/d float expression that might round differently).
@@ -107,11 +106,16 @@ object LlmDedup {
     // explode lineage per consumer — at 100 TB this is a persisted
     // intermediate table, locally it also collapses the codegen'd plan.
     val sh = shLineage.localCheckpoint()
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val prefix = sh.join(n, Seq("doc_id"))
-      .withColumn("w", row_number().over(Window.partitionBy("doc_id").orderBy("sh")))
-      .filter(col("w") <= expr(s"n_sh div $divisor + 1"))
-      .select("doc_id", "sh")
+    // The first ⌊n/d⌋+1 shingles under the total order, WITHOUT the
+    // former count-join + row_number sort window: shingles are DISTINCT
+    // per doc (array_distinct upstream), so rank ≤ k ⇔ membership in
+    // the k smallest values — one collect_list groupBy (map-side-
+    // complete: a doc's shingles never span partitions) + sort + slice
+    // replaces two shuffles and a full sort (r18, guide §2.4).
+    val prefix = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("a"))
+      .select(col("doc_id"),
+        explode(expr(s"slice(a, 1, size(a) div $divisor + 1)")).as("sh"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
