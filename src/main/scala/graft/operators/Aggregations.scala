@@ -728,8 +728,15 @@ object Aggregations {
       .select(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)").as("h"))
       .distinct()
     def sketch(h: DataFrame): DataFrame = h.orderBy("h").limit(64)
-    val (hA, hB) = (userHashes("click"), userHashes("purchase"))
-    val (sA, sB) = (sketch(hA), sketch(hB))
+    // materialize each side's distinct-hash set (and its 64-row sketch)
+    // once: the five driver actions below otherwise re-ran the events
+    // scan + md5 + distinct up to 8x — one per consumer (r18, guide
+    // §1.2 "don't compute things you throw away"). Both frames are
+    // distinct-user-bounded, far below corpus scale.
+    val hA = userHashes("click").localCheckpoint()
+    val hB = userHashes("purchase").localCheckpoint()
+    val sA = sketch(hA).localCheckpoint()
+    val sB = sketch(hB).localCheckpoint()
     val unionSketch = sketch(sA.unionByName(sB).distinct()).localCheckpoint()
     val kk = unionSketch.count()
     val hk = unionSketch.agg(max(col("h"))).collect()(0).getLong(0)

@@ -755,22 +755,31 @@ object LlmVector {
     * (`llm_ann_pq`) and the RESIDUAL codebook (`llm_ann_ivfpq_res`,
     * the FAISS IVFPQ recipe) are literally one procedure trained on
     * two inputs. The trained model is memoized per (process, input
-    * identity) like [[kmeansState]]. */
-  private def pqLloyd(spark: SparkSession, cacheKey: String, exSub: DataFrame): DataFrame = {
-    val (rows, schema) = pqCache.getOrElseUpdate(cacheKey, {
-      var cent = exSub.filter(col("vec_id") < PqK)
+    * identity) like [[kmeansState]]. The model ROWS round-trip through
+    * the driver between passes (the [[kmeansState]] discipline — the
+    * codebook is m·k·(64/m) doubles, exactly what "broadcast the
+    * model" means), so each iteration's distance pass broadcasts a
+    * LocalRelation with NO scheduled broadcast-subquery job. */
+  private def pqLloydRows(spark: SparkSession, cacheKey: String,
+      exSub: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) =
+    pqCache.getOrElseUpdate(cacheKey, {
+      val exArr = exArrOf(exSub).localCheckpoint() // reused by all iterations
+      val init = exSub.filter(col("vec_id") < PqK)
         .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
           r6(col("v")).as("c"))
-        .localCheckpoint()
+      var state = (init.collect(), init.schema)
       for (_ <- 1 to PqIters) {
-        val assign = pqArgmin(pqDists(exSub, cent))
-        cent = exSub.join(assign, Seq("vec_id", "sub"))
+        val assign = pqArgmin(pqDistsArr(exArr, centArrLocal(spark, state._1)))
+        val cent = exSub.join(assign, Seq("vec_id", "sub"))
           .groupBy("sub", "c_id", "pos")
           .agg(r6(avg(col("v"))).as("c"))
-          .localCheckpoint() // m×k×(64/m) rows: cuts the unrolled plan
+        state = (cent.collect(), cent.schema)
       }
-      (cent.collect(), cent.schema)
+      state
     })
+
+  private def pqLloyd(spark: SparkSession, cacheKey: String, exSub: DataFrame): DataFrame = {
+    val (rows, schema) = pqLloydRows(spark, cacheKey, exSub)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -785,35 +794,61 @@ object LlmVector {
     (ex, pqLloyd(spark, sfDir + "#raw", ex))
   }
 
+  /** (vec_id, sub) → pos-ordered value array: a map-side-complete fold
+    * of the exploded long format (all 64 exploded rows of a vector come
+    * from one posexplode call, so every group closes inside its own
+    * partition before the exchange). */
+  private def exArrOf(ex: DataFrame): DataFrame =
+    ex.groupBy("vec_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("varr"))
+
+  /** Driver-side pivot of (sub, c_id, pos, c) codebook rows into the
+    * (sub, c_id, carr) array form as a LocalRelation: broadcasting it
+    * is JOB-FREE. The first r18 cut pivoted with a distributed groupBy,
+    * which scheduled a broadcast-subquery job per Lloyd iteration —
+    * measurable pure overhead on a driver-sized model (guide §5: the
+    * model is driver data; move it as driver data). */
+  private def centArrLocal(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val pivoted = rows
+      .groupBy(r => (r.getAs[Number]("sub").longValue, r.getAs[Number]("c_id").intValue))
+      .toSeq
+      .map { case ((sub, cId), rs) =>
+        val carr = rs.sortBy(_.getAs[Number]("pos").intValue)
+          .map(_.getAs[Number]("c").doubleValue).toSeq
+        Row(sub, cId, carr)
+      }
+    val schema = StructType(Seq(StructField("sub", LongType, nullable = false),
+      StructField("c_id", IntegerType, nullable = false),
+      StructField("carr", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(pivoted: _*), schema)
+  }
+
   /** Every (vector, subspace, codeword) squared distance — the single
     * frame both the storage CODES (argmin per (vec, sub)) and the query
     * DISTANCE TABLES (rows with vec_id < 30) are read from, exactly as
     * the oracle's pd_codes CTE feeds pcodes and qdt.
     *
-    * r18 shape (guide §2.3/§2.4): both sides fold to per-(row, sub)
-    * ARRAYS ordered by pos (a map-side-complete partial agg — all 64
-    * exploded rows of a vector come from one posexplode call, so every
-    * group closes inside its own partition) and the k sub-distances are
-    * a map-side zip_with/aggregate after a sub-keyed broadcast join.
-    * This replaces the (sub, pos)-keyed join whose n×64×k expansion was
-    * re-aggregated through a full hash shuffle on EVERY Lloyd iteration
-    * — the ANN family's hottest stage. FP-sum order is UNCHANGED: the
-    * old stream-side hash agg accumulated each (vec, sub, c_id) group
-    * in posexplode emission order (pos ascending, all rows co-
-    * partitioned), exactly the left-to-right order `aggregate` walks
-    * the array. */
-  private def pqDists(ex: DataFrame, cent: DataFrame): DataFrame = {
-    val exArr = ex.groupBy("vec_id", "sub")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        x => x.getField("v")).as("varr"))
-    val centArr = cent.groupBy("sub", "c_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("carr"))
-    // the 64/PqM-term sum as an explicit codegen'd expression tree
-    // (element_at chains, reduceLeft = the same left-to-right FP order);
-    // a zip_with/aggregate lambda here measured ~20 µs/row interpreted —
-    // the §1.1 "ideal plan slower at first" gotcha, fixed by expression
-    // choice (guide §4.1: prefer codegen-able built-ins in hot paths)
+    * r18 shape (guide §2.3/§2.4): the corpus side folds to per-(row,
+    * sub) ARRAYS ordered by pos ([[exArrOf]]), the codebook arrives as
+    * a driver-pivoted LocalRelation ([[centArrLocal]]), and the k
+    * sub-distances are a map-side sub-keyed broadcast join + an
+    * explicit codegen'd expression tree (element_at chains; reduceLeft
+    * = left-to-right FP order). This replaces the (sub, pos)-keyed
+    * join whose n×64×k expansion was re-aggregated through a full hash
+    * shuffle on EVERY Lloyd iteration — the ANN family's hottest
+    * stage. FP-sum order is UNCHANGED: the old stream-side hash agg
+    * accumulated each (vec, sub, c_id) group in posexplode emission
+    * order (pos ascending, all rows co-partitioned), exactly the
+    * left-to-right order the expression tree sums. A zip_with/
+    * aggregate lambda form measured ~20 µs/row interpreted — the §1.1
+    * "ideal plan slower at first" gotcha, fixed by expression choice
+    * (guide §4.1: codegen-able built-ins in hot paths). */
+  private def pqDistsArr(exArr: DataFrame, centArr: DataFrame): DataFrame = {
     val dist2 = (1 to 64 / PqM).map { i =>
       val d = element_at(col("varr"), i) - element_at(col("carr"), i)
       d * d
@@ -838,8 +873,9 @@ object LlmVector {
     * — the oracle's qdt CTE). Shared by the full-corpus ADC scan
     * (`llm_ann_pq`) and the cell-pruned IVFADC path (`llm_ann_ivfpq`). */
   private def pqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val (ex, cent) = pqState(spark, sfDir)
-    val dists = pqDists(ex, cent).localCheckpoint()
+    val (ex, _) = pqState(spark, sfDir)
+    val centRows = pqLloydRows(spark, sfDir + "#raw", ex)._1
+    val dists = pqDistsArr(exArrOf(ex), centArrLocal(spark, centRows)).localCheckpoint()
     val codes = pqArgmin(dists)
     val qdt = dists.filter(col("vec_id") < 30)
       .select(col("vec_id").as("q_id"), col("sub"), col("c_id"), col("dist2"))
@@ -1199,7 +1235,8 @@ object LlmVector {
   private def resPqIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val exR = resExploded(spark, sfDir)
     val centRpq = pqLloyd(spark, sfDir + "#res", exR)
-    val dists = pqDists(exR, centRpq).localCheckpoint()
+    val centRpqRows = pqLloydRows(spark, sfDir + "#res", exR)._1
+    val dists = pqDistsArr(exArrOf(exR), centArrLocal(spark, centRpqRows)).localCheckpoint()
     val codes = pqArgmin(dists)
     val ranked = ivfRanking(spark, sfDir)
     val probes = ranked.filter(col("vec_id") < 30 && col("rn") <= 2)
@@ -1224,13 +1261,15 @@ object LlmVector {
     * noise-dominated and flip sign between SFs; the SSE gap does
     * not). PlanSpec pins residual < raw. */
   private[graft] def pqCodeSse(spark: SparkSession, sfDir: String): (Double, Double) = {
-    def sse(exSub: DataFrame, cent: DataFrame): Double =
-      pqDists(exSub, cent).groupBy("vec_id", "sub")
+    def sse(exSub: DataFrame, rows: Array[org.apache.spark.sql.Row]): Double =
+      pqDistsArr(exArrOf(exSub), centArrLocal(spark, rows))
+        .groupBy("vec_id", "sub")
         .agg(min(struct(col("dist2"), col("c_id"))).as("m"))
         .agg(sum(col("m.dist2"))).collect()(0).getDouble(0)
-    val (ex, centRaw) = pqState(spark, sfDir)
+    val (ex, _) = pqState(spark, sfDir)
     val exR = resExploded(spark, sfDir)
-    (sse(ex, centRaw), sse(exR, pqLloyd(spark, sfDir + "#res", exR)))
+    (sse(ex, pqLloydRows(spark, sfDir + "#raw", ex)._1),
+      sse(exR, pqLloydRows(spark, sfDir + "#res", exR)._1))
   }
 
   private[graft] def resIvfPqAdc(spark: SparkSession, sfDir: String): DataFrame = {

@@ -180,12 +180,19 @@ object TimeSeries {
       val (rows, schema) = (sinkTable.collect(), sinkTable.schema)
       spark.catalog.dropTempView(name)
       spark.streams.resetTerminated() // release the terminated query refs
-      // coalesce(1): the sink rows are driver-resident by construction
-      // (memory sink = collected result), but a LocalTableScan's toRdd
-      // re-slices them across defaultParallelism — every consumer then
-      // pays 32-task stages (sort sampling, broadcast builds) over a
-      // ~100-row frame (r18, measured in the ts_* stage profiles)
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema).coalesce(1)
+      // Slice the driver-resident sink rows by SIZE, not by default
+      // parallelism: LocalTableScan's toRdd re-slices them across
+      // defaultParallelism, so small results (the common case) paid
+      // 32-task stages per consumer — but a blanket coalesce(1) then
+      // serialized the map side of the final sort for the two keys
+      // whose sink holds ~100k rows at sf0.1 (ts_session_stream,
+      // ts_dedup_stream regressed 2-3× in the r18 mid-round bench).
+      // ~8k rows per slice keeps both honest; the count is driver
+      // data, so the plan stays deterministic per (key, dataset).
+      val slices = math.min(spark.sparkContext.defaultParallelism.toLong,
+        rows.length / 8192L + 1).toInt
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(slices)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
