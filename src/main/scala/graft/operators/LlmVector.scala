@@ -991,9 +991,7 @@ object LlmVector {
     * shortlist — reporting hits/possible/ppm per method. */
   private def adcRecallReport(spark: SparkSession, sfDir: String, adcIn: DataFrame,
       rawMethod: String, rerankMethod: String): DataFrame = {
-    val (ex, _) = pqState(spark, sfDir)
-    val q = ex.filter(col("vec_id") < 30)
-      .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
+    graft.functions.VectorExprs.register(spark)
     def l2Top(pairsIn: DataFrame, k: Int): DataFrame = {
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("d2").asc, col("neighbor_id").asc)
@@ -1002,10 +1000,24 @@ object LlmVector {
         .filter(col("rn") <= k)
         .select("q_id", "neighbor_id")
     }
-    val allL2 = q.join(ex.withColumnRenamed("vec_id", "neighbor_id"), Seq("pos"))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .groupBy("q_id", "neighbor_id")
-      .agg(r6(sum((col("qv") - col("v")) * (col("qv") - col("v")))).as("d2"))
+    // Exact L2 via the native double_sql2 over whole-vector arrays
+    // (r18): the former (pos)-keyed join had 64 join keys — its
+    // 30×n×64-row hash agg degraded to ONE task (measured: a 5 s
+    // single-task stage per recall key). double_sql2 accumulates
+    // left-to-right over pos, the same order the stream-side hash agg
+    // summed (ex rows arrive pos-ascending per vector), so d2 is
+    // bit-identical. The ≠ join is the exactTop3 shape: broadcast side
+    // bounded at 30 queries, never corpus×corpus.
+    val eArr = embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("varr"))
+    val qArr = eArr.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("varr").as("qarr"))
+    val allL2 = broadcast(qArr)
+      .join(eArr.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        r6(expr("double_sql2(qarr, varr)")).as("d2"))
       .localCheckpoint()
     val exact = l2Top(allL2, 3).localCheckpoint()
     val adc = adcIn.localCheckpoint()
