@@ -133,6 +133,29 @@ object Bench {
     s"""{"metric":"summary","value":${f3(total)},"unit":"sec","errors":${failed.size},"failed_top":${jsonStrArr(failed.take(10))},"keys_run":${results.size},"keys_total":$keysTotal,"skipped_demo_quadratics":${jsonStrArr(skipped)},"cpus":$cpus,"max_heap_mb":$heapMb,"first_pass_sec":${f3(firstPass)},"reruns":$reruns,"top_start_gaps":$topGaps,"spikes_top":$topSpikes,"sf":"$sfDir"}"""
   }
 
+  /** TRUNCATION-PROOF PER-QUERY LINES (r18 verdict task 1b): three rounds
+    * running (r16–r18) the driver's capture kept only a ~4 KB tail of the
+    * main line, so its per-query parse produced `parsed: null` and
+    * `PERF.per_query: {}` — every regression call fell back to
+    * builder-side artifacts. The full `queries` map (~9 KB at 288 keys)
+    * cannot survive ANY 4 KB window as one line, so it is re-printed
+    * AFTER the summary as several independent `queries_partN` lines, each
+    * a complete ≤2 KB JSON document: keys alphabetical (the run order),
+    * fixed 48 keys per chunk (deterministic — the same surface always
+    * chunks identically), and each line carrying part/parts plus the
+    * run's total so any surviving subset is self-describing and
+    * cross-checkable against the digest lines. */
+  private[graft] val QueriesPerPart = 48
+  private[graft] def queryPartLines(results: Seq[KeyResult], sfDir: String): Seq[String] = {
+    val total = results.map(_.graded).sum
+    val chunks = results.grouped(QueriesPerPart).toSeq
+    chunks.zipWithIndex.map { case (chunk, i) =>
+      val data = chunk.map(r => "\"" + r.name + "\":" + f3(r.graded))
+        .mkString("{", ",", "}")
+      s"""{"metric":"queries_part${i + 1}","part":${i + 1},"parts":${chunks.size},"value":${f3(total)},"unit":"sec","sf":"$sfDir","data":$data}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Fail fast on a non-numeric thread count (ADVICE r15): the value is
@@ -289,6 +312,7 @@ object Bench {
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(mainLine(results, keysTotal, skipped, cpus, heapMb, sfDir, reruns))
     println(summaryLine(results, keysTotal, skipped, cpus, heapMb, sfDir, reruns))
+    queryPartLines(results, sfDir).foreach(println)
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

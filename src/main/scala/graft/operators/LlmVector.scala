@@ -455,40 +455,68 @@ object LlmVector {
 
   private def kmeansState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(spark)
-    // one materialization of the long format — consumed by every
-    // iteration's assignment and the final centroid update
+    // The exploded long format, UN-materialized (r19): training no
+    // longer touches it on the literal-model path (see the fused update
+    // below), and each remaining consumer (resExploded's residual join,
+    // resPqIndex's vec_id<30 query slice) references it exactly once —
+    // a map-only parquet scan with pushdown, cheaper than the eager
+    // n×64-row localCheckpoint every warm call used to pay here.
     val ex = embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
-      .localCheckpoint()
     val n = corpusCount(spark, sfDir)
     val k = ivfK(n)
-    val (rows, schema) = centCache.getOrElseUpdate(sfDir, {
-      // Each Lloyd pass (r15): assignment is the map-only literal-model
-      // pass ([[rankStructs]] argmin — no join, no shuffle, no n×64×k
-      // intermediate); the centroid update is the one shuffle (n×64
-      // rows grouped to k×64); the k×64 model round-trips through the
-      // driver between passes — the same artifact centCache persists
-      // anyway, and exactly what "broadcast the model" means.
-      // TRAINING reads only the vec_id < trainCap(n) sample (r16 —
-      // FAISS max_points_per_centroid); the inner join below then
-      // restricts the centroid update to the same rows for free
-      // (assign only carries sample ids). Init needs no own filter:
-      // k ≤ cap always (cap ≥ min(n, mppc·k) and mppc ≥ 1).
+    // synchronized (not bare getOrElseUpdate): concurrent first callers
+    // — the parallel golden pass — block on one training instead of each
+    // running a duplicate (values were identical either way; the work
+    // was not). Lock order is rankedCache → centCache only; pqCache is
+    // never taken while this lock is held.
+    val (rows, schema) = centCache.synchronized { centCache.getOrElseUpdate(sfDir, {
+      // Each Lloyd pass (r19, guide §2.3/§2.4): assignment is the
+      // map-only literal-model argmin ([[rankStructs]] — no join, no
+      // shuffle, no n×64×k intermediate), and the centroid update is
+      // FUSED into the same map pass — the assigned rows partial-agg
+      // component-wise (count + 64 sums over the vector arrays), so the
+      // one exchange per pass carries k×65 partials per task instead of
+      // the former corpus×64-row join+shuffle (the r18 verdict's
+      // "finish the array-form rewrite the PQ side got"). avg = sum/cnt
+      // is r6-rounded in-plan exactly like the former r6(avg(v));
+      // FP-merge order differs from the old join-shaped plan, which r6
+      // absorbs — oracle-verified at sf0.001/0.01/0.1 like the r18
+      // pqDistsArr change. TRAINING reads only the vec_id < trainCap(n)
+      // sample (r16 — FAISS max_points_per_centroid). Init needs no own
+      // filter: k ≤ cap always (cap ≥ min(n, mppc·k) and mppc ≥ 1).
       val cap = trainCap(n)
       val trainRows = embArr(spark, sfDir).filter(col("vec_id") < cap)
       val init = ex.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("c_id"), col("pos"), r6(col("v")).as("c"))
       var state = (init.collect(), init.schema)
+      // the k > LiteralModelMaxK fallback keeps the pre-r19 join-shaped
+      // update (assignArgmin already falls back to the broadcast join
+      // there); it re-reads ex each pass, so cut its lineage once
+      lazy val exCkpt = ex.localCheckpoint()
       for (_ <- 1 to IvfIters) {
-        val assign = assignArgmin(spark, trainRows, toModel(state._1))
-        val cent = ex.join(assign, Seq("vec_id"))
-          .groupBy("c_id", "pos")
-          .agg(r6(avg(col("v"))).as("c"))
+        val model = toModel(state._1)
+        val cent =
+          if (model.size <= LiteralModelMaxK)
+            trainRows
+              .select(element_at(rankStructs(model), 1).getField("c_id").as("c_id"),
+                col("varr"))
+              .groupBy("c_id")
+              .agg(count(lit(1)).as("cnt"),
+                array((1 to 64).map(i => sum(element_at(col("varr"), i))): _*).as("s"))
+              .select(col("c_id"),
+                posexplode(expr("transform(s, x -> round(x / cnt, 6))")).as(Seq("pos", "c")))
+          else {
+            val assign = assignArgmin(spark, trainRows, model)
+            exCkpt.join(assign, Seq("vec_id"))
+              .groupBy("c_id", "pos")
+              .agg(r6(avg(col("v"))).as("c"))
+          }
         state = (cent.collect(), cent.schema)
       }
       state
-    })
+    }) }
     (ex, spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
   }
 
@@ -762,21 +790,41 @@ object LlmVector {
     * LocalRelation with NO scheduled broadcast-subquery job. */
   private def pqLloydRows(spark: SparkSession, cacheKey: String,
       exSub: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) =
-    pqCache.getOrElseUpdate(cacheKey, {
+    // synchronized for the same reason as centCache: one training,
+    // concurrent first callers wait for it instead of duplicating it
+    pqCache.synchronized { pqCache.getOrElseUpdate(cacheKey, {
       val exArr = exArrOf(exSub).localCheckpoint() // reused by all iterations
+      val subDim = 64 / PqM
       val init = exSub.filter(col("vec_id") < PqK)
         .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
           r6(col("v")).as("c"))
       var state = (init.collect(), init.schema)
       for (_ <- 1 to PqIters) {
-        val assign = pqArgmin(pqDistsArr(exArr, centArrLocal(spark, state._1)))
-        val cent = exSub.join(assign, Seq("vec_id", "sub"))
-          .groupBy("sub", "c_id", "pos")
-          .agg(r6(avg(col("v"))).as("c"))
+        // r19 (guide §2.3/§2.4, finishing the r18 array-form rewrite):
+        // assignment is the map-only [[pqAssignExpr]] literal pass —
+        // dist2 and tie-break bit-identical to
+        // pqArgmin(pqDistsArr(exArr, centArrLocal(state))) — and the
+        // centroid update FUSES into it as a component-wise partial agg
+        // (count + 64/m sums per (sub, c_id)), so one Lloyd pass is one
+        // corpus-array scan with an m×k×(64/m + 1)-partial exchange.
+        // The former shape paid an n×m-group argmin exchange PLUS an
+        // n×64-row join+shuffle per pass. avg = sum/cnt is r6-rounded
+        // in-plan like the former r6(avg(v)); the FP-merge-order delta
+        // is absorbed by r6 and oracle-verified at 3 SFs (the r18
+        // pqDistsArr standard).
+        val cent = exArr
+          .select(col("sub"), pqAssignExpr(pqModelOf(state._1)).as("c_id"), col("varr"))
+          .groupBy("sub", "c_id")
+          .agg(count(lit(1)).as("cnt"),
+            array((1 to subDim).map(i => sum(element_at(col("varr"), i))): _*).as("s"))
+          .select(col("sub"), col("c_id"),
+            posexplode(expr("transform(s, x -> round(x / cnt, 6))")).as(Seq("i", "c")))
+          .select(col("sub"), col("c_id"),
+            (col("sub") * subDim + col("i")).cast("int").as("pos"), col("c"))
         state = (cent.collect(), cent.schema)
       }
       state
-    })
+    }) }
 
   private def pqLloyd(spark: SparkSession, cacheKey: String, exSub: DataFrame): DataFrame = {
     val (rows, schema) = pqLloydRows(spark, cacheKey, exSub)
@@ -786,11 +834,16 @@ object LlmVector {
   /** Exploded per-subspace corpus + the trained (sub, c_id, pos, c)
     * codebook, memoized per (process, sfDir) like [[kmeansState]]. */
   private def pqState(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    // un-materialized (r19, like [[kmeansState]]'s ex): every consumer
+    // folds or filters it exactly once per call (pqLloydRows checkpoints
+    // its own array fold; pqIndex's exArrOf and the init's vec_id < PqK
+    // slice are single map-side passes with parquet pushdown), so the
+    // eager n×64-row localCheckpoint every warm call paid here bought
+    // nothing
     val ex = embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
       .withColumn("sub", expr(s"pos div ${64 / PqM}"))
-      .localCheckpoint()
     (ex, pqLloyd(spark, sfDir + "#raw", ex))
   }
 
@@ -816,9 +869,20 @@ object LlmVector {
     val pivoted = rows
       .groupBy(r => (r.getAs[Number]("sub").longValue, r.getAs[Number]("c_id").intValue))
       .toSeq
+      // (sub, c_id)-sorted (ADVICE r18): Scala Map iteration order is
+      // hash-dependent, and an order-unstable LocalRelation makes the
+      // captured plans and broadcast contents vary across JVM runs even
+      // though every consumer aggregates (results were unaffected)
+      .sortBy(_._1)
       .map { case ((sub, cId), rs) =>
         val carr = rs.sortBy(_.getAs[Number]("pos").intValue)
           .map(_.getAs[Number]("c").doubleValue).toSeq
+        // driver-side, free (ADVICE r18): pqDistsArr's element_at chain
+        // silently yields NULL dist2 on a short array with ANSI off —
+        // NULL would sort LAST in the argmin struct and skew the code
+        // assignment silently instead of failing loudly
+        assert(carr.size == 64 / PqM,
+          s"codeword (sub=$sub, c_id=$cId) has ${carr.size} components, expected ${64 / PqM}")
         Row(sub, cId, carr)
       }
     val schema = StructType(Seq(StructField("sub", LongType, nullable = false),
@@ -826,6 +890,46 @@ object LlmVector {
       StructField("carr", ArrayType(DoubleType, containsNull = false), nullable = false)))
     spark.createDataFrame(
       java.util.Arrays.asList(pivoted: _*), schema)
+  }
+
+  /** Driver-side pivot of (sub, c_id, pos, c) codebook rows into the
+    * per-sub nested model [[pqAssignExpr]] rides: subs 0..PqM-1, each a
+    * (c_id asc)-sorted list of (c_id, pos-ordered codeword array). */
+  private def pqModelOf(rows: Array[org.apache.spark.sql.Row]): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    val bySub = rows.groupBy(_.getAs[Number]("sub").longValue)
+    (0 until PqM).map { sub =>
+      val rs = bySub.getOrElse(sub.toLong,
+        sys.error(s"PQ codebook lost subspace $sub entirely"))
+      rs.groupBy(_.getAs[Number]("c_id").intValue).toSeq.sortBy(_._1).map { case (cid, cw) =>
+        val carr = cw.sortBy(_.getAs[Number]("pos").intValue)
+          .map(_.getAs[Number]("c").doubleValue).toSeq
+        assert(carr.size == 64 / PqM,
+          s"codeword (sub=$sub, c_id=$cid) has ${carr.size} components, expected ${64 / PqM}")
+        cid -> carr
+      }
+    }
+  }
+
+  /** MAP-ONLY PQ codeword assignment (r19, the [[rankStructs]] recipe
+    * applied per-subspace): the whole m×k×(64/m) codebook rides the task
+    * binary as nested literals indexed by the row's `sub`, each
+    * candidate distance is the native codegen'd `double_sql2` (the same
+    * left-to-right Σ(a−b)² the [[pqDistsArr]] expression chain sums, so
+    * r6(dist2) is bit-identical), and array_min over (dist2, c_id)
+    * structs IS [[pqArgmin]]'s min(struct(...)) tie-break. Training's
+    * assignment therefore needs NO broadcast join and NO n×m-group
+    * exchange — it fuses into the centroid update's partial agg. */
+  private def pqAssignExpr(model: IndexedSeq[Seq[(Int, Seq[Double])]]): Column = {
+    val carrs = typedLit(model.map(_.map(_._2)))
+    val cids = typedLit(model.map(_.map(_._1)))
+    val subIdx = col("sub").cast("int") + 1
+    val subCarr = element_at(carrs, subIdx)
+    val subCid = element_at(cids, subIdx)
+    val structs = transform(sequence(lit(0), size(subCarr) - 1), j =>
+      struct(
+        r6(call_function("double_sql2", col("varr"), element_at(subCarr, j + 1))).as("dist2"),
+        element_at(subCid, j + 1).as("c_id")))
+    array_min(structs).getField("c_id")
   }
 
   /** Every (vector, subspace, codeword) squared distance — the single
@@ -1004,10 +1108,11 @@ object LlmVector {
     // (r18): the former (pos)-keyed join had 64 join keys — its
     // 30×n×64-row hash agg degraded to ONE task (measured: a 5 s
     // single-task stage per recall key). double_sql2 accumulates
-    // left-to-right over pos, the same order the stream-side hash agg
-    // summed (ex rows arrive pos-ascending per vector), so d2 is
-    // bit-identical. The ≠ join is the exactTop3 shape: broadcast side
-    // bounded at 30 queries, never corpus×corpus.
+    // left-to-right over pos; d2 is r6-stabilized and oracle-verified
+    // at 2 SFs (the old shuffled pos-join's partial-agg merge order was
+    // itself not guaranteed pos-ascending, so r6 was already the
+    // equivalence argument — ADVICE r18). The ≠ join is the exactTop3
+    // shape: broadcast side bounded at 30 queries, never corpus×corpus.
     val eArr = embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("varr"))

@@ -82,6 +82,43 @@ class BenchSpec extends AnyFunSuite {
     assert(sumL.length < 2048)
   }
 
+  test("queries_partN lines are each ≤2 KB, parseable, and jointly lossless (r18 task 1b)") {
+    import Bench.KeyResult
+    // full-surface-sized synthetic run: names at the real surface's
+    // length scale so the 2 KB bound is tested against realistic bytes
+    val rs = (1 to 288).map(i =>
+      KeyResult(f"llm_ann_ivfpq_res_recall_$i%03d", i / 100.0, ok = true,
+        i / 100.0, None, i.toDouble)).sortBy(_.name)
+    val lines = Bench.queryPartLines(rs, "/root/testdata/sf0.1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(lines.size == math.ceil(288.0 / Bench.QueriesPerPart).toInt)
+    // each line is an independent, complete JSON document under 2 KB —
+    // whatever subset of lines a truncated capture keeps stays parseable
+    lines.foreach(l => assert(l.length < 2048, s"part line ${l.length} B exceeds 2 KB"))
+    val parsed = lines.map(om.readTree)
+    parsed.zipWithIndex.foreach { case (p, i) =>
+      assert(p.get("metric").asText == s"queries_part${i + 1}")
+      assert(p.get("part").asInt == i + 1 && p.get("parts").asInt == lines.size)
+    }
+    // jointly lossless and alphabetical: concatenating the parts in
+    // order reproduces the full per-key map in run (sorted) order
+    val keysInOrder = parsed.flatMap { p =>
+      val it = p.get("data").fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null).takeWhile(_ != null).toSeq
+    }
+    assert(keysInOrder == rs.map(_.name))
+    val vals = parsed.flatMap { p =>
+      val d = p.get("data")
+      val it = d.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null).takeWhile(_ != null)
+        .map(k => k -> d.get(k).asDouble).toSeq
+    }.toMap
+    assert(vals("llm_ann_ivfpq_res_recall_288") == 2.88)
+    // every part carries the run total, so a single surviving line still
+    // cross-checks against the digest lines
+    parsed.foreach(p => assert(math.abs(p.get("value").asDouble - rs.map(_.graded).sum) < 0.01))
+  }
+
   test("bands resource parses, is positive, and covers the graded surface") {
     // the recorded-scale dir: bands must load here and auto-disable
     // anywhere else (ADVICE r14 — a forgotten SPARK_GRAFT_BANDS=off on

@@ -31,11 +31,11 @@ class EntrySpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
-  test("every queries key has runnable result") {
-    SparkEntry.queries.keys.foreach { k =>
-      assert(run(k).count() >= 0, s"query $k failed")
-    }
-  }
+  // (the former "every queries key has runnable result" full-surface loop
+  // was dropped in r19: GoldenSpec executes every key on the same sf0.001
+  // data AND pins its result checksum — a strictly stronger gate — so the
+  // loop re-ran all 288 queries for ~10 min of pure redundancy, and the
+  // 49-min suite exceeded the verify driver's wall-clock budget in r18)
   test("oracleSql keys are a subset of queries keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle keys without query impl: $extra")

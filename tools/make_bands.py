@@ -2,7 +2,17 @@
 """Regenerate src/main/resources/bench_bands.json — the per-key local
 reference bands Bench's band-aware rerun rule reads (r13 verdict task 6).
 
-Usage: python3 tools/make_bands.py [--max-spk S] BENCH_LOCAL_a.json [...]
+Usage: python3 tools/make_bands.py --at-round-open [--max-spk S] BENCH_LOCAL_a.json [...]
+
+ROUND-OPEN ONLY (r18 verdict task 7): bands feed the 3×-band rerun
+trigger, so regenerating them BETWEEN the two driver runs a verdict
+compares changes how many keys are rerun-damped on one side of that
+comparison (r18: 255 vs 219 reruns after a mid-cycle regeneration,
+biasing the recorded-total ratio). Regenerate only at round OPEN, before
+any graded run, and never again within the round; the --at-round-open
+flag is the operator's explicit attestation and is recorded in the
+artifact's "_when" meta. Cross-round comparisons should read
+first_pass_sec (band-independent) when bands changed between rounds.
 
 Each input is a one-line Bench JSON (the checked-in BENCH_LOCAL_* files).
 The band for a key is the MEDIAN of its per-run seconds across every run
@@ -47,6 +57,14 @@ def load_bench(path):
 
 
 def main(argv):
+    if not argv or argv[0] != "--at-round-open":
+        sys.exit("REFUSED: bands may only be regenerated at round OPEN "
+                 "(r18 verdict task 7 — a mid-round regeneration changes "
+                 "the rerun-damping behavior between the two runs a verdict "
+                 "compares). Re-run with --at-round-open as the FIRST "
+                 "argument if and only if no graded run has happened yet "
+                 "this round.")
+    argv = argv[1:]
     max_spk = 1.2
     if argv and argv[0] == "--max-spk":
         max_spk = float(argv[1])
@@ -71,6 +89,7 @@ def main(argv):
     # regex only matches numeric values, so these never become bands
     bands["_gate"] = f"max_s_per_key={max_spk}"
     bands["_sources"] = "; ".join(accepted)
+    bands["_when"] = "round-open only (r18 verdict task 7; --at-round-open attested)"
     with open(OUT, "w") as fh:
         json.dump(bands, fh, separators=(",", ":"))
     print(f"wrote {len(bands) - 2} bands to {OUT} from {len(argv)} clean "
