@@ -293,7 +293,10 @@ object TimeSeries {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-    runToMemory(agg, "graft_ts_session_stream", "complete")
+    // 16 state partitions: the session-window store holds ~95k rows at
+    // sf0.1 (ts_dedup_stream's state-volume sizing rule, not a core
+    // count — see the runToMemory scaladoc)
+    runToMemory(agg, "graft_ts_session_stream", "complete", shufflePartitions = 16)
       .select(col("user_id"), col("mn").as("session_start"), col("n_events"),
         (unix_micros(col("mx")) - unix_micros(col("mn"))).as("duration_us"))
       .orderBy("user_id", "session_start")
@@ -502,7 +505,13 @@ object TimeSeries {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
-    runToMemory(joined, "graft_ts_ss_join", "append")
+    // 16 state partitions (r19, the ts_dedup_stream sizing rule): the
+    // join buffers ~40k rows/side here — at the blanket 4 instances each
+    // store task single-threads ~10k keys' updates+evictions per
+    // trigger (StreamDiag: addBatch 3.5-4.5 s/batch, commitMs ~2 s).
+    // Target ≤ ~4k state rows per instance; production sizes this by
+    // state volume, not core count.
+    runToMemory(joined, "graft_ts_ss_join", "append", shufflePartitions = 16)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
       .orderBy("click_id", "purchase_id")
@@ -569,7 +578,10 @@ object TimeSeries {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
       "left_outer")
-    runToMemory(joined, "graft_ts_so_join", "append")
+    // 16 state partitions — same sizing rule as ts_stream_stream_join
+    // (this side also pays the final watermark-flush eviction scan,
+    // which parallelizes with the instance count)
+    runToMemory(joined, "graft_ts_so_join", "append", shufflePartitions = 16)
       .filter(col("user_id") >= 0) // drop the sentinel click's outer row
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
