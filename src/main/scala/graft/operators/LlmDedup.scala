@@ -27,7 +27,12 @@ import graft.sources.Tables._
 object LlmDedup {
 
   /** Distinct 3-gram token shingles per document (of an arbitrary
-    * (doc_id, text) frame — minhash shingles only its dedup reps). */
+    * (doc_id, text) frame — minhash shingles only its dedup reps).
+    * NOT repartitioned (r19 negative result): the llm_entropy_filter
+    * §2.5 input-parallelism fix was tried here too — the dedup keys'
+    * cost is their chain of small serial stages (checkpoint rounds),
+    * not the explode stage, and the A/B read parity with an extra
+    * shuffle added. Kept single-split. */
   private[operators] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))

@@ -947,7 +947,20 @@ object LlmText {
     * keyed by doc_id, so this is per-document parallel with no
     * global state. */
   def llmEntropyFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = documents(spark, sfDir)
+    // Input-parallelism fix (r19, guide §2.5 "one huge unsplittable
+    // file → repartition immediately after the read"): at bench scale
+    // the documents file is one parquet split, so the bigram explode +
+    // per-doc partial count — the key's entire compute — ran as ONE
+    // task (DiagPair: a single 2.5 s-CPU stage; the rest of the plan
+    // sums <0.7 s). Conditional on the actual scan split count so a
+    // corpus that already has ≥cores splits (the 100 TB case) never
+    // pays the doc-text shuffle; hashing on doc_id keeps every doc's
+    // bigrams in one partition, so the per-doc sums merge identically.
+    val par = spark.sparkContext.defaultParallelism
+    val src = documents(spark, sfDir)
+    val srcPar =
+      if (src.rdd.getNumPartitions < par) src.repartition(par, col("doc_id")) else src
+    val bi = srcPar
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))

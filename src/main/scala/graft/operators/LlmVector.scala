@@ -1797,6 +1797,14 @@ object LlmVector {
       .filter(col("node") =!= col("q_id"))
       .withColumn("ern", row_number().over(wEntry)).filter(col("ern") <= BeamSeeds)
       .select("q_id", "node")
+    // NOT checkpointed (r19 negative result, kept for the record): score()
+    // re-scans this frame 1 + BeamRounds times, and materializing it once
+    // looked like the textbook §5 reuse — but the A/B read 17.8/17.2 s vs
+    // 13.2/16.7 s (beam) and +2 s on beam_recall: at bench scale the
+    // codegen'd parquet scan + float_dot is CHEAPER per pass than one
+    // UnsafeRow materialization of every embedding array plus block reads.
+    // At 100 TB the norm column belongs in the stored index, not in a
+    // per-query checkpoint.
     val e = embeddings(spark, sfDir)
       .select(col("vec_id").as("node"), col("embedding"),
         sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))

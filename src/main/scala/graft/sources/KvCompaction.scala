@@ -157,13 +157,24 @@ object KvCompaction {
           .filter(col("gc_rank") <= k)
           .select("rowkey", "qualifier", "value")
     }
-    // the policy's predicted survivor count — one counting job; a plain
-    // compaction predicts cellsBefore for free
+    // the policy's predicted survivor count — a plain compaction
+    // predicts cellsBefore for free. A GC'd compaction MATERIALIZES the
+    // survivor frame once (r19, guide §1.2/§5): the count guard and the
+    // rewrite below otherwise each execute the full scan + GC window —
+    // the two heaviest stages of the kv_compact_versions profile, paid
+    // twice. The survivor set is exactly what the rewrite writes, so
+    // the checkpoint is store-survivor-sized; at 100 TB the guard count
+    // would come from write-task accumulators inside the one rewrite
+    // pass instead (the same "GC collapses into the compaction's own
+    // merge-sort" posture documented above).
+    val survivorsM =
+      if (retainVersions.isEmpty && !purgeTombstones && keepIf.isEmpty) survivors
+      else survivors.localCheckpoint()
     val expected =
       if (retainVersions.isEmpty && !purgeTombstones && keepIf.isEmpty) cellsBefore
-      else survivors.count()
+      else survivorsM.count()
 
-    survivors
+    survivorsM
       .repartitionByRange(targetFiles, col("rowkey"), col("qualifier"))
       .sortWithinPartitions("rowkey", "qualifier")
       .write.format("graft-kv").option("path", tmp).mode("append").save()
