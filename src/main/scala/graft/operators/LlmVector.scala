@@ -851,7 +851,7 @@ object LlmVector {
     * of the exploded long format (all 64 exploded rows of a vector come
     * from one posexplode call, so every group closes inside its own
     * partition before the exchange). */
-  private def exArrOf(ex: DataFrame): DataFrame =
+  private[graft] def exArrOf(ex: DataFrame): DataFrame =
     ex.groupBy("vec_id", "sub")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         x => x.getField("v")).as("varr"))
@@ -862,7 +862,7 @@ object LlmVector {
     * which scheduled a broadcast-subquery job per Lloyd iteration —
     * measurable pure overhead on a driver-sized model (guide §5: the
     * model is driver data; move it as driver data). */
-  private def centArrLocal(spark: SparkSession,
+  private[graft] def centArrLocal(spark: SparkSession,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
@@ -895,7 +895,7 @@ object LlmVector {
   /** Driver-side pivot of (sub, c_id, pos, c) codebook rows into the
     * per-sub nested model [[pqAssignExpr]] rides: subs 0..PqM-1, each a
     * (c_id asc)-sorted list of (c_id, pos-ordered codeword array). */
-  private def pqModelOf(rows: Array[org.apache.spark.sql.Row]): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+  private[graft] def pqModelOf(rows: Array[org.apache.spark.sql.Row]): IndexedSeq[Seq[(Int, Seq[Double])]] = {
     val bySub = rows.groupBy(_.getAs[Number]("sub").longValue)
     (0 until PqM).map { sub =>
       val rs = bySub.getOrElse(sub.toLong,
@@ -919,7 +919,7 @@ object LlmVector {
     * structs IS [[pqArgmin]]'s min(struct(...)) tie-break. Training's
     * assignment therefore needs NO broadcast join and NO n×m-group
     * exchange — it fuses into the centroid update's partial agg. */
-  private def pqAssignExpr(model: IndexedSeq[Seq[(Int, Seq[Double])]]): Column = {
+  private[graft] def pqAssignExpr(model: IndexedSeq[Seq[(Int, Seq[Double])]]): Column = {
     val carrs = typedLit(model.map(_.map(_._2)))
     val cids = typedLit(model.map(_.map(_._1)))
     val subIdx = col("sub").cast("int") + 1
@@ -952,7 +952,7 @@ object LlmVector {
     * aggregate lambda form measured ~20 µs/row interpreted — the §1.1
     * "ideal plan slower at first" gotcha, fixed by expression choice
     * (guide §4.1: codegen-able built-ins in hot paths). */
-  private def pqDistsArr(exArr: DataFrame, centArr: DataFrame): DataFrame = {
+  private[graft] def pqDistsArr(exArr: DataFrame, centArr: DataFrame): DataFrame = {
     val dist2 = (1 to 64 / PqM).map { i =>
       val d = element_at(col("varr"), i) - element_at(col("carr"), i)
       d * d
@@ -966,7 +966,7 @@ object LlmVector {
     * windows (full sort + shuffle each) that picked the same row; the
     * struct's lexicographic order IS the window's ORDER BY, and both
     * fields are non-null by construction. */
-  private def pqArgmin(dists: DataFrame): DataFrame =
+  private[graft] def pqArgmin(dists: DataFrame): DataFrame =
     dists.groupBy("vec_id", "sub")
       .agg(min(struct(col("dist2"), col("c_id"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.c_id").as("c_id"))

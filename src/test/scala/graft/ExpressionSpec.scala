@@ -181,6 +181,41 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("map-only PQ assignment equals the join-form argmin bit-for-bit (r19)") {
+    // The fused Lloyd update assigns codewords with pqAssignExpr (nested
+    // codebook literals + double_sql2 + array_min) instead of
+    // pqArgmin(pqDistsArr(...)) (broadcast join + partial-agg min). The
+    // two paths must agree EXACTLY — any divergence would silently
+    // train a different codebook. Deterministic synthetic corpus: 24
+    // vectors × 64 dims, codebook = first 16 vectors' components.
+    import org.apache.spark.sql.functions._
+    import graft.operators.LlmVector
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val ex = (0 until 24).flatMap { v =>
+      (0 until 64).map { p =>
+        // varied, sign-flipping values with ties broken by c_id order
+        (v.toLong, p, math.sin(v * 17 + p * 3) * (1 + (p % 5)), p / 8L)
+      }
+    }.toDF("vec_id", "pos", "v", "sub")
+    val init = ex.filter(col("vec_id") < 16)
+      .select(col("sub"), col("vec_id").cast("int").as("c_id"), col("pos"),
+        round(col("v"), 6).as("c"))
+    val rows = init.collect()
+    val exArr = LlmVector.exArrOf(ex)
+    val joinForm = LlmVector.pqArgmin(
+        LlmVector.pqDistsArr(exArr, LlmVector.centArrLocal(spark, rows)))
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val mapForm = exArr
+      .select(col("vec_id"), col("sub"),
+        LlmVector.pqAssignExpr(LlmVector.pqModelOf(rows)).as("c_id"))
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(joinForm.length == 24 * 8)
+    assert(joinForm.toSeq == mapForm.toSeq)
+  }
+
   test("GraftExtensions installs float_dot and rolling_hash through the real builder path") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate only applies extensions when it CREATES a session, so
